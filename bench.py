@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_user_behavior_analysis_spark import queries as Q
+from flink_user_behavior_analysis_spark.session import get_spark
+
+HEADLINE = [
+    "hot_items",
+    "hot_pages",
+    "page_views",
+    "unique_visitors",
+    "unique_visitors_approx",
+    "marketing_by_channel",
+    "ad_stats_by_province",
+    "login_fail",
+    "order_timeout",
+    "tx_match",
+    "blacklist_warnings",
+    "sessionize_users",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_segment",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app="fuba-bench")
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session startup
+    Q.QUERIES["page_views"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

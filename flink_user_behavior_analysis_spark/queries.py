@@ -1,0 +1,735 @@
+"""Query registry: every implemented operator from SURVEY.md section 2
+exposed as a named query over the driver testdata, paired with an
+ANSI-SQL DuckDB oracle computing identical results.
+
+Determinism rules (so the driver's order-insensitive value-hash
+matches):
+- every event-time output is epoch MICROSECONDS as bigint
+  (``unix_micros`` / ``epoch_us``) — no timezone or format ambiguity;
+- every ranking has a total-order tiebreak;
+- money aggregates use integer-cent arithmetic (round per row to a
+  bigint, sum exactly, divide once) so float associativity cannot
+  flip a rounded digit;
+- ints are cast to bigint on both sides (DuckDB count/sum promote to
+  HUGEINT otherwise).
+
+The reference queries run over UserBehavior/AdClick/Login/Order
+streams; the driver testdata's ``events`` table (event_id, ts,
+user_id, event_type, value, props) is the generic stand-in (see
+FIXTURES.md "Driver testdata mapping"): item_id := props.k,
+behavior := event_type, fail := event_type='error',
+create/pay := view/purchase of the same (user, item).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import (
+    cap_filter_with_warnings,
+    consecutive_events,
+    interval_join,
+    match_create_pay,
+    reconcile,
+    sessionize,
+    top_n_per_window,
+    unique_visitors,
+    windowed_count,
+    windowed_global_count,
+)
+from .session import ensure_utc
+from .sources import load_table
+
+US = 1_000_000
+HOUR_US = 3600 * US
+MIN_US = 60 * US
+
+# item_id extraction from the props JSON ({"k": 87}) — regexp on both
+# engines avoids JSON-extension differences.
+ITEM_RE = r'"k":\s*(\d+)'
+DUCK_ITEM = (
+    "TRY_CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT)"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _with_item(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "item_id", F.regexp_extract("props", ITEM_RE, 1).cast("long")
+    )
+
+
+def _duck_sliding_end(size_us: int, slide_us: int, ts: str = "ts") -> str:
+    """DuckDB expression producing every sliding-window end (epoch us)
+    containing the row — the same epoch-aligned windows Spark's
+    window() assigns."""
+    return (
+        f"unnest(generate_series((epoch_us({ts}) // {slide_us}) * {slide_us} + {slide_us}, "
+        f"(epoch_us({ts}) // {slide_us}) * {slide_us} + {size_us}, {slide_us}))"
+    )
+
+
+def _duck_tumbling_end(size_us: int, ts: str = "ts") -> str:
+    return f"(epoch_us({ts}) // {size_us}) * {size_us} + {size_us}"
+
+
+# =====================================================================
+# A1 + T1 — hot items: top-3 items per 1h sliding window (slide 15min)
+# reference: HotItem.java:70-80 (agg 94-114, rank 134-192)
+# =====================================================================
+
+def hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_item(_events(spark, sf_dir).where(F.col("event_type") == "view"))
+    counts = windowed_count(ev, "ts", ["item_id"], "1 hour", "15 minutes")
+    ranked = top_n_per_window(
+        counts,
+        3,
+        order_cols=[F.col("cnt").desc(), F.col("item_id").asc()],
+        rank_alias="rnk",
+    )
+    return ranked.select(
+        "window_end_us", "item_id", "cnt", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+HOT_ITEMS_SQL = f"""
+WITH exploded AS (
+    SELECT {DUCK_ITEM} AS item_id,
+           {_duck_sliding_end(HOUR_US, 15 * MIN_US)} AS window_end_us
+    FROM events WHERE event_type = 'view'
+), counts AS (
+    SELECT window_end_us, item_id, COUNT(*)::BIGINT AS cnt
+    FROM exploded GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY window_end_us ORDER BY cnt DESC, item_id) AS rnk
+    FROM counts
+)
+SELECT window_end_us, item_id, cnt, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# =====================================================================
+# A2 + T2 + F3 — hot pages: top-5 event types per 30min window
+# (slide 10min), regex-negation filter
+# reference: HotPage.java:68-83 (filters 69-73, rank 140-204)
+# =====================================================================
+
+def hot_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(~F.col("event_type").rlike("^err"))
+    counts = windowed_count(ev, "ts", ["event_type"], "30 minutes", "10 minutes")
+    ranked = top_n_per_window(
+        counts,
+        5,
+        order_cols=[F.col("cnt").desc(), F.col("event_type").asc()],
+        rank_alias="rnk",
+    )
+    return ranked.select(
+        "window_end_us", "event_type", "cnt", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+HOT_PAGES_SQL = f"""
+WITH exploded AS (
+    SELECT event_type,
+           {_duck_sliding_end(30 * MIN_US, 10 * MIN_US)} AS window_end_us
+    FROM events WHERE NOT regexp_matches(event_type, '^err')
+), counts AS (
+    SELECT window_end_us, event_type, COUNT(*)::BIGINT AS cnt
+    FROM exploded GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY window_end_us ORDER BY cnt DESC, event_type) AS rnk
+    FROM counts
+)
+SELECT window_end_us, event_type, cnt, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# =====================================================================
+# A6/F1 — page views: tumbling 1h global count of 'click' events
+# reference: PageView.java:66-80 (salted two-stage total collapses to
+# one Spark aggregate; partial agg handles the hot constant key)
+# =====================================================================
+
+def page_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    return windowed_global_count(ev, "ts", "1 hour", count_alias="pv")
+
+
+PAGE_VIEWS_SQL = f"""
+SELECT {_duck_tumbling_end(HOUR_US)} AS window_end_us, COUNT(*)::BIGINT AS pv
+FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+
+# =====================================================================
+# A7 — unique visitors: tumbling 1h exact distinct users
+# reference: UniqueVisitor.java:48-79 (HashSet -> count_distinct)
+# =====================================================================
+
+def unique_visitors_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return unique_visitors(ev, "ts", "user_id", "1 hour", mode="exact")
+
+
+UNIQUE_VISITORS_SQL = f"""
+SELECT {_duck_tumbling_end(HOUR_US)} AS window_end_us,
+       COUNT(DISTINCT user_id)::BIGINT AS uv
+FROM events GROUP BY 1
+"""
+
+
+# =====================================================================
+# A8 — approximate UV (HLL++ replaces the reference's Redis bloom
+# filter, UniqueVisitorWithBloomFilter.java:50-171). No SQL oracle:
+# sketch internals are engine-specific -> driver rows-only check.
+# =====================================================================
+
+def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return unique_visitors(ev, "ts", "user_id", "1 day", mode="approx", rsd=0.02)
+
+
+# =====================================================================
+# A3/F4 — marketing by channel x behavior, 1h sliding (slide 20min)
+# reference: AppMarketingByChannel.java:47-51 + UNINSTALL filter :48
+# =====================================================================
+
+def marketing_by_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") != "error")
+    ev = ev.withColumn(
+        "channel", F.concat(F.lit("ch"), (F.col("user_id") % 4).cast("string"))
+    ).withColumnRenamed("event_type", "behavior")
+    return windowed_count(ev, "ts", ["channel", "behavior"], "1 hour", "20 minutes")
+
+
+MARKETING_BY_CHANNEL_SQL = f"""
+WITH exploded AS (
+    SELECT 'ch' || (user_id % 4)::VARCHAR AS channel,
+           event_type AS behavior,
+           {_duck_sliding_end(HOUR_US, 20 * MIN_US)} AS window_end_us
+    FROM events WHERE event_type <> 'error'
+)
+SELECT window_end_us, channel, behavior, COUNT(*)::BIGINT AS cnt
+FROM exploded GROUP BY 1, 2, 3
+"""
+
+
+# =====================================================================
+# A4/M2 — marketing total: global 1h sliding count (slide 20min)
+# reference: AppMarketingStatistics.java:49-59
+# =====================================================================
+
+def marketing_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") != "error")
+    return windowed_global_count(ev, "ts", "1 hour", "20 minutes")
+
+
+MARKETING_TOTAL_SQL = f"""
+WITH exploded AS (
+    SELECT {_duck_sliding_end(HOUR_US, 20 * MIN_US)} AS window_end_us
+    FROM events WHERE event_type <> 'error'
+)
+SELECT window_end_us, COUNT(*)::BIGINT AS cnt FROM exploded GROUP BY 1
+"""
+
+
+# =====================================================================
+# A5 — ad clicks by province: events x customer x nation (broadcast
+# dims), 1h sliding count per province
+# reference: AdStatisticsByProvince.java:49-52
+# =====================================================================
+
+def ad_stats_by_province(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "click")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("province")
+    )
+    joined = ev.join(
+        F.broadcast(customer), ev.user_id == customer.c_custkey, "inner"
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+    return windowed_count(joined, "ts", ["province"], "1 hour", "20 minutes")
+
+
+AD_STATS_SQL = f"""
+WITH exploded AS (
+    SELECT n.n_name AS province,
+           {_duck_sliding_end(HOUR_US, 20 * MIN_US, "e.ts")} AS window_end_us
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'click'
+)
+SELECT window_end_us, province, COUNT(*)::BIGINT AS cnt
+FROM exploded GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# C2/C1 — consecutive-failure detection (lag-run formulation)
+# reference: LoginFail.java:65-196 (n=2, 2s), LoginFailWithCEP.java:62-112
+# (times(3).consecutive().within(5s)); fail := event_type='error',
+# spans widened to match testdata event spacing.
+# =====================================================================
+
+def _login_fail(spark: SparkSession, sf_dir: str, n: int, span_s: int) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return consecutive_events(
+        ev,
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "error",
+        n=n,
+        within_seconds=span_s,
+        order_tiebreak=["event_id"],
+    ).select("user_id", "first_fail_us", "last_fail_us")
+
+
+def login_fail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _login_fail(spark, sf_dir, n=2, span_s=6 * 3600)
+
+
+def login_fail_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _login_fail(spark, sf_dir, n=3, span_s=12 * 3600)
+
+
+def _login_fail_sql(n: int, span_s: int) -> str:
+    return f"""
+WITH seq AS (
+    SELECT user_id,
+           lag(epoch_us(ts), {n - 1}) OVER w AS first_fail_us,
+           epoch_us(ts) AS last_fail_us,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER wr AS run
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, first_fail_us, last_fail_us
+FROM seq
+WHERE run = {n} AND last_fail_us - first_fail_us <= {span_s * US}
+"""
+
+
+# =====================================================================
+# J3/C3 — order-payment timeout: view -> purchase of the same
+# (user, item) within 3 days
+# reference: OrderTimeout.java:52-88, OrderTimeoutWithoutCEP.java:68-161
+# =====================================================================
+
+ORDER_TIMEOUT_S = 3 * 24 * 3600
+
+
+def order_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_item(_events(spark, sf_dir))
+    return match_create_pay(
+        ev,
+        ["user_id", "item_id"],
+        "event_type",
+        "ts",
+        create_value="view",
+        pay_value="purchase",
+        timeout_seconds=ORDER_TIMEOUT_S,
+    ).select("user_id", "item_id", "create_us", "pay_us", "result_state")
+
+
+ORDER_TIMEOUT_SQL = f"""
+WITH ev AS (
+    SELECT user_id, {DUCK_ITEM} AS item_id, event_type, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type IN ('view', 'purchase')
+), w1 AS (
+    SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id, item_id) AS create_us
+    FROM ev
+), w2 AS (
+    SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= create_us
+                       THEN ts_us END)
+              OVER (PARTITION BY user_id, item_id) AS pay_us
+    FROM w1
+), per_key AS (
+    SELECT user_id, item_id, min(create_us) AS create_us, min(pay_us) AS pay_us
+    FROM w2 GROUP BY 1, 2
+)
+SELECT user_id, item_id, create_us, pay_us,
+       CASE WHEN create_us IS NULL THEN 'payed_not_created'
+            WHEN pay_us IS NULL THEN 'timeout_no_pay'
+            WHEN pay_us < create_us + {ORDER_TIMEOUT_S * US} THEN 'payed'
+            ELSE 'timeout_payed_late' END AS result_state
+FROM per_key
+"""
+
+
+# =====================================================================
+# J1 — interval join: purchase matched by clicks of the same
+# (user, item) in [purchase.ts - 12h, purchase.ts + 12h]
+# reference: TxPayMatchByJoin.java:63-93
+# =====================================================================
+
+IJ_LO_S, IJ_HI_S = -12 * 3600, 12 * 3600
+
+
+def _pays_receipts(spark: SparkSession, sf_dir: str):
+    ev = _with_item(_events(spark, sf_dir))
+    pays = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "item_id", F.col("ts").alias("pay_ts"),
+        F.col("event_id").alias("pay_id"),
+    )
+    receipts = ev.where(F.col("event_type") == "click").select(
+        "user_id", "item_id", F.col("ts").alias("receipt_ts"),
+        F.col("event_id").alias("receipt_id"),
+    )
+    return pays, receipts
+
+
+def tx_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pays, receipts = _pays_receipts(spark, sf_dir)
+    joined = interval_join(
+        pays, receipts, ["user_id", "item_id"],
+        "pay_ts", "receipt_ts", IJ_LO_S, IJ_HI_S,
+    )
+    return joined.select(
+        pays.user_id.alias("user_id"),
+        pays.item_id.alias("item_id"),
+        F.unix_micros(pays.pay_ts).alias("pay_us"),
+        F.unix_micros(receipts.receipt_ts).alias("receipt_us"),
+    )
+
+
+TX_INTERVAL_JOIN_SQL = f"""
+WITH ev AS (
+    SELECT user_id, {DUCK_ITEM} AS item_id, event_type, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type IN ('purchase', 'click')
+)
+SELECT p.user_id AS user_id, p.item_id AS item_id,
+       p.ts_us AS pay_us, r.ts_us AS receipt_us
+FROM ev p JOIN ev r
+  ON p.user_id = r.user_id AND p.item_id = r.item_id
+ AND r.ts_us >= p.ts_us + {IJ_LO_S * US} AND r.ts_us <= p.ts_us + {IJ_HI_S * US}
+WHERE p.event_type = 'purchase' AND r.event_type = 'click'
+"""
+
+
+# =====================================================================
+# J2 — two-stream reconciliation with unmatched routing (tagged union
+# of matched / unmatched_pays / unmatched_receipts)
+# reference: TxPayMatch.java:65-170 (side outputs :71-73)
+# =====================================================================
+
+def tx_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pays, receipts = _pays_receipts(spark, sf_dir)
+    legs = reconcile(
+        pays, receipts, ["user_id", "item_id"],
+        "pay_ts", "receipt_ts", IJ_LO_S, IJ_HI_S,
+    )
+    matched = legs["matched"].select(
+        F.lit("matched").alias("kind"),
+        pays.user_id.alias("user_id"),
+        pays.item_id.alias("item_id"),
+        F.unix_micros(pays.pay_ts).alias("pay_us"),
+        F.unix_micros(receipts.receipt_ts).alias("receipt_us"),
+    )
+    up = legs["unmatched_left"].select(
+        F.lit("unmatched_pay").alias("kind"),
+        "user_id", "item_id",
+        F.unix_micros(F.col("pay_ts")).alias("pay_us"),
+        F.lit(None).cast("long").alias("receipt_us"),
+    )
+    ur = legs["unmatched_right"].select(
+        F.lit("unmatched_receipt").alias("kind"),
+        "user_id", "item_id",
+        F.lit(None).cast("long").alias("pay_us"),
+        F.unix_micros(F.col("receipt_ts")).alias("receipt_us"),
+    )
+    return matched.unionByName(up).unionByName(ur)
+
+
+TX_MATCH_SQL = f"""
+WITH ev AS (
+    SELECT user_id, {DUCK_ITEM} AS item_id, event_type, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type IN ('purchase', 'click')
+), p AS (SELECT user_id, item_id, ts_us FROM ev WHERE event_type = 'purchase'),
+   r AS (SELECT user_id, item_id, ts_us FROM ev WHERE event_type = 'click')
+SELECT 'matched' AS kind, p.user_id AS user_id, p.item_id AS item_id,
+       p.ts_us AS pay_us, r.ts_us AS receipt_us
+FROM p JOIN r ON p.user_id = r.user_id AND p.item_id = r.item_id
+ AND r.ts_us >= p.ts_us + {IJ_LO_S * US} AND r.ts_us <= p.ts_us + {IJ_HI_S * US}
+UNION ALL
+SELECT 'unmatched_pay', p.user_id, p.item_id, p.ts_us, NULL::BIGINT
+FROM p WHERE NOT EXISTS (
+    SELECT 1 FROM r WHERE p.user_id = r.user_id AND p.item_id = r.item_id
+     AND r.ts_us >= p.ts_us + {IJ_LO_S * US} AND r.ts_us <= p.ts_us + {IJ_HI_S * US})
+UNION ALL
+SELECT 'unmatched_receipt', r.user_id, r.item_id, NULL::BIGINT, r.ts_us
+FROM r WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.user_id = r.user_id AND p.item_id = r.item_id
+     AND r.ts_us >= p.ts_us + {IJ_LO_S * US} AND r.ts_us <= p.ts_us + {IJ_HI_S * US})
+"""
+
+
+# =====================================================================
+# F6 — blacklist cap filter: per (user, behavior, day) pass first 3
+# events, warn once at the 4th
+# reference: AdStatisticsByProvinceWithoutBlacklist.java:54-179
+# =====================================================================
+
+BL_CAP = 3
+
+
+def _blacklist(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir).withColumnRenamed("event_type", "behavior")
+    return cap_filter_with_warnings(
+        ev, ["user_id", "behavior"], "ts", BL_CAP, order_tiebreak=["event_id"]
+    )
+
+
+def blacklist_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _blacklist(spark, sf_dir)["warnings"].select(
+        "user_id", "behavior", "day", "warning_msg"
+    )
+
+
+def blacklist_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    passed = _blacklist(spark, sf_dir)["passed"]
+    return passed.groupBy("user_id", "behavior", "day").agg(
+        F.count(F.lit(1)).alias("passed_cnt")
+    )
+
+
+_BL_RANKED = f"""
+    SELECT user_id, event_type AS behavior,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           row_number() OVER (
+               PARTITION BY user_id, event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id) AS rn
+    FROM events
+"""
+
+BLACKLIST_WARNINGS_SQL = f"""
+WITH ranked AS ({_BL_RANKED})
+SELECT user_id, behavior, day,
+       'click over {BL_CAP} times today' AS warning_msg
+FROM ranked WHERE rn = {BL_CAP + 1}
+"""
+
+BLACKLIST_FILTERED_SQL = f"""
+WITH ranked AS ({_BL_RANKED})
+SELECT user_id, behavior, day, COUNT(*)::BIGINT AS passed_cnt
+FROM ranked WHERE rn <= {BL_CAP} GROUP BY 1, 2, 3
+"""
+
+
+# =====================================================================
+# Sessionization (engine extension; gap = 30 min per user)
+# =====================================================================
+
+SESSION_GAP_S = 30 * 60
+
+
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return sessionize(
+        ev, ["user_id"], "ts", SESSION_GAP_S, order_tiebreak=["event_id"]
+    ).select("user_id", "session_id", "session_start_us", "session_end_us", "n_events")
+
+
+SESSIONIZE_SQL = f"""
+WITH marked AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * US}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+    SELECT user_id, ts_us,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       COUNT(*)::BIGINT AS n_events
+FROM sessioned GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Relational plans over the star schema (native Spark SQL capability,
+# SURVEY.md section 2.10; also the scale-bench workhorses)
+# =====================================================================
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+agg over lineitem (integer-cent exact)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_ten_thousandths = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(cents).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(disc_ten_thousandths).cast("double") / 10000).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS sum_base_price,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+           AS DOUBLE) / 10000 AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multiway join; dims broadcast, fact shuffled once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg((F.sum(rev_cents).cast("double") / 100).alias("revenue"))
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS DOUBLE) / 100 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order value per market segment (relational
+    Top-N — same rank operator as T1 on a join result)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg((F.sum(cents).cast("double") / 100).alias("total_spend"))
+    )
+    ranked = top_n_per_window(
+        per_cust,
+        3,
+        partition_cols=("c_mktsegment",),
+        order_cols=[F.col("total_spend").desc(), F.col("c_custkey").asc()],
+        rank_alias="rnk",
+    )
+    return ranked.select(
+        "c_mktsegment", "c_custkey", "total_spend",
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+WITH per_cust AS (
+    SELECT c_mktsegment, c_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS total_spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_mktsegment ORDER BY total_spend DESC, c_custkey) AS rnk
+    FROM per_cust
+)
+SELECT c_mktsegment, c_custkey, total_spend, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hot_items": hot_items,
+    "hot_pages": hot_pages,
+    "page_views": page_views,
+    "unique_visitors": unique_visitors_exact,
+    "unique_visitors_approx": unique_visitors_approx,
+    "marketing_by_channel": marketing_by_channel,
+    "marketing_total": marketing_total,
+    "ad_stats_by_province": ad_stats_by_province,
+    "login_fail": login_fail,
+    "login_fail_cep": login_fail_cep,
+    "order_timeout": order_timeout,
+    "tx_interval_join": tx_interval_join,
+    "tx_match": tx_match,
+    "blacklist_warnings": blacklist_warnings,
+    "blacklist_filtered": blacklist_filtered,
+    "sessionize_users": sessionize_users,
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "top_customers_per_segment": top_customers_per_segment,
+}
+
+ORACLES: dict[str, str] = {
+    "hot_items": HOT_ITEMS_SQL,
+    "hot_pages": HOT_PAGES_SQL,
+    "page_views": PAGE_VIEWS_SQL,
+    "unique_visitors": UNIQUE_VISITORS_SQL,
+    # unique_visitors_approx: HLL++ sketch — no SQL oracle (rows-only)
+    "marketing_by_channel": MARKETING_BY_CHANNEL_SQL,
+    "marketing_total": MARKETING_TOTAL_SQL,
+    "ad_stats_by_province": AD_STATS_SQL,
+    "login_fail": _login_fail_sql(2, 6 * 3600),
+    "login_fail_cep": _login_fail_sql(3, 12 * 3600),
+    "order_timeout": ORDER_TIMEOUT_SQL,
+    "tx_interval_join": TX_INTERVAL_JOIN_SQL,
+    "tx_match": TX_MATCH_SQL,
+    "blacklist_warnings": BLACKLIST_WARNINGS_SQL,
+    "blacklist_filtered": BLACKLIST_FILTERED_SQL,
+    "sessionize_users": SESSIONIZE_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "top_customers_per_segment": TOP_CUSTOMERS_SQL,
+}

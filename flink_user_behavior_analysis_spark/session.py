@@ -1,0 +1,68 @@
+"""SparkSession construction for the engine.
+
+Local-mode defaults are tuned for the test container (local[32],
+single JVM); the same builder works unchanged on a real cluster where
+``master`` comes from spark-submit. Scale-relevant settings:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- shuffle partitions sized to cores locally; on a 1000-executor
+  cluster this should be ~2-3x total cores (set via env/submit conf)
+- UTC session timezone so event-time window semantics are
+  engine-independent (the reference pins windows to epoch alignment;
+  see SURVEY.md section 2.4)
+- Arrow enabled for the few Pandas-UDF code paths
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "flink-user-behavior-analysis-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cpus = int(cpus or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = int(
+        shuffle_partitions or os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(cpus, 8)))
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session timezone to UTC (idempotent, runtime-settable).
+
+    Every calendar-sensitive operator (daily blacklist reset, window
+    alignment, date formatting) calls this so results match the DuckDB
+    oracle's naive-UTC timestamps regardless of who built the session.
+    """
+    # NB: conf.get(key, fallback) validates the fallback in Spark 4 —
+    # an empty-string fallback raises INVALID_CONF_VALUE. Use None.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

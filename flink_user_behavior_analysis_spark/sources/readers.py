@@ -1,0 +1,188 @@
+"""Sources: parquet testdata loader, reference-shaped CSV readers,
+apache-log parser, generator source, gated Kafka connector.
+
+Reference parity (SURVEY.md section 2.1/2.2):
+- S1 kafka source   -> kafka_source() (gated: jar not in container)
+- S2 text file      -> read_*_csv() batch readers with fixed schemas
+- P1 csv parse map  -> csv reader + timestamp_seconds normalization
+  (reference: HotItem.java:57-61 split(",") + x1000 in extractor)
+- P2 apache log map -> parse_apache_log()
+  (reference: HotPage.java:50-54 split(" ") + SimpleDateFormat)
+- S3 generator      -> marketing_generator_stream()
+  (reference: AppMarketingByChannel.java:65-97 random source, 10 ev/s)
+
+All readers produce an event-time column ``ts: TimestampType`` so
+every downstream operator is source-agnostic. Filters and projections
+applied after these readers push down into the scan (verified via
+explain(): PushedFilters / ReadSchema on parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+
+
+# --------------------------------------------------------------- testdata
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (parquet, columnar, pushdown-able).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; read it as raw nanos (legacy.parquet.nanosAsLong)
+    and truncate to microsecond TimestampType — bit-identical to what
+    DuckDB's reader produces for the same file (it truncates ns -> us),
+    so oracle comparisons agree. Integer `div`, never double division:
+    epoch-nanos exceed 2^53.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or schemas.TESTDATA_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for n in schemas.TESTDATA_TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------- reference-shaped CSVs
+
+def _csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    return spark.read.csv(path, schema=schema, header=False)
+
+
+def read_user_behavior_csv(spark: SparkSession, path: str) -> DataFrame:
+    """UserBehavior.csv: userId,itemId,categoryId,behavior,ts(sec)."""
+    return _csv(spark, path, schemas.USER_BEHAVIOR_RAW).withColumn(
+        "ts", F.timestamp_seconds("ts_sec")
+    )
+
+
+def read_login_log_csv(spark: SparkSession, path: str) -> DataFrame:
+    """LoginLog.csv: userId,ip,loginState,ts(sec)."""
+    return _csv(spark, path, schemas.LOGIN_EVENT_RAW).withColumn(
+        "ts", F.timestamp_seconds("ts_sec")
+    )
+
+
+def read_order_log_csv(spark: SparkSession, path: str) -> DataFrame:
+    """OrderLog.csv: orderId,eventType,txId,ts(sec); txId empty on create."""
+    df = _csv(spark, path, schemas.ORDER_EVENT_RAW)
+    return df.withColumn("ts", F.timestamp_seconds("ts_sec")).withColumn(
+        "tx_id", F.coalesce(F.col("tx_id"), F.lit(""))
+    )
+
+
+def read_receipt_log_csv(spark: SparkSession, path: str) -> DataFrame:
+    """ReceiptLog.csv: txId,payChannel,ts(sec)."""
+    return _csv(spark, path, schemas.RECEIPT_EVENT_RAW).withColumn(
+        "ts", F.timestamp_seconds("ts_sec")
+    )
+
+
+def read_ad_click_log_csv(spark: SparkSession, path: str) -> DataFrame:
+    """AdClickLog.csv: userId,adId,province,city,ts(sec)."""
+    return _csv(spark, path, schemas.AD_CLICK_EVENT_RAW).withColumn(
+        "ts", F.timestamp_seconds("ts_sec")
+    )
+
+
+def parse_apache_log(spark: SparkSession, path: str) -> DataFrame:
+    """apache.log: `ip - userId dd/MM/yyyy:HH:mm:ss +tz method url`.
+
+    Reference parse: HotPage.java:50-54 (split on space, fields 0/3/5/6,
+    SimpleDateFormat dd/MM/yyyy:HH:mm:ss). Pure column expressions —
+    stays inside whole-stage codegen.
+    """
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    return raw.select(
+        parts.getItem(0).alias("ip"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.to_timestamp(parts.getItem(3), "dd/MM/yyyy:HH:mm:ss").alias("ts"),
+        parts.getItem(5).alias("method"),
+        parts.getItem(6).alias("url"),
+    ).where(F.col("ts").isNotNull())
+
+
+# ----------------------------------------------------------------- streams
+
+def marketing_generator_stream(
+    spark: SparkSession, rows_per_second: int = 10
+) -> DataFrame:
+    """Synthetic marketing-behavior stream (reference S3 generator,
+    AppMarketingByChannel.java:65-97: random user/behavior/channel at
+    ~10 ev/s, wall-clock timestamps).
+
+    Built on the rate source + column exprs — no Python in the stream.
+    """
+    behaviors = ["CLICK", "DOWNLOAD", "INSTALL", "UNINSTALL"]
+    channels = ["app store", "wechat", "weibo", "browser"]
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", str(rows_per_second)
+    ).load()
+    return rate.select(
+        (F.floor(F.rand() * 1_000_000)).cast("long").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(b) for b in behaviors]),
+            (F.floor(F.rand() * len(behaviors)) + 1).cast("int"),
+        ).alias("behavior"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in channels]),
+            (F.floor(F.rand() * len(channels)) + 1).cast("int"),
+        ).alias("channel"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def file_replay_stream(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Replay a testdata parquet table as a bounded stream (reference S2
+    readTextFile-as-stream; with trigger availableNow this drains the
+    whole table and stops — used for streaming==batch equivalence tests).
+    """
+    batch = load_table(spark, sf_dir, name)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(f"{sf_dir}/{name}.parquet")
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka CSV-line source (reference S1, HotItem.java:46-54).
+
+    The spark-sql-kafka jar is not in this container; raise a clear
+    error rather than failing deep inside the plan.
+    """
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+            .select(F.col("value").cast("string").alias("value"))
+        )
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "kafka connector jar (spark-sql-kafka-0-10) not on classpath "
+            "in this environment; add it via --packages on a real cluster"
+        ) from exc
