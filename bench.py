@@ -33,6 +33,15 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "top_customers_per_segment",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk",
+    "ann_topk_lsh",
+    "text_stats",
+    "doc_fingerprints",
+    "multimodal_decode",
 ]
 
 

@@ -1,21 +1,59 @@
 from .blacklist import cap_filter_with_warnings
+from .dedup import (
+    exact_dedup,
+    md5_long,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    normalized_text,
+    simhash_pairs,
+    simhash_signatures,
+    with_shingles,
+)
 from .joins import interval_join, reconcile
+from .multimodal import decode_media, documents_as_media, frame_sample
 from .patterns import consecutive_events, match_create_pay
 from .sessionize import sessionize
+from .similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    cosine_pairs_blocked,
+    hyperplane_lsh_topk,
+)
+from .text import doc_fingerprints, language_id, text_stats
 from .topn import top_n_per_window
 from .uv import unique_visitors
 from .windows import windowed_agg, windowed_count, windowed_global_count
 
 __all__ = [
+    "brute_force_topk",
     "cap_filter_with_warnings",
     "consecutive_events",
+    "cosine_pairs",
+    "cosine_pairs_blocked",
+    "decode_media",
+    "doc_fingerprints",
+    "documents_as_media",
+    "exact_dedup",
+    "frame_sample",
+    "hyperplane_lsh_topk",
     "interval_join",
+    "language_id",
     "match_create_pay",
+    "md5_long",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "normalized_text",
     "reconcile",
     "sessionize",
+    "simhash_pairs",
+    "simhash_signatures",
+    "text_stats",
     "top_n_per_window",
     "unique_visitors",
     "windowed_agg",
     "windowed_count",
     "windowed_global_count",
+    "with_shingles",
 ]

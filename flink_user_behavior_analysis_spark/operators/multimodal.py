@@ -1,0 +1,166 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extraction as Arrow-batched Pandas functions.
+
+Real Spark-side machinery (schemas, partition-preserving mapInPandas,
+batch shapes, metadata structs) with the actual media decode STUBBED:
+image/audio libraries are not in this container, so ``decode_fn``
+defaults to a clearly-marked deterministic fake (seeded by content
+hash), and ``decode_media(..., decoder="real")`` raises
+NotImplementedError at the exact point a PIL/ffmpeg call would go.
+
+Design for 100 TB of media:
+- payloads stay an opaque ``binary`` column; Spark never interprets
+  them JVM-side, so the scan is a straight parquet/binaryFile read
+  with column pruning on the metadata struct.
+- mapInPandas streams Arrow batches through the Python worker —
+  memory is bounded by spark.sql.execution.arrow.maxRecordsPerBatch,
+  not by partition size; decode cost scales per-row, shuffle-free.
+- feature vectors come back as array<float> ready for
+  operators.similarity (ANN / near-dup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("media_type", StringType()),     # image | audio | video
+    StructField("format", StringType()),         # png | wav | mp4 | ...
+    StructField("n_bytes", LongType()),
+    StructField("content_sha256", StringType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("feature", ArrayType(FloatType())),
+])
+
+FEATURE_DIM = 8
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Wrap the documents table as a media table (text bytes stand in
+    for image payloads — the plumbing is format-agnostic by design).
+
+    Pure column expressions: encode / length / sha2 all run JVM-side.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("png").alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 8 features derived
+    from content bytes (length buckets + leading-byte statistics)."""
+    n = len(payload)
+    head = payload[:16]
+    return [
+        float(n % 251) / 251.0,
+        float(sum(head) % 997) / 997.0,
+        float(head[0]) / 255.0 if n else 0.0,
+        float(head[-1]) / 255.0 if n else 0.0,
+        float(n % 7) / 7.0,
+        float(n % 13) / 13.0,
+        float(min(n, 4096)) / 4096.0,
+        1.0,
+    ]
+
+
+def decode_media(media: DataFrame, decoder: str = "fake",
+                 batch_size_hint: int = 256) -> DataFrame:
+    """Decode payloads to fixed-width feature vectors via mapInPandas.
+
+    decoder='fake' uses the deterministic content-hash fake (tests,
+    this container). decoder='real' marks where PIL/librosa/ffmpeg
+    integration goes and raises NotImplementedError.
+
+    The Arrow batch iterator preserves partitioning — no shuffle; at
+    scale, repartition upstream by size (``n_bytes`` ranges) so decode
+    work balances across executors even when payload sizes are skewed.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decode needs PIL/librosa/ffmpeg, not present in "
+            "this container; wire the library call inside _decode_batches"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder: {decoder!r}")
+
+    # the decode logic is defined INSIDE the closure so cloudpickle
+    # ships it by value — executors need no import of this package
+    # (a module-level reference would pickle by name and fail on
+    # workers without the repo on sys.path)
+
+    def _decode_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def fake(payload: bytes) -> list[float]:
+            n = len(payload)
+            head = payload[:16]
+            return [
+                float(n % 251) / 251.0,
+                float(sum(head) % 997) / 997.0,
+                float(head[0]) / 255.0 if n else 0.0,
+                float(head[-1]) / 255.0 if n else 0.0,
+                float(n % 7) / 7.0,
+                float(n % 13) / 13.0,
+                float(min(n, 4096)) / 4096.0,
+                1.0,
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"],
+                "feature": [fake(bytes(p)) for p in pdf["payload"]],
+            })
+
+    return media.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64,
+                 max_frames: int = 8) -> DataFrame:
+    """'Frame sampling' plumbing: explode each payload into up to
+    max_frames fixed-stride byte windows (stand-in for video frame
+    extraction — same schema/partitioning shape as the real thing).
+
+    JVM-side: substring on binary + posexplode; no Python.
+    """
+    frames = F.expr(
+        f"transform(sequence(0, least(n_bytes div {every_n_bytes}, "
+        f"cast({max_frames - 1} AS BIGINT))), "
+        f"i -> substring(payload, cast(i * {every_n_bytes} + 1 AS INT), {every_n_bytes}))"
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(frames).alias("frame_idx", "frame_bytes"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame_bytes").cast("long").alias("frame_len"),
+        F.sha2("frame_bytes", 256).alias("frame_sha256"),
+    )

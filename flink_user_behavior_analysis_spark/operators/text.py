@@ -1,0 +1,141 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Everything is built-in column expressions (regexp_extract_all, split,
+array ops) — JVM-side, whole-stage-codegen'd, no Python UDFs. Each
+operator has an exact DuckDB-SQL formulation (same regexes, same
+arithmetic) so the driver's oracle hash-matches.
+
+Scale: all operators are embarrassingly parallel per-document scans —
+no shuffle at all until a downstream aggregation. At 100 TB they run
+at parquet scan speed with column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long, normalized_text, shingle_array
+
+# BPE-ish word/number/symbol tokenizer (shared with the DuckDB oracle)
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "es": ["el", "los", "que", "y", "en", "un", "por"],
+    "fr": ["le", "les", "et", "des", "un", "une", "est"],
+}
+
+
+def token_counts(text_col: str = "text") -> dict[str, Column]:
+    """Whitespace tokens + BPE-ish regex tokens."""
+    norm = normalized_text(text_col)
+    lower = F.lower(F.col(text_col))
+    return {
+        "n_tokens_ws": F.size(F.split(norm, " ")).cast("long"),
+        "n_tokens_re": F.size(F.regexp_extract_all(lower, F.lit(TOKEN_RE), 0)
+                              ).cast("long"),
+    }
+
+
+def text_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: lengths, ratios, a composite score.
+
+    quality_score = 0.4 * min(n_ws/100, 1) + 0.3 * (1 - punct_ratio)
+                  + 0.3 * uniq_ratio, rounded to 4 decimals. The exact
+    formula is arbitrary (the capability is the operator shape); it is
+    deterministic and shared with the oracle.
+    """
+    norm = normalized_text(text_col)
+    toks = F.split(norm, " ")
+    n_ws = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_punct = (n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9\\s]", ""))).cast("long")
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    uniq_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                  / F.greatest(n_ws, F.lit(1)))
+    mean_tok_len = (
+        F.aggregate(toks, F.lit(0).cast("double"),
+                    lambda acc, t: acc + F.length(t))
+        / F.greatest(n_ws, F.lit(1))
+    )
+    score = (
+        F.lit(0.4) * F.least(n_ws.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+    cnts = token_counts(text_col)
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        cnts["n_tokens_ws"].alias("n_tokens_ws"),
+        cnts["n_tokens_re"].alias("n_tokens_re"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-hit language scoring; argmax with lexicographic tiebreak.
+
+    score(lang) = number of tokens that are in lang's stopword list.
+    Predicted 'und' when every score is zero. (An n-gram heuristic in
+    the same shape — per-language hit count + argmax — would swap the
+    membership test for a trigram-profile join.)
+    """
+    toks = F.split(normalized_text(text_col), " ")
+    # count every token occurrence in the list (not just distinct hits)
+    scores = {
+        lang: F.size(F.filter(
+            toks, lambda t: t.isin(words)  # noqa: B023 - bound per loop below
+        )).cast("long")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = sorted(LANG_STOPWORDS)
+    best_score = F.greatest(*[scores[lg] for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):  # earlier langs win ties -> apply last
+        pred = F.when((scores[lg] == best_score) & (best_score > 0),
+                      F.lit(lg)).otherwise(pred)
+    return docs.select(
+        F.col(id_col),
+        *[scores[lg].alias(f"score_{lg}") for lg in langs],
+        pred.alias("predicted_lang"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3,
+                     minhash_k: int = 4) -> DataFrame:
+    """Content fingerprints: canonical md5 + min-k shingle hashes.
+
+    fp_md5: md5 of the normalized text (exact-dup key).
+    fp_min{i}: i-th independent min shingle hash (rolling-hash-style
+    winnowing fingerprint; equal fp_min columns => likely near-dup).
+    """
+    base = docs.select(
+        F.col(id_col),
+        F.md5(normalized_text(text_col)).alias("fp_md5"),
+        F.split(normalized_text(text_col), " ").alias("_tok"),
+    ).select(
+        F.col(id_col), "fp_md5", shingle_array("_tok", n).alias("_sh")
+    )
+    def _hasher(i: int):
+        # single-arg lambda on purpose: F.transform feeds the element
+        # INDEX to a second lambda parameter, which would clobber i
+        prefix = F.lit(str(i))
+        return lambda s: md5_long(F.concat_ws("|", prefix, s))
+
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), _hasher(i))).alias(f"fp_min{i}")
+        for i in range(minhash_k)
+    ]
+    return base.select(F.col(id_col), "fp_md5", *mins)

@@ -690,6 +690,8 @@ FROM ranked WHERE rnk <= 3
 # registry
 # =====================================================================
 
+from .queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_items": hot_items,
     "hot_pages": hot_pages,
@@ -710,6 +712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "top_customers_per_segment": top_customers_per_segment,
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -732,4 +735,5 @@ ORACLES: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,
+    **PIPELINE_ORACLES,
 }

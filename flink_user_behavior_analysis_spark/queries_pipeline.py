@@ -1,0 +1,457 @@
+"""Training-data pipeline queries over the ``documents`` and
+``embeddings`` tables: dedup (exact / n-gram Jaccard / MinHash-LSH /
+SimHash / embedding-cosine), similarity search (brute-force + LSH
+ANN), text analysis, and multimodal plumbing — each paired with a
+DuckDB oracle built from the SAME primitives (md5-derived hashes,
+DOUBLE folds) so values hash-match bit-for-bit.
+
+Registered into the driver contract via queries.QUERIES/ORACLES.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import (
+    brute_force_topk,
+    cosine_pairs_blocked,
+    decode_media,
+    doc_fingerprints,
+    documents_as_media,
+    exact_dedup,
+    frame_sample,
+    hyperplane_lsh_topk,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    text_stats,
+)
+from .operators.text import LANG_STOPWORDS, TOKEN_RE
+from .session import ensure_utc
+from .sources import load_table
+
+JACCARD_T = 0.5
+COSINE_T = 0.4
+MINHASH_K, LSH_BANDS = 12, 4
+SIMHASH_MAX_HAMMING = 3
+ANN_K, ANN_QUERY_MAX_ID, LSH_PLANES, EMB_DIMS = 5, 16, 6, 64
+
+# ---------------------------------------------------------------- helpers
+
+# DuckDB mirror of operators.dedup.md5_long
+_D_MD5INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# DuckDB mirror of operators.dedup.normalized_text / with_shingles
+_D_BASE = """
+norm AS (
+    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+    FROM documents
+), tok AS (
+    SELECT doc_id, string_split(ntext, ' ') AS w FROM norm
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                                    for i in range(1, len(w) - 1)])
+           END AS shingles
+    FROM tok
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_utc(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------------ dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {_D_BASE}
+SELECT md5(ntext) AS fingerprint, min(doc_id)::BIGINT AS keeper_id,
+       COUNT(*)::BIGINT AS n_docs
+FROM norm GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH {_D_BASE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), scored AS (
+    SELECT id_a, id_b,
+           round(c::DOUBLE / (na.n + nb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON id_a = na.doc_id
+    JOIN sizes nb ON id_b = nb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), JACCARD_T, k=MINHASH_K, bands=LSH_BANDS
+    )
+
+
+def _minhash_sql() -> str:
+    r = MINHASH_K // LSH_BANDS
+    mh_cols = ",\n           ".join(
+        f"min({_D_MD5INT.format(x=repr(str(i) + '|') + ' || s')}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"mh{b * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH {_D_BASE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sigs AS (
+    SELECT doc_id,
+           {mh_cols}
+    FROM ex GROUP BY doc_id
+), buckets AS (
+{band_selects}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), scored AS (
+    SELECT id_a, id_b,
+           round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
+                 (len(x.shingles) + len(y.shingles)
+                  - len(list_intersect(x.shingles, y.shingles))), 4) AS jaccard
+    FROM cands JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING)
+
+
+def _simhash_sql() -> str:
+    bits = 60
+    chunk_w = bits // 4
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{j}"
+        for j in range(bits)
+    )
+    sim_terms = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END"
+        for j in range(bits)
+    )
+    chunk_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, simhash, {ci} AS chunk, "
+        f"(simhash >> {ci * chunk_w}) & {(1 << chunk_w) - 1} AS chunk_val "
+        f"FROM sims"
+        for ci in range(4)
+    )
+    return f"""
+WITH {_D_BASE},
+words AS (SELECT doc_id, unnest(w) AS word FROM tok),
+wcnt AS (
+    SELECT doc_id, word, COUNT(*) AS cnt,
+           {_D_MD5INT.format(x='word')} AS h
+    FROM words GROUP BY doc_id, word
+), sums AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM wcnt GROUP BY doc_id
+), sims AS (
+    SELECT doc_id, {sim_terms} AS simhash FROM sums
+), chunks AS (
+{chunk_selects}
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+FROM cands WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs_blocked(_embs(spark, sf_dir), COSINE_T)
+
+
+_D_NORMED = """
+n AS (
+    SELECT vec_id, embedding::DOUBLE[] AS e,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+)
+"""
+
+DEDUP_COSINE_SQL = f"""
+WITH {_D_NORMED},
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {COSINE_T}
+"""
+
+
+# ------------------------------------------------------------- similarity
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return brute_force_topk(queries, embs, ANN_K)
+
+
+ANN_TOPK_SQL = f"""
+WITH {_D_NORMED},
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {ANN_QUERY_MAX_ID}
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {ANN_K}
+"""
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return hyperplane_lsh_topk(
+        queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS
+    )
+
+
+def _ann_lsh_sql() -> str:
+    def plane(p: int) -> str:
+        return (
+            f"[(('0x' || substr(md5('{p}_' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            f" / 1000.0 for d in range(0, {EMB_DIMS})]"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {plane(p)}) >= 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH {_D_NORMED},
+hashed AS (
+    SELECT vec_id, e, nrm, {bucket} AS bucket FROM n
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+    FROM hashed q JOIN hashed c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    WHERE q.vec_id < {ANN_QUERY_MAX_ID}
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {ANN_K}
+"""
+
+
+# ------------------------------------------------------------------- text
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(_docs(spark, sf_dir))
+
+
+TEXT_STATS_SQL = f"""
+WITH {_D_BASE}
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars,
+       len(t.w)::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(lower(d.text),
+           '{TOKEN_RE}'))::BIGINT AS n_tokens_re,
+       round((length(d.text) - length(regexp_replace(d.text,
+             '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+             / greatest(length(d.text), 1), 4) AS punct_ratio,
+       round(len(list_distinct(t.w))::DOUBLE / greatest(len(t.w), 1), 4)
+           AS uniq_ratio,
+       round((length(n.ntext) - (len(t.w) - 1))::DOUBLE
+             / greatest(len(t.w), 1), 4) AS mean_token_len,
+       round(0.4 * least(len(t.w)::DOUBLE / 100, 1.0)
+             + 0.3 * (1.0 - (length(d.text) - length(regexp_replace(d.text,
+                       '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                      / greatest(length(d.text), 1))
+             + 0.3 * len(list_distinct(t.w))::DOUBLE / greatest(len(t.w), 1),
+             4) AS quality_score
+FROM documents d JOIN norm n ON d.doc_id = n.doc_id
+JOIN tok t ON d.doc_id = t.doc_id
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_docs(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    scores = ",\n       ".join(
+        "len(list_filter(w, t -> t IN ({lst})))::BIGINT AS score_{lg}".format(
+            lst=", ".join(repr(x) for x in LANG_STOPWORDS[lg]), lg=lg
+        )
+        for lg in langs
+    )
+    best = "greatest({})".format(", ".join(f"score_{lg}" for lg in langs))
+    pred = "'und'"
+    for lg in reversed(langs):
+        pred = (f"CASE WHEN score_{lg} = {best} AND {best} > 0 "
+                f"THEN '{lg}' ELSE {pred} END")
+    return f"""
+WITH {_D_BASE},
+scored AS (
+    SELECT doc_id,
+       {scores}
+    FROM tok
+)
+SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)},
+       {pred} AS predicted_lang
+FROM scored
+"""
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir))
+
+
+def _fingerprint_sql(minhash_k: int = 4) -> str:
+    mins = ",\n       ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _D_MD5INT.format(x=f"'{i}|' || s")
+        + f")) AS fp_min{i}"
+        for i in range(minhash_k)
+    )
+    return f"""
+WITH {_D_BASE}
+SELECT n.doc_id, md5(n.ntext) AS fp_md5,
+       {mins}
+FROM norm n JOIN sh ON n.doc_id = sh.doc_id
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_docs(spark, sf_dir))
+    return media.select(
+        "media_id", "media_type", "format", "n_bytes", "content_sha256"
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id, 'image' AS media_type, 'png' AS format,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas fake-decode path — rows-only check (Arrow batch
+    plumbing is engine-specific; correctness of the fake features is
+    pytest-verified against a pandas reimplementation)."""
+    media = documents_as_media(_docs(spark, sf_dir))
+    feats = decode_media(media, decoder="fake")
+    return feats.select(
+        "media_id", "media_type", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_docs(spark, sf_dir))
+    return frame_sample(media, every_n_bytes=64, max_frames=8)
+
+
+FRAME_SAMPLE_SQL = """
+WITH frames AS (
+    SELECT doc_id AS media_id,
+           unnest(range(0, least(octet_length(encode(text)) // 64, 7) + 1))
+               AS frame_idx
+    FROM documents
+)
+SELECT f.media_id, f.frame_idx::BIGINT AS frame_idx,
+       octet_length(encode(substring(d.text, (f.frame_idx * 64 + 1)::INT, 64)))::BIGINT
+           AS frame_len,
+       sha256(substring(d.text, (f.frame_idx * 64 + 1)::INT, 64)) AS frame_sha256
+FROM frames f JOIN documents d ON f.media_id = d.doc_id
+"""
+
+
+# --------------------------------------------------------------- registry
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+    "ann_topk": ANN_TOPK_SQL,
+    "ann_topk_lsh": _ann_lsh_sql(),
+    "text_stats": TEXT_STATS_SQL,
+    "language_id": _lang_id_sql(),
+    "doc_fingerprints": _fingerprint_sql(),
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    # multimodal_decode: mapInPandas fake decode — rows-only
+    "frame_sample": FRAME_SAMPLE_SQL,
+}

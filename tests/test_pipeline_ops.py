@@ -1,0 +1,75 @@
+"""Semantic properties of the training-pipeline operators that the
+hash-vs-oracle comparison can't express: LSH recall vs the exact
+formulation, decode determinism, plumbing shapes."""
+
+from pyspark.sql import functions as F
+
+from flink_user_behavior_analysis_spark.operators import (
+    brute_force_topk,
+    decode_media,
+    documents_as_media,
+    hyperplane_lsh_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from flink_user_behavior_analysis_spark.operators.multimodal import (
+    FEATURE_DIM,
+    _fake_decode,
+)
+from flink_user_behavior_analysis_spark.sources import load_table
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """Every planted near-dup (jaccard >= 0.8) must be recalled by the
+    banded LSH; at j=0.8, k=12/b=4 the miss probability is ~0.2%."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, 0.8).collect()
+    }
+    assert exact, "test data should contain planted near-dups"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 20), missed
+    assert lsh <= exact  # verification step removes false positives
+
+
+def test_lsh_topk_subset_of_bruteforce_candidates(spark, sf_dir):
+    """LSH top-k returns only true neighbors (cosine values must agree
+    with the brute-force scoring for the same pairs)."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(queries, embs, 50).collect()
+    }
+    for r in hyperplane_lsh_topk(queries, embs, 5).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in bf:
+            assert abs(bf[key] - r.cosine) < 1e-9
+
+
+def test_fake_decode_deterministic_and_shaped(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = documents_as_media(docs)
+    rows = decode_media(media, decoder="fake").collect()
+    assert len(rows) == 20
+    by_id = {r.media_id: r for r in rows}
+    src = {r.media_id: r.payload for r in media.collect()}
+    for mid, r in by_id.items():
+        assert len(r.feature) == FEATURE_DIM
+        expected = _fake_decode(bytes(src[mid]))
+        assert all(abs(a - b) < 1e-6 for a, b in zip(r.feature, expected))
+
+
+def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(1)
+    media = documents_as_media(docs)
+    try:
+        decode_media(media, decoder="real")
+        raise AssertionError("real decoder should be stubbed")
+    except NotImplementedError:
+        pass

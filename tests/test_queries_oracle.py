@@ -32,6 +32,10 @@ def test_nonempty_results(spark, sf_dir):
         "login_fail", "order_timeout", "tx_match",
         "sessionize_users", "pricing_summary", "revenue_by_nation",
         "top_customers_per_segment",
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "ann_topk", "ann_topk_lsh", "text_stats", "language_id",
+        "doc_fingerprints", "multimodal_meta", "multimodal_decode",
+        "frame_sample",
     ]
     for name in must_be_nonempty:
         assert Q.QUERIES[name](spark, sf_dir).count() > 0, name
