@@ -152,12 +152,32 @@ def file_replay_stream(
     """Replay a testdata parquet table as a bounded stream (reference S2
     readTextFile-as-stream; with trigger availableNow this drains the
     whole table and stops — used for streaming==batch equivalence tests).
+
+    ``events.ts`` needs the same nanos->micros normalization as the
+    batch reader: the stream schema must describe the RAW file (int64
+    nanos under nanosAsLong), with the cast applied on top, or the
+    parquet reader rejects the TIMESTAMP(NANOS) column.
+
+    The trailing ``parque[t]`` glob is deliberate: FileStreamSource
+    insists on a directory/glob path ("Option 'basePath' must be a
+    directory" on a plain file); a one-character glob makes it list
+    the single file without any temp-dir staging.
     """
+    glob_path = f"{sf_dir}/{name}.parque[t]"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        raw = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(glob_path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     batch = load_table(spark, sf_dir, name)
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(f"{sf_dir}/{name}.parquet")
+        .parquet(glob_path)
     )
 
 

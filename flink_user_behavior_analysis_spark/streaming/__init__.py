@@ -1,0 +1,29 @@
+from .jobs import (
+    hot_items_counts_stream,
+    marketing_by_channel_stream,
+    page_views_stream,
+    run_available_now,
+    run_topn_foreach_batch,
+    stream_events,
+    tx_interval_join_stream,
+    unique_visitors_stream,
+)
+from .stateful import (
+    cap_filter_stateful,
+    consecutive_fail_stateful,
+    order_timeout_stateful,
+)
+
+__all__ = [
+    "cap_filter_stateful",
+    "consecutive_fail_stateful",
+    "hot_items_counts_stream",
+    "marketing_by_channel_stream",
+    "order_timeout_stateful",
+    "page_views_stream",
+    "run_available_now",
+    "run_topn_foreach_batch",
+    "stream_events",
+    "tx_interval_join_stream",
+    "unique_visitors_stream",
+]

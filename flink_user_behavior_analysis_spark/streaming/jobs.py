@@ -1,0 +1,189 @@
+"""Structured Streaming formulations of the SURVEY section 2 queries.
+
+The reference runs every query as an unbounded Flink DataStream job
+with event-time watermarks (TimeCharacteristic.EventTime, e.g.
+HotItem.java:39; watermark assignment HotItem.java:62-67,
+HotPage.java:55-60). Here each query is the SAME logical plan as its
+batch twin in queries.py, expressed over ``readStream`` with
+``withWatermark`` — tests assert streaming results equal the batch
+formulation on a bounded replay (SURVEY section 5.3).
+
+Output-mode strategy:
+- windowed aggregations run in *complete* mode for bounded replays
+  (exact batch-equal output, no watermark-eviction races). Unbounded
+  production runs use *update* mode + the same watermark — noted per
+  job; state eviction then follows the watermark exactly like the
+  reference's window purge.
+- Top-N over windowed counts is not expressible as a pure streaming
+  aggregation (rank over an agg); the reference buffers per-window in
+  keyed state and fires on watermark (HotItem.java:134-192). The Spark
+  analogue is foreachBatch ranking — ``run_topn_foreach_batch`` —
+  mirroring HotPage's late-update-safe MapState upsert
+  (HotPage.java:140-204): each micro-batch upserts counts, then ranks.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import top_n_per_window, windowed_count, windowed_global_count
+from ..session import ensure_utc
+from ..sources.readers import file_replay_stream
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, watermark: str | None = "0 seconds"
+) -> DataFrame:
+    """events table as an event-time stream with watermark (W1-W3:
+    the reference's ascending/bounded-out-of-orderness extractors map
+    to withWatermark with the matching delay). Pass watermark=None when
+    the caller defines per-branch watermarks (e.g. stream-stream joins
+    — Spark forbids redefining a watermark downstream)."""
+    ensure_utc(spark)
+    ev = file_replay_stream(spark, sf_dir, "events")
+    if watermark is None:
+        return ev
+    return ev.withWatermark("ts", watermark)
+
+
+# ---------------------------------------------------------------- queries
+
+def hot_items_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 streaming: per-item sliding-window counts (HotItem.java:70-75)."""
+    ev = stream_events(spark, sf_dir).where(F.col("event_type") == "view")
+    ev = ev.withColumn(
+        "item_id", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    )
+    return windowed_count(ev, "ts", ["item_id"], "1 hour", "15 minutes")
+
+
+def page_views_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 streaming: tumbling global count (PageView.java:66-80)."""
+    ev = stream_events(spark, sf_dir).where(F.col("event_type") == "click")
+    return windowed_global_count(ev, "ts", "1 hour", count_alias="pv")
+
+
+def unique_visitors_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 streaming: exact distinct users per tumbling window via
+    dropDuplicates on (window, user) then count — the streaming-safe
+    exact-distinct shape (UniqueVisitor.java:48-79's HashSet without
+    the single-JVM memory bound)."""
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.select(
+        F.window("ts", "1 hour").alias("w"), F.col("user_id"), F.col("ts")
+    ).dropDuplicates(["w", "user_id"])
+    return (
+        deduped.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uv"))
+        .select(F.unix_micros(F.col("w.end")).alias("window_end_us"), "uv")
+    )
+
+
+def marketing_by_channel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 streaming: compound-key sliding counts
+    (AppMarketingByChannel.java:47-51)."""
+    ev = stream_events(spark, sf_dir).where(F.col("event_type") != "error")
+    ev = ev.withColumn(
+        "channel", F.concat(F.lit("ch"), (F.col("user_id") % 4).cast("string"))
+    ).withColumnRenamed("event_type", "behavior")
+    return windowed_count(ev, "ts", ["channel", "behavior"], "1 hour", "20 minutes")
+
+
+def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 streaming: stream-stream interval join with watermarks
+    (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner
+    join + time-band predicate is the exact analogue: both sides keep
+    watermark-bounded state, matches emit as they arrive."""
+    lo_s, hi_s = -12 * 3600, 12 * 3600
+    ev = stream_events(spark, sf_dir, watermark=None)
+    ev = ev.withColumn(
+        "item_id", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    )
+    pays = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "item_id", F.col("ts").alias("pay_ts"))
+        .withWatermark("pay_ts", "0 seconds")
+    )
+    receipts = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("item_id").alias("r_item_id"),
+            F.col("ts").alias("receipt_ts"),
+        )
+        .withWatermark("receipt_ts", "0 seconds")
+    )
+    joined = pays.join(
+        receipts,
+        F.expr(
+            f"user_id = r_user_id AND item_id = r_item_id "
+            f"AND receipt_ts >= pay_ts + INTERVAL {lo_s} SECONDS "
+            f"AND receipt_ts <= pay_ts + INTERVAL {hi_s} SECONDS"
+        ),
+        "inner",
+    )
+    return joined.select(
+        "user_id", "item_id",
+        F.unix_micros("pay_ts").alias("pay_us"),
+        F.unix_micros("receipt_ts").alias("receipt_us"),
+    )
+
+
+# ----------------------------------------------------------------- runner
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Drain a bounded stream (trigger availableNow) into a memory sink
+    and return the materialized result table — S5 print-sink analogue
+    that tests can assert on."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def run_topn_foreach_batch(
+    counts_sdf: DataFrame,
+    n: int,
+    order_cols,
+    partition_cols=("window_end_us",),
+    query_name: str | None = None,
+) -> DataFrame:
+    """T1/T2 streaming: rank per window inside foreachBatch.
+
+    complete-mode batches carry the full upserted count state, so the
+    per-batch rank is late-update-safe exactly like HotPage's MapState
+    upsert + re-fire (HotPage.java:160). The last batch's ranking is
+    the final answer on a bounded replay; unbounded runs would upsert
+    into a keyed sink instead (engine convention, SURVEY section 7b/e).
+    """
+    spark = counts_sdf.sparkSession
+    holder: dict = {}
+
+    def _rank(batch_df: DataFrame, _bid: int) -> None:
+        ranked = top_n_per_window(
+            batch_df, n, partition_cols=partition_cols,
+            order_cols=order_cols, rank_alias="rnk",
+        )
+        # materialize: the micro-batch plan dies with the query
+        holder["rows"] = ranked.collect()
+        holder["schema"] = ranked.schema
+
+    q = (
+        counts_sdf.writeStream.outputMode("complete")
+        .foreachBatch(_rank)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(holder["rows"], holder["schema"])

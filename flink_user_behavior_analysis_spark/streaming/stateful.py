@@ -1,0 +1,252 @@
+"""Keyed stateful streaming operators — the applyInPandasWithState
+layer for semantics SQL can't express per-record (SURVEY section 4:
+F6 daily-cap blacklist, C1/C2 consecutive-fail detection, J3
+create->pay timeout with event-time timers).
+
+These mirror the reference's KeyedProcessFunction state machines:
+- consecutive_fail_stateful  <- LoginFail.java:145-196 (ListState of
+  recent fails, warn when n fails land within the span, success clears)
+- cap_filter_stateful        <- AdStatisticsByProvinceWithoutBlacklist
+  .java:117-179 (per-key count state, one warning at cap+1; the
+  midnight-reset timer becomes part of the key (day) — same semantics,
+  no timer needed)
+- order_timeout_stateful     <- OrderTimeoutWithoutCEP.java:68-161
+  (create/pay ValueStates + event-time timer; here GroupStateTimeout
+  .EventTimeTimeout fires when the watermark passes create+timeout)
+
+State is bounded per key (a few scalars / a <=n-element buffer), so a
+1000-executor run holds state proportional to live keys only — same
+asymptotics as the reference's RocksDB-backed keyed state.
+
+Ordering contract: rows are processed in (ts, event_id) order WITHIN a
+micro-batch. Cross-batch reordering is bounded by the source's
+watermark, matching the reference's assumption that watermarked input
+is effectively ordered (AscendingTimestampExtractor W1). Closures are
+self-contained (no module references) so executors don't need this
+package on sys.path.
+
+Batch equivalence: each operator's batch twin lives in
+operators/patterns.py / operators/blacklist.py; tests assert equal
+output on bounded replays (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+US = 1_000_000
+
+
+def consecutive_fail_stateful(
+    events: DataFrame,
+    n: int,
+    within_seconds: int,
+    fail_value: str = "error",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming C1/C2: warn on every run of n consecutive fails whose
+    span is <= within_seconds; a success resets the run (exactly the
+    batch consecutive_events semantics)."""
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("first_fail_us", LongType()),
+        StructField("last_fail_us", LongType()),
+    ])
+    state_schema = StructType([StructField("fails", StringType())])
+    span_us = within_seconds * US
+    n_ = n
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf = []
+        if state.exists:
+            (packed,) = state.get
+            buf = [int(x) for x in packed.split(",") if x]
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts_us", "__ord"])
+            for ts_us, is_fail in zip(pdf["__ts_us"], pdf["__is_fail"]):
+                if is_fail:
+                    buf.append(int(ts_us))
+                    if len(buf) > n_:
+                        buf.pop(0)
+                    if len(buf) == n_ and buf[-1] - buf[0] <= span_us:
+                        out.append((key[0], buf[0], buf[-1]))
+                else:
+                    buf = []
+        state.update((",".join(str(x) for x in buf),))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "first_fail_us", "last_fail_us"])
+
+    prepared = events.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(order_col).alias("__ord"),
+        (F.col(type_col) == fail_value).alias("__is_fail"),
+    )
+    return prepared.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def cap_filter_stateful(
+    events: DataFrame,
+    cap: int,
+    user_col: str = "user_id",
+    behavior_col: str = "behavior",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming F6: per (user, behavior, day) pass while count < cap,
+    emit ONE warning when the (cap+1)-th event arrives. The reference's
+    midnight state-clear timer is replaced by day-scoped keys — old
+    days' state is droppable by watermark (document: production would
+    add a timeout to evict prior-day keys)."""
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("behavior", StringType()),
+        StructField("day", StringType()),
+        StructField("warning_msg", StringType()),
+    ])
+    state_schema = StructType([StructField("cnt", LongType())])
+    cap_ = cap
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts_us", "__ord"])
+            for _ in range(len(pdf)):
+                cnt += 1
+                if cnt == cap_ + 1:
+                    out.append(
+                        (key[0], key[1], key[2],
+                         f"click over {cap_} times today")
+                    )
+        state.update((cnt,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "behavior", "day", "warning_msg"]
+            )
+
+    prepared = events.select(
+        F.col(user_col),
+        F.col(behavior_col).alias("behavior"),
+        F.date_format(F.date_trunc("day", F.col(ts_col)), "yyyy-MM-dd").alias("day"),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(order_col).alias("__ord"),
+    )
+    return prepared.groupBy(user_col, "behavior", "day").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def order_timeout_stateful(
+    events: DataFrame,
+    timeout_seconds: int,
+    key_cols: tuple[str, str] = ("user_id", "item_id"),
+    type_col: str = "event_type",
+    create_value: str = "view",
+    pay_value: str = "purchase",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming J3/C3: emit 'payed' when pay follows create within the
+    timeout; on event-time timer expiry (watermark passes
+    create + timeout) emit 'timeout_no_pay'; a pay after the deadline
+    emits 'timeout_payed_late'; pay with no create emits
+    'payed_not_created' when its wait timer expires
+    (OrderTimeoutWithoutCEP.java:68-161 state machine).
+    """
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("item_id", LongType()),
+        StructField("create_us", LongType()),
+        StructField("pay_us", LongType()),
+        StructField("result_state", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("create_us", LongType()),
+        StructField("pay_us", LongType()),
+    ])
+    timeout_us = timeout_seconds * US
+
+    cols = ["user_id", "item_id", "create_us", "pay_us", "result_state"]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # state: (create_us, pre_create_pay_us). A pay observed BEFORE
+        # any create is NOT an eligible settlement (the batch twin
+        # takes min pay >= create, ORDER_TIMEOUT_SQL w2); it only
+        # matters for the no-create-ever 'payed_not_created' verdict —
+        # with pay_us reported as NULL, exactly like the batch twin.
+        if state.hasTimedOut:
+            create_us, pre_pay = state.get
+            state.remove()
+            if create_us is not None:
+                yield pd.DataFrame(
+                    [(key[0], key[1], create_us, None, "timeout_no_pay")],
+                    columns=cols,
+                )
+            elif pre_pay is not None:
+                yield pd.DataFrame(
+                    [(key[0], key[1], None, None, "payed_not_created")],
+                    columns=cols,
+                )
+            return
+        create_us, pre_pay = state.get if state.exists else (None, None)
+        out = []
+        done = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts_us"])
+            for ts_us, etype in zip(pdf["__ts_us"], pdf["__etype"]):
+                if done:
+                    break
+                ts_us = int(ts_us)
+                if etype == "c":
+                    if create_us is None:
+                        create_us = ts_us
+                        pre_pay = None  # earlier pays are ineligible
+                elif create_us is not None and ts_us >= create_us:
+                    st = ("payed" if ts_us < create_us + timeout_us
+                          else "timeout_payed_late")
+                    out.append((key[0], key[1], create_us, ts_us, st))
+                    done = True
+                elif pre_pay is None:
+                    pre_pay = ts_us
+        if done:
+            state.remove()
+        else:
+            state.update((create_us, pre_pay))
+            # deadline in EVENT time: create + timeout, or a same-length
+            # grace period for a pay still waiting on its create
+            anchor = create_us if create_us is not None else pre_pay
+            state.setTimeoutTimestamp((anchor + timeout_us) // 1000)
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    prepared = events.where(
+        F.col(type_col).isin(create_value, pay_value)
+    ).select(
+        F.col(key_cols[0]),
+        F.col(key_cols[1]),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.when(F.col(type_col) == create_value, F.lit("c"))
+        .otherwise(F.lit("p")).alias("__etype"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

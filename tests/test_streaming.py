@@ -1,0 +1,136 @@
+"""Streaming == batch equivalence (SURVEY section 5.3): each streaming
+job replayed with trigger availableNow over the same files must produce
+the batch formulation's exact result set (contents keyed by
+(window, key) — emission order/cadence intentionally differs from the
+reference's per-watermark firing, SURVEY section 7a)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_user_behavior_analysis_spark import queries as Q
+from flink_user_behavior_analysis_spark.operators import consecutive_events
+from flink_user_behavior_analysis_spark.sources import load_table
+from flink_user_behavior_analysis_spark.streaming import (
+    cap_filter_stateful,
+    consecutive_fail_stateful,
+    hot_items_counts_stream,
+    marketing_by_channel_stream,
+    order_timeout_stateful,
+    page_views_stream,
+    run_available_now,
+    run_topn_foreach_batch,
+    stream_events,
+    tx_interval_join_stream,
+    unique_visitors_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _assert_same(stream_df, batch_df, cols):
+    assert _rows(stream_df, cols) == _rows(batch_df, cols)
+
+
+def test_hot_items_counts_stream_equals_batch(spark, sf_dir):
+    got = run_available_now(hot_items_counts_stream(spark, sf_dir))
+    # batch twin: the count stage of the hot_items query
+    from flink_user_behavior_analysis_spark.queries import _events, _with_item
+    from flink_user_behavior_analysis_spark.operators import windowed_count
+
+    ev = _with_item(_events(spark, sf_dir).where(F.col("event_type") == "view"))
+    want = windowed_count(ev, "ts", ["item_id"], "1 hour", "15 minutes")
+    _assert_same(got, want, ["window_end_us", "item_id", "cnt"])
+
+
+def test_page_views_stream_equals_batch(spark, sf_dir):
+    got = run_available_now(page_views_stream(spark, sf_dir))
+    want = Q.QUERIES["page_views"](spark, sf_dir)
+    _assert_same(got, want, ["window_end_us", "pv"])
+
+
+def test_unique_visitors_stream_equals_batch(spark, sf_dir):
+    got = run_available_now(unique_visitors_stream(spark, sf_dir))
+    want = Q.QUERIES["unique_visitors"](spark, sf_dir)
+    _assert_same(got, want, ["window_end_us", "uv"])
+
+
+def test_marketing_by_channel_stream_equals_batch(spark, sf_dir):
+    got = run_available_now(marketing_by_channel_stream(spark, sf_dir))
+    want = Q.QUERIES["marketing_by_channel"](spark, sf_dir)
+    _assert_same(got, want, ["window_end_us", "channel", "behavior", "cnt"])
+
+
+def test_streaming_topn_equals_batch_hot_items(spark, sf_dir):
+    counts = hot_items_counts_stream(spark, sf_dir)
+    got = run_topn_foreach_batch(
+        counts, 3,
+        order_cols=[F.col("cnt").desc(), F.col("item_id").asc()],
+    )
+    want = Q.QUERIES["hot_items"](spark, sf_dir)
+    _assert_same(
+        got.select("window_end_us", "item_id", "cnt",
+                   F.col("rnk").cast("long").alias("rnk")),
+        want,
+        ["window_end_us", "item_id", "cnt", "rnk"],
+    )
+
+
+def test_tx_interval_join_stream_equals_batch(spark, sf_dir):
+    got = run_available_now(tx_interval_join_stream(spark, sf_dir), "append")
+    want = Q.QUERIES["tx_interval_join"](spark, sf_dir)
+    _assert_same(got, want, ["user_id", "item_id", "pay_us", "receipt_us"])
+
+
+def test_consecutive_fail_stateful_equals_batch(spark, sf_dir):
+    ev = stream_events(spark, sf_dir, watermark="0 seconds")
+    got = run_available_now(
+        consecutive_fail_stateful(ev, n=2, within_seconds=6 * 3600), "append"
+    )
+    want = Q.QUERIES["login_fail"](spark, sf_dir)
+    _assert_same(got, want, ["user_id", "first_fail_us", "last_fail_us"])
+
+
+def test_cap_filter_stateful_equals_batch(spark, sf_dir):
+    ev = stream_events(spark, sf_dir, watermark="0 seconds").withColumnRenamed(
+        "event_type", "behavior"
+    )
+    got = run_available_now(cap_filter_stateful(ev, cap=3), "append")
+    want = Q.QUERIES["blacklist_warnings"](spark, sf_dir)
+    _assert_same(got, want, ["user_id", "behavior", "day", "warning_msg"])
+
+
+def test_order_timeout_stateful_matches_batch_for_closed_keys(spark, sf_dir):
+    """Event-time timers only fire while the watermark advances; keys
+    whose deadline lies beyond the final watermark stay open when a
+    bounded replay ends (the reference has the same property — a Flink
+    job killed at t sees no timers past t). Assert: every emitted row
+    matches the batch result exactly, and all immediately-decidable
+    (pay-observed) keys are emitted."""
+    ev = stream_events(spark, sf_dir, watermark="0 seconds")
+    ev = ev.withColumn(
+        "item_id", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    )
+    got = run_available_now(
+        order_timeout_stateful(ev, timeout_seconds=3 * 24 * 3600), "append"
+    )
+    want = Q.QUERIES["order_timeout"](spark, sf_dir)
+    got_rows = {
+        (r.user_id, r.item_id): (r.create_us, r.pay_us, r.result_state)
+        for r in got.collect()
+    }
+    want_rows = {
+        (r.user_id, r.item_id): (r.create_us, r.pay_us, r.result_state)
+        for r in want.collect()
+    }
+    assert got_rows, "stateful op emitted nothing"
+    mismatches = {
+        k: (v, want_rows.get(k)) for k, v in got_rows.items()
+        if want_rows.get(k) != v
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # all 'payed' decisions are watermark-independent -> must all emit
+    payed_want = {k for k, v in want_rows.items() if v[2] == "payed"}
+    payed_got = {k for k, v in got_rows.items() if v[2] == "payed"}
+    assert payed_want == payed_got
