@@ -81,3 +81,37 @@ def windowed_global_count(
     """
     return windowed_agg(df, ts_col, [], size, slide,
                         [F.count(F.lit(1)).alias(count_alias)])
+
+
+def salted_two_stage_count(
+    df: DataFrame, ts_col: str, size: str, slide: str | None = None,
+    buckets: int = 10, salt_col: str | None = None,
+    count_alias: str = "cnt",
+) -> DataFrame:
+    """Explicit salted two-stage windowed count — the reference's M1
+    skew-mitigation pattern made first-class (PageView.java:66-80:
+    map to (randomSalt, 1) -> per-salt window count -> re-key by
+    windowEnd -> final sum).
+
+    Spark's map-side partial aggregation already handles the
+    hot-constant-key case, so windowed_global_count is the normal
+    path; this operator exists for (a) reference parity and (b) the
+    genuinely pathological case where one *group key* (not the
+    constant) dominates — salt on a deterministic hash of a
+    high-cardinality column so results stay reproducible, unlike the
+    reference's random.nextInt(10).
+    """
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
+        if salt_col is not None
+        else F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    )
+    salted = df.withColumn("_salt", salt)
+    partial = windowed_agg(
+        salted, ts_col, ["_salt"], size, slide,
+        [F.count(F.lit(1)).alias("_partial")],
+    )
+    return (
+        partial.groupBy("window_end_us")
+        .agg(F.sum("_partial").alias(count_alias))
+    )
