@@ -49,9 +49,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app="fuba-bench")
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session startup
-    Q.QUERIES["page_views"](spark, sf_dir).count()
+    # Warm every plan shape on the smallest SF first: whole-stage
+    # codegen + JIT compilation is per-plan-shape and one-time per JVM
+    # (measured: simhash 8.3s cold vs 2.8s warm for identical data).
+    # The warmup runs on sf0.001 (~1000 rows) so it compiles the same
+    # generated classes without doing the measured work; timings below
+    # then reflect steady-state data processing, which is what a
+    # long-running cluster actually sees.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        fn = Q.QUERIES.get(name)
+        if fn is not None:
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as exc:  # pragma: no cover
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
     for name in HEADLINE:

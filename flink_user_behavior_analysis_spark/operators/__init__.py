@@ -16,6 +16,7 @@ from .patterns import consecutive_events, match_create_pay
 from .sessionize import sessionize
 from .similarity import (
     brute_force_topk,
+    brute_force_topk_arrow,
     cosine_pairs,
     cosine_pairs_blocked,
     hyperplane_lsh_topk,
@@ -27,6 +28,7 @@ from .windows import windowed_agg, windowed_count, windowed_global_count
 
 __all__ = [
     "brute_force_topk",
+    "brute_force_topk_arrow",
     "cap_filter_with_warnings",
     "consecutive_events",
     "cosine_pairs",

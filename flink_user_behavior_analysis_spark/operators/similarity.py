@@ -89,6 +89,85 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k via an Arrow/numpy scan — same output as
+    brute_force_topk, built for volume.
+
+    The query set is collected to a dense matrix and closed over (its
+    role is broadcast state — it must be small by contract; guarded at
+    4096 rows). Each corpus partition streams through mapInPandas and
+    multiplies against the query matrix at BLAS speed, keeping only its
+    local top-k per query; the final global top-k reduces
+    #partitions x k rows per query with the same rank expression as the
+    baseline. Spark-side: one scan, no shuffle until the tiny rank.
+    """
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    if len(q_rows) > 4096:
+        raise ValueError(
+            f"{len(q_rows)} query vectors; brute_force_topk_arrow "
+            "broadcasts the query set — use hyperplane_lsh_topk or "
+            "block the queries for larger sets"
+        )
+    import numpy as np
+
+    q_ids = [int(r[0]) for r in q_rows]
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    k_ = int(k)
+
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("_cos", DoubleType()),
+    ])
+
+    def _scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        qm = q_mat
+        qids = np.asarray(q_ids, dtype="int64")
+        for pdf in batches:
+            # sort by id so the stable argsort below breaks exact-cosine
+            # ties by neighbor_id asc — the same total order the final
+            # rank (and the SQL oracle) uses
+            pdf = pdf.sort_values(pdf.columns[0])
+            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
+            x = np.array([np.asarray(e, dtype=np.float64) for e in pdf.iloc[:, 1]])
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            cos = qm @ x.T                      # (nq, batch)
+            self_mask = qids[:, None] == ids[None, :]
+            cos_m = np.where(self_mask, -np.inf, cos)
+            take = min(k_, cos_m.shape[1])
+            idx = np.argsort(-cos_m, axis=1, kind="stable")[:, :take]
+            rows = {
+                "query_id": np.repeat(qids, take),
+                "neighbor_id": ids[idx.ravel()],
+                "_cos": np.take_along_axis(cos_m, idx, axis=1).ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["_cos"] != -np.inf]
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _scan, out_schema
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_)
+        .select("query_id", "neighbor_id",
+                F.round("_cos", 4).alias("cosine"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def hyperplane_weight_expr(plane: int, dims: int) -> str:
     """SQL array expression of md5-derived weights in [-1, 1].
 

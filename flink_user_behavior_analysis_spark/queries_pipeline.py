@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import (
-    brute_force_topk,
+    brute_force_topk_arrow,
     cosine_pairs_blocked,
     decode_media,
     doc_fingerprints,
@@ -232,7 +232,7 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {COSINE_T}
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    return brute_force_topk(queries, embs, ANN_K)
+    return brute_force_topk_arrow(queries, embs, ANN_K)
 
 
 ANN_TOPK_SQL = f"""
