@@ -14,6 +14,7 @@ from .joins import interval_join, reconcile
 from .multimodal import decode_media, documents_as_media, frame_sample
 from .patterns import consecutive_events, match_create_pay
 from .sessionize import sessionize
+from .skew import salted_join
 from .similarity import (
     brute_force_topk,
     brute_force_topk_arrow,
@@ -48,6 +49,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "normalized_text",
     "reconcile",
+    "salted_join",
     "sessionize",
     "simhash_pairs",
     "simhash_signatures",

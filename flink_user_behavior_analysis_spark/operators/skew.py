@@ -1,0 +1,55 @@
+"""Skew-mitigation join: explicit key salting for pathologically hot
+join keys.
+
+AQE's skew-join splitting (spark.sql.adaptive.skewJoin, on in
+session.py) handles most skew at runtime by splitting oversized
+partitions — that is the default answer and needs no code. This
+operator is for the residual case AQE can't fix: a *single* key so hot that
+even one split of it exceeds executor memory on the build side, or a
+deterministic plan is required (no AQE, e.g. streaming). It
+implements the classic replicate-and-salt scheme as a first-class,
+result-identical drop-in for an inner equi-join:
+
+  left  (skewed):  salt = pmod(xxhash64(<salt_on cols>), B)
+  right (small-ish): replicated B times with salt = 0..B-1
+  join on (keys..., salt)  ->  exactly the plain join's rows
+
+Cost: right side x B rows shuffled; left side unchanged. Choose B ~
+(hot-key rows / rows-per-task). The salt derives from a deterministic
+hash of chosen columns (default: a per-row monotonic id), keeping runs
+reproducible — unlike the reference's random.nextInt salting
+(PageView.java:72-73, M1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_buckets: int = 8,
+    salt_on: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inner equi-join with the left side salted against key skew.
+
+    Returns the same rows as ``left.join(right, on, 'inner')`` with
+    the join key spread over ``salt_buckets`` partitions per key.
+    """
+    if salt_on:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salt_buckets)
+        )
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    lsalted = left.withColumn("_salt", salt.cast("int"))
+    rreplicated = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    joined = lsalted.join(rreplicated, [*on, "_salt"], "inner")
+    return joined.drop("_salt")

@@ -669,6 +669,62 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region -> nation with grand total (grouping
+    sets — a capability the reference lacks entirely, SURVEY.md
+    section 2.10; Spark/Catalyst provide it natively and it matters
+    for 100 TB reporting because one pass computes every level)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            # grouping() is only legal inside the rollup aggregate
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("n_name").cast("long").alias("g_nation"),
+            (F.sum(rev_cents).cast("double") / 100).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("nation"),
+            "g_region",
+            "g_nation",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT coalesce(r_name, '<all>') AS region,
+       coalesce(n_name, '<all>') AS nation,
+       GROUPING(r_name)::BIGINT AS g_region,
+       GROUPING(n_name)::BIGINT AS g_nation,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS DOUBLE) / 100 AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 TOP_CUSTOMERS_SQL = """
 WITH per_cust AS (
     SELECT c_mktsegment, c_custkey,
@@ -712,6 +768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "top_customers_per_segment": top_customers_per_segment,
+    "revenue_rollup": revenue_rollup,
     **PIPELINE_QUERIES,
 }
 
@@ -735,5 +792,6 @@ ORACLES: dict[str, str] = {
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
     **PIPELINE_ORACLES,
 }

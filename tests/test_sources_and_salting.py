@@ -90,3 +90,16 @@ def test_parse_apache_log(spark):
     assert n == 10000
     gets = df.where(F.col("method") == "GET").count()
     assert gets == 9952  # documented in BASELINE.md
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Skew-mitigation salted join returns exactly the plain join's rows."""
+    from flink_user_behavior_analysis_spark.operators import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    plain = sorted(map(tuple, ev.join(cust, "user_id").collect()))
+    salted = sorted(map(tuple, salted_join(ev, cust, ["user_id"], 8).collect()))
+    assert plain == salted and plain
