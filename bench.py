@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "text_stats",
     "doc_fingerprints",
     "multimodal_decode",

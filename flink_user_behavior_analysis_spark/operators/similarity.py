@@ -235,6 +235,75 @@ def hyperplane_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             centroid_mod: int = 31, nprobe: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a deterministic coarse
+    quantizer partitions the corpus into centroid lists; each query
+    probes only its ``nprobe`` nearest lists.
+
+    The centroid set is the corpus rows with id % centroid_mod == 0 —
+    a stateless, reproducible quantizer (a trained k-means would drop
+    in the same slot; determinism is what the oracle gate needs).
+    Assignment and scoring use the same DOUBLE left-fold expressions as
+    the exact operators so both engines agree bit-for-bit; at real
+    scale swap the assignment stage for the numpy path
+    (brute_force_topk_arrow's scan) and persist the assignment as a
+    bucketed table — the probe join is then a pruned partition read.
+
+    Recall tuning: nprobe up, centroid_mod up (more, smaller lists).
+    """
+    from pyspark.sql import Window
+
+    cents = corpus.where(
+        F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
+        norm_expr(vec_col).alias("cent_norm"),
+    )
+
+    def nearest(side: DataFrame, prefix: str, topn: int) -> DataFrame:
+        s = _normed(side, id_col, vec_col, prefix)
+        cos = (dot_expr(f"{prefix}_vec", "cent_vec")
+               / (F.col(f"{prefix}_norm") * F.col("cent_norm")))
+        scored = s.join(F.broadcast(cents)).select(
+            F.col(f"{prefix}_id"), F.col(f"{prefix}_vec"),
+            F.col(f"{prefix}_norm"), F.col("cent_id"), cos.alias("_ccos"),
+        )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            F.col("_ccos").desc(), F.col("cent_id").asc()
+        )
+        return (scored.withColumn("_crnk", F.row_number().over(w))
+                .where(F.col("_crnk") <= topn)
+                .drop("_ccos", "_crnk"))
+
+    corpus_assigned = nearest(corpus, "c", 1)
+    query_probes = nearest(queries, "q", nprobe)
+    cos = (dot_expr("q_vec", "c_vec")
+           / (F.col("q_norm") * F.col("c_norm")))
+    cand = (
+        corpus_assigned.join(query_probes, "cent_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                cos.alias("_cos"))
+        # no distinct needed: each corpus vector belongs to exactly one
+        # centroid list, so a (query, neighbor) pair occurs once
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("_cos", 4).alias("cosine"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def cosine_pairs(vecs: DataFrame, threshold: float,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -292,6 +292,60 @@ FROM ranked WHERE rnk <= {ANN_K}
 """
 
 
+IVF_MOD, IVF_NPROBE = 31, 2
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return ivf_topk(queries, embs, ANN_K,
+                    centroid_mod=IVF_MOD, nprobe=IVF_NPROBE)
+
+
+def _ann_ivf_sql() -> str:
+    return f"""
+WITH {_D_NORMED},
+cents AS (
+    SELECT vec_id AS cent_id, e AS cent_vec, nrm AS cent_norm
+    FROM n WHERE vec_id % {IVF_MOD} = 0
+), c_assign AS (
+    SELECT * FROM (
+        SELECT n.vec_id AS c_id, n.e AS c_vec, n.nrm AS c_norm, cents.cent_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.e, cents.cent_vec)
+                            / (n.nrm * cents.cent_norm) DESC, cents.cent_id
+               ) AS crnk
+        FROM n CROSS JOIN cents
+    ) WHERE crnk <= 1
+), q_probe AS (
+    SELECT * FROM (
+        SELECT n.vec_id AS q_id, n.e AS q_vec, n.nrm AS q_norm, cents.cent_id,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_dot_product(n.e, cents.cent_vec)
+                            / (n.nrm * cents.cent_norm) DESC, cents.cent_id
+               ) AS crnk
+        FROM n CROSS JOIN cents
+        WHERE n.vec_id < {ANN_QUERY_MAX_ID}
+    ) WHERE crnk <= {IVF_NPROBE}
+), cand AS (
+    SELECT q.q_id AS query_id, c.c_id AS neighbor_id,
+           list_dot_product(q.q_vec, c.c_vec) / (q.q_norm * c.c_norm) AS cos
+    FROM c_assign c JOIN q_probe q ON c.cent_id = q.cent_id
+    WHERE q.q_id <> c.c_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM cand
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {ANN_K}
+"""
+
+
 # ------------------------------------------------------------------- text
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,6 +486,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "doc_fingerprints": q_doc_fingerprints,
@@ -448,6 +503,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_lsh": _ann_lsh_sql(),
+    "ann_topk_ivf": _ann_ivf_sql(),
     "text_stats": TEXT_STATS_SQL,
     "language_id": _lang_id_sql(),
     "doc_fingerprints": _fingerprint_sql(),

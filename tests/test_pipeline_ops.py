@@ -73,3 +73,26 @@ def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
         raise AssertionError("real decoder should be stubbed")
     except NotImplementedError:
         pass
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with nprobe=2 should recall a solid share of true top-5
+    neighbors and score candidates with the exact cosine."""
+    from flink_user_behavior_analysis_spark.operators.similarity import ivf_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in brute_force_topk(queries, embs, 5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ivf_topk(queries, embs, 5).collect()
+    }
+    assert ivf, "ivf returned nothing"
+    for key, cos in ivf.items():
+        if key in truth:
+            assert abs(truth[key] - cos) < 1e-9
+    recall = len(set(ivf) & set(truth)) / len(truth)
+    assert recall >= 0.2, recall
