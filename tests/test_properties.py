@@ -1,0 +1,140 @@
+"""Property-based boundary tests (SURVEY section 5.4): the semantics
+the reference pins at exact boundaries, fuzzed with hypothesis.
+
+- window assignment: a row with ts exactly on a window edge belongs to
+  the window STARTING there (Flink timeWindow and Spark window() both
+  use [start, end) — the reference stamps window.getEnd()).
+- order timeout: pay == create + timeout is a timeout, strictly
+  (OrderTimeoutWithoutCEP.java:115 uses `<`).
+- consecutive fails: span == within-limit still warns (<=), one
+  success anywhere resets the run.
+- sessionize: gap == threshold stays in-session (> splits).
+
+Each property drives the REAL operators on a small generated frame
+and checks against a python reimplementation of the pinned rule.
+"""
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_user_behavior_analysis_spark.operators import (
+    consecutive_events,
+    match_create_pay,
+    sessionize,
+    windowed_count,
+)
+
+US = 1_000_000
+HOUR = 3600
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _ts(sec):
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+ts_secs = st.integers(min_value=0, max_value=3 * HOUR)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(secs=st.lists(ts_secs, min_size=1, max_size=20))
+def test_window_edge_assignment(spark, secs):
+    rows = [(i, _ts(s)) for i, s in enumerate(secs)]
+    df = _df(spark, rows, "id long, ts timestamp")
+    got = {
+        (r.window_end_us, r.cnt)
+        for r in windowed_count(df, "ts", [], "1 hour").collect()
+    }
+    want = {}
+    for s in secs:
+        end = ((s // HOUR) * HOUR + HOUR) * US
+        want[end] = want.get(end, 0) + 1
+    assert got == set(want.items())
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    create_s=st.integers(min_value=0, max_value=100),
+    delta_s=st.integers(min_value=0, max_value=40),
+    timeout_s=st.integers(min_value=1, max_value=40),
+)
+def test_order_timeout_strict_boundary(spark, create_s, delta_s, timeout_s):
+    rows = [
+        (1, "create", _ts(create_s)),
+        (1, "pay", _ts(create_s + delta_s)),
+    ]
+    df = _df(spark, rows, "order_id long, event_type string, ts timestamp")
+    out = match_create_pay(
+        df, ["order_id"], "event_type", "ts", "create", "pay", timeout_s
+    ).collect()
+    assert len(out) == 1
+    want = "payed" if delta_s < timeout_s else "timeout_payed_late"
+    assert out[0].result_state == want, (delta_s, timeout_s)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pattern=st.lists(st.booleans(), min_size=2, max_size=12),
+    gap_s=st.integers(min_value=1, max_value=5),
+)
+def test_consecutive_runs_and_reset(spark, pattern, gap_s):
+    """events every gap_s seconds; True=fail. n=2 within exactly
+    gap_s seconds -> every adjacent fail pair warns (span == limit
+    passes the <= check); any success in between resets."""
+    rows = [
+        (1, i, "error" if fail else "ok", _ts(i * gap_s))
+        for i, fail in enumerate(pattern)
+    ]
+    df = _df(spark, rows, "user_id long, event_id long, kind string, ts timestamp")
+    got = sorted(
+        (r.first_fail_us, r.last_fail_us)
+        for r in consecutive_events(
+            df, ["user_id"], "ts", F.col("kind") == "error",
+            n=2, within_seconds=gap_s, order_tiebreak=["event_id"],
+        ).collect()
+    )
+    want = sorted(
+        (i * gap_s * US, (i + 1) * gap_s * US)
+        for i in range(len(pattern) - 1)
+        if pattern[i] and pattern[i + 1]
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(gaps=st.lists(st.integers(min_value=1, max_value=120), min_size=1,
+                     max_size=15))
+def test_sessionize_gap_boundary(spark, gaps):
+    """gap == threshold stays in the same session; > splits."""
+    threshold = 60
+    ts, cur = [], 0
+    for g in gaps:
+        cur += g
+        ts.append(cur)
+    rows = [(1, i, _ts(s)) for i, s in enumerate(ts)]
+    df = _df(spark, rows, "user_id long, event_id long, ts timestamp")
+    got = sorted(
+        (r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize(df, ["user_id"], "ts", threshold,
+                            order_tiebreak=["event_id"]).collect()
+    )
+    sessions, start, prev, n = [], ts[0], ts[0], 1
+    for s in ts[1:]:
+        if s - prev > threshold:
+            sessions.append((start * US, prev * US, n))
+            start, n = s, 1
+        else:
+            n += 1
+        prev = s
+    sessions.append((start * US, prev * US, n))
+    assert got == sorted(sessions)
