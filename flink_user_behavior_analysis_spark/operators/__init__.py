@@ -1,3 +1,4 @@
+from .asof import asof_join
 from .blacklist import cap_filter_with_warnings
 from .dedup import (
     exact_dedup,
@@ -28,6 +29,7 @@ from .uv import unique_visitors
 from .windows import windowed_agg, windowed_count, windowed_global_count
 
 __all__ = [
+    "asof_join",
     "brute_force_topk",
     "brute_force_topk_arrow",
     "cap_filter_with_warnings",

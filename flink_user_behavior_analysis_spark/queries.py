@@ -669,6 +669,66 @@ def top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ATTRIB_TOL_S = 24 * 3600
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator the brief calls out — Spark has no
+    built-in): each purchase attributed to the latest click of the
+    same (user, item) at or before it, within a 24 h horizon.
+
+    One shuffle on the key, sort-within-partition carry — no per-row
+    range probe (operators/asof.py)."""
+    from .operators.asof import asof_join
+
+    ev = _with_item(_events(spark, sf_dir))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "item_id", F.col("ts"), F.col("event_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "item_id", F.col("ts"), F.col("event_id")
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id", "item_id"], "ts", "ts",
+        right_cols=["event_id"], tolerance_seconds=ATTRIB_TOL_S,
+        order_tiebreak=["event_id"],
+    )
+    return out.select(
+        "user_id", "item_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("ts_asof").alias("click_us"),
+        F.col("event_id_asof").alias("click_event_id"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+    SELECT user_id, {DUCK_ITEM} AS item_id, event_type,
+           epoch_us(ts) AS ts_us, event_id
+    FROM events WHERE event_type IN ('purchase', 'click')
+), carried AS (
+    SELECT user_id, item_id, event_type, ts_us, event_id,
+           last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                      IGNORE NULLS) OVER w AS m_ts_us,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER w AS m_event_id
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id, item_id
+        ORDER BY ts_us,
+                 CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+                 event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, item_id, ts_us AS purchase_us,
+       CASE WHEN ts_us - m_ts_us <= {ATTRIB_TOL_S * US} THEN m_ts_us END
+           AS click_us,
+       CASE WHEN ts_us - m_ts_us <= {ATTRIB_TOL_S * US} THEN m_event_id END
+           AS click_event_id
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup region -> nation with grand total (grouping
     sets — a capability the reference lacks entirely, SURVEY.md
@@ -769,6 +829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": revenue_by_nation,
     "top_customers_per_segment": top_customers_per_segment,
     "revenue_rollup": revenue_rollup,
+    "purchase_attribution": purchase_attribution,
     **PIPELINE_QUERIES,
 }
 
@@ -793,5 +854,6 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
     **PIPELINE_ORACLES,
 }

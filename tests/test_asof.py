@@ -1,0 +1,61 @@
+"""Unit tests for the as-of join operator (operators/asof.py).
+
+Pins the edge semantics the DuckDB oracle also encodes:
+- tie at equal timestamps matches ("at or before" is inclusive),
+- tolerance boundary is inclusive (gap == tolerance matches),
+- gap just past tolerance yields null match,
+- same-ts right rows break ties by order_tiebreak (max carried),
+- a later right row never matches an earlier left row.
+"""
+
+from datetime import datetime, timezone
+
+from flink_user_behavior_analysis_spark.operators import asof_join
+
+
+def _ts(sec):
+    return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+
+SCHEMA = "k long, ts timestamp, event_id long"
+
+
+def _run(spark, left_rows, right_rows, tol=None):
+    left = spark.createDataFrame(left_rows, SCHEMA)
+    right = spark.createDataFrame(right_rows, SCHEMA)
+    out = asof_join(
+        left, right, ["k"], "ts", "ts",
+        right_cols=["event_id"], tolerance_seconds=tol,
+        order_tiebreak=["event_id"],
+    )
+    return {
+        (r["k"], r["ts"]): (r["ts_asof"], r["event_id_asof"])
+        for r in out.collect()
+    }
+
+
+def test_tie_and_tolerance_boundaries(spark):
+    left = [(1, _ts(100), 10), (1, _ts(200), 11), (2, _ts(50), 12)]
+    right = [
+        (1, _ts(100), 20),   # tie with left@100 -> matches it
+        (1, _ts(140), 21),   # latest before 200, gap 60 == tol
+        (2, _ts(60), 22),    # after left@50 -> no match
+    ]
+    got = _run(spark, left, right, tol=60)
+    us = 1_000_000
+    assert got[(1, _ts(100))] == (100 * us, 20)
+    assert got[(1, _ts(200))] == (140 * us, 21)   # inclusive tolerance
+    assert got[(2, _ts(50))] == (None, None)      # future right ignored
+
+
+def test_past_tolerance_is_null_and_no_tol_keeps(spark):
+    left = [(1, _ts(200), 10)]
+    right = [(1, _ts(139), 20)]
+    assert _run(spark, left, right, tol=60)[(1, _ts(200))] == (None, None)
+    assert _run(spark, left, right)[(1, _ts(200))] == (139 * 1_000_000, 20)
+
+
+def test_same_ts_right_rows_tiebreak_max_event_id(spark):
+    left = [(1, _ts(100), 10)]
+    right = [(1, _ts(90), 21), (1, _ts(90), 23), (1, _ts(90), 22)]
+    assert _run(spark, left, right)[(1, _ts(100))] == (90 * 1_000_000, 23)
