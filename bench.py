@@ -30,6 +30,7 @@ HEADLINE = [
     "tx_match",
     "blacklist_warnings",
     "sessionize_users",
+    "purchase_attribution",
     "pricing_summary",
     "revenue_by_nation",
     "top_customers_per_segment",

@@ -193,7 +193,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, k: int = 12,
     """
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(docs, k, id_col, text_col, n)
+    # persist: the signature frame (one small row per doc) feeds BOTH
+    # sides of the bucket self-join below — without it Spark recomputes
+    # the explode+groupBy signature subtree per side (the broadcast
+    # join leaves no common exchange to reuse). Same design at 100 TB:
+    # signatures are the materialized artifact, the joins read them.
+    sigs = minhash_signatures(docs, k, id_col, text_col, n).persist()
     # one posexplode projection instead of a bands-way union: the
     # signature subtree exists ONCE in the plan, so the self-join below
     # reuses a single shuffle (union branches would recompute the
@@ -222,7 +227,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, k: int = 12,
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = with_shingles(docs, id_col, text_col, n)
+    sh = with_shingles(docs, id_col, text_col, n).persist()
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -279,7 +284,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     equality joins on a chunk value (each a plain shuffle join on a
     uniform key) instead of a cross join. Exact hamming verifies.
     """
-    sigs = simhash_signatures(docs, id_col, text_col)
+    # persist: both sides of the chunk self-join read this one small
+    # frame (one row per doc); unpersisted, the 60-aggregate signature
+    # subtree runs once per side (no shared exchange to reuse under a
+    # broadcast join). The persisted signature table is also what a
+    # 100 TB deployment would materialize.
+    sigs = simhash_signatures(docs, id_col, text_col).persist()
     chunk_w = SIMHASH_BITS // 4
     # posexplode instead of a 4-way union: one signature subtree in the
     # plan, so the self-join reuses one shuffle instead of recomputing

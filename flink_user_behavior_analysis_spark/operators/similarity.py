@@ -168,17 +168,30 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
-def hyperplane_weight_expr(plane: int, dims: int) -> str:
-    """SQL array expression of md5-derived weights in [-1, 1].
+def hyperplane_weights(plane: int, dims: int) -> list[float]:
+    """md5-derived weights in [-1, 1], computed once on the driver.
 
     w[p][d] = ((md5_long('p_d') % 2001) - 1000) / 1000.0 — stateless
-    and reproducible in any engine with md5.
+    and reproducible in any engine with md5 (the DuckDB oracle builds
+    the same lists from the same formula). Evaluating md5 driver-side
+    instead of inside the row expression matters: as a per-row
+    ``transform(sequence(...), md5(...))`` the executor recomputed
+    planes x dims md5 calls for EVERY row (~2M at sf0.1); as a literal
+    array Catalyst constant-folds it.
     """
-    return (
-        f"transform(sequence(0, {dims - 1}), d -> "
-        f"(cast(conv(substring(md5(concat('{plane}_', cast(d AS STRING))), 1, 15), 16, 10) AS BIGINT) "
-        f"% 2001 - 1000) / cast(1000 AS DOUBLE))"
-    )
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = hashlib.md5(f"{plane}_{d}".encode()).hexdigest()
+        out.append((int(h[:15], 16) % 2001 - 1000) / 1000.0)
+    return out
+
+
+def hyperplane_weight_expr(plane: int, dims: int) -> str:
+    """SQL literal array of the driver-computed plane weights."""
+    vals = ", ".join(f"cast({w!r} AS DOUBLE)" for w in hyperplane_weights(plane, dims))
+    return f"array({vals})"
 
 
 def lsh_bucket_expr(vec_col: str, planes: int, dims: int) -> Column:
