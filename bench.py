@@ -36,6 +36,7 @@ HEADLINE = [
     "top_customers_per_segment",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk",

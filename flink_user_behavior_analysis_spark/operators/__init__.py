@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .cluster import connected_components, dedup_clusters
 from .blacklist import cap_filter_with_warnings
 from .dedup import (
     exact_dedup,
@@ -33,6 +34,8 @@ __all__ = [
     "brute_force_topk",
     "brute_force_topk_arrow",
     "cap_filter_with_warnings",
+    "connected_components",
+    "dedup_clusters",
     "consecutive_events",
     "cosine_pairs",
     "cosine_pairs_blocked",

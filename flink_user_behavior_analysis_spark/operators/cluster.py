@@ -1,0 +1,104 @@
+"""Connected components over near-duplicate pairs — the clustering
+step a training-data dedup pipeline runs after pair generation (keep
+one exemplar per component, drop the rest).
+
+Min-label propagation: every node starts labeled with its own id; each
+round takes the min label over itself and its neighbors; fixpoint =
+min node id reachable in the component. Rounds needed = component
+diameter, and near-dup components are shallow (a cluster of mutual
+near-dups has diameter 1-2), so the loop terminates in a handful of
+rounds.
+
+Scale shape (100 TB): per round, one shuffle to join labels onto the
+symmetric edge list + one groupBy(node) min — both keyed on node id,
+uniform. Labels and edges are persisted between rounds so each round
+reads materialized state instead of replaying the whole lineage
+(Pregel-style iteration; without this round N recomputes rounds
+1..N-1). Convergence is checked with a 1-row aggregate (labels only
+ever decrease, so an unchanged sum is a fixpoint). For graphs with
+deep chains (not the near-dup case) swap in large-star/small-star
+[Kiveris et al., "Connected Components in MapReduce and Beyond"],
+which contracts paths in O(log^2 n) rounds of the same two primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node; component = min reachable node id.
+
+    ``nodes`` must contain every id referenced by ``edges``; isolated
+    nodes form singleton components.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("n"), F.col(id_col).cast("long").alias("comp")
+    ).persist()
+    prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("n").alias("m"), "comp"), "m"
+            )
+            .groupBy("n")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    return labels.select(F.col("n").alias(id_col), F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster assignment per document from near-dup pairs.
+
+    Output: (doc_id, cluster_id, cluster_size, is_keeper) — keeper is
+    the min-id doc of each cluster (the row a dedup pipeline retains).
+    """
+    comp = connected_components(
+        docs.select(id_col), pairs, id_col=id_col
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col(id_col),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+            (F.col(id_col) == F.col("component")).alias("is_keeper"),
+        )
+    )

@@ -117,7 +117,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash-LSH pair pipeline as a CTE chain (ends with a
+    ``pairs`` CTE of verified near-dup pairs) so both the pair query
+    and the clustering query build on one SQL body."""
     r = MINHASH_K // LSH_BANDS
     mh_cols = ",\n           ".join(
         f"min({_D_MD5INT.format(x=repr(str(i) + '|') + ' || s')}) AS mh{i}"
@@ -132,8 +135,7 @@ def _minhash_sql() -> str:
         )
         for b in range(LSH_BANDS)
     )
-    return f"""
-WITH {_D_BASE},
+    return f"""{_D_BASE},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sigs AS (
     SELECT doc_id,
@@ -151,8 +153,49 @@ sigs AS (
                  (len(x.shingles) + len(y.shingles)
                   - len(list_intersect(x.shingles, y.shingles))), 4) AS jaccard
     FROM cands JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
-)
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+), pairs AS (
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
+SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH
+    verified pairs (operators/cluster.py), one row per document with
+    its cluster id / size / keeper flag."""
+    from .operators.cluster import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, JACCARD_T, k=MINHASH_K, bands=LSH_BANDS)
+    return dedup_clusters(docs, pairs)
+
+
+def _clusters_sql() -> str:
+    # min reachable doc_id per component via a recursive CTE — the
+    # declarative twin of the label-propagation fixpoint.
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (
+    SELECT id_a AS n, id_b AS m FROM pairs
+    UNION ALL
+    SELECT id_b AS n, id_a AS m FROM pairs
+),
+reach(n, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.n, r.comp FROM sym s JOIN reach r ON r.n = s.m
+),
+comp AS (SELECT n AS doc_id, min(comp)::BIGINT AS cluster_id FROM reach GROUP BY n),
+sizes AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size FROM comp GROUP BY 1)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS is_keeper
+FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
@@ -482,6 +525,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ann_topk": q_ann_topk,
@@ -499,6 +543,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
+    "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "ann_topk": ANN_TOPK_SQL,
