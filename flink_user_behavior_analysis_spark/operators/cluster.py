@@ -40,14 +40,26 @@ def connected_components(
     ``nodes`` must contain every id referenced by ``edges``; isolated
     nodes form singleton components.
     """
+    # localCheckpoint (not bare persist): iterative plans GROW — round
+    # N's logical plan embeds rounds 1..N-1 plus the whole edge
+    # pipeline, and Catalyst re-optimizes the full tree every round
+    # (measured: 1.5 s -> 8 s/round by round 3 on unchanged tiny
+    # data). Checkpointing cuts lineage to a materialized RDD so every
+    # round optimizes a constant-size plan. On a cluster this is the
+    # GraphFrames/GraphX pattern for the same reason.
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
         .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("n"), F.col(id_col).cast("long").alias("comp")
-    ).persist()
+    # propagate only over nodes that touch an edge — isolated nodes are
+    # fixpoints from round 0, and in a dedup graph they are the vast
+    # majority (label frame shrinks from |docs| to |docs in pairs|)
+    labels = (
+        sym.select("n").distinct()
+        .select(F.col("n"), F.col("n").cast("long").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         nbr_min = (
@@ -57,24 +69,26 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, "n", "left")
             .select(
                 "n",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(
+        new_sum = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
-        labels.unpersist()
-        labels = new_labels
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    sym.unpersist()
-    return labels.select(F.col("n").alias(id_col), F.col("comp").alias("component"))
+    singletons = nodes.select(F.col(id_col).alias("n")).join(
+        labels.select("n"), "n", "left_anti"
+    ).select("n", F.col("n").cast("long").alias("comp"))
+    return labels.unionByName(singletons).select(
+        F.col("n").alias(id_col), F.col("comp").alias("component")
+    )
 
 
 def dedup_clusters(

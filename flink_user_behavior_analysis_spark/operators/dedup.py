@@ -250,23 +250,23 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """60-bit SimHash over word frequencies.
 
     bit j = 1 iff sum over words w of cnt(w) * (bit_j(h(w)) ? +1 : -1)
-    is positive. One explode + one groupBy(id) with 60 codegen'd
-    conditional sums — no per-bit row blowup.
+    is positive. The sum is linear in occurrences, so it needs no
+    per-(doc, word) count stage: explode token instances, hash each,
+    and run ONE groupBy(id) with 60 codegen'd conditional +/-1 sums —
+    one shuffle total (partial aggregation compresses map-side).
     """
     words = with_tokens(docs, id_col, text_col).select(
         F.col(id_col), F.explode_outer("tokens").alias("word")
     )
-    wcnt = (words.groupBy(id_col, "word")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("h", md5_long(F.col("word"))))
+    inst = words.withColumn("h", md5_long(F.col("word")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                   F.col("cnt")).otherwise(-F.col("cnt"))
+                   F.lit(1)).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    sums = wcnt.groupBy(id_col).agg(*bit_sums)
+    sums = inst.groupBy(id_col).agg(*bit_sums)
     sim = None
     for j in range(SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0,
