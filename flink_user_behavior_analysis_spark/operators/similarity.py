@@ -259,11 +259,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     The centroid set is the corpus rows with id % centroid_mod == 0 —
     a stateless, reproducible quantizer (a trained k-means would drop
     in the same slot; determinism is what the oracle gate needs).
-    Assignment and scoring use the same DOUBLE left-fold expressions as
-    the exact operators so both engines agree bit-for-bit; at real
-    scale swap the assignment stage for the numpy path
-    (brute_force_topk_arrow's scan) and persist the assignment as a
-    bucketed table — the probe join is then a pruned partition read.
+    Query probing keeps the DOUBLE left-fold expressions (the query
+    set is small); the corpus assignment — the O(|corpus| x |cents|)
+    stage — runs as an Arrow/numpy scan (the folds are CodegenFallback
+    and evaluate interpreted: 805k pairs x 64 dims measured 2.8 s at
+    sf0.1, vs ~0.5 s for the BLAS scan). At real scale persist the
+    assignment as a table bucketed by cent_id — the probe join is then
+    a pruned partition read.
 
     Recall tuning: nprobe up, centroid_mod up (more, smaller lists).
     """
@@ -292,7 +294,45 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 .where(F.col("_crnk") <= topn)
                 .drop("_ccos", "_crnk"))
 
-    corpus_assigned = nearest(corpus, "c", 1)
+    def assign_arrow(side: DataFrame, prefix: str) -> DataFrame:
+        # centroid matrix is broadcast state (small by construction:
+        # |corpus| / centroid_mod rows); rows sorted by cent_id so
+        # argmax's first-max matches the cent_id-asc tiebreak of the
+        # SQL form and the oracle
+        import numpy as np
+
+        cent_rows = cents.select("cent_id", "cent_vec").orderBy("cent_id").collect()
+        c_ids = np.array([int(r[0]) for r in cent_rows], dtype="int64")
+        c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+        c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+        out_schema = StructType([
+            StructField(f"{prefix}_id", LongType()),
+            StructField(f"{prefix}_vec", side.schema[vec_col].dataType),
+            StructField(f"{prefix}_norm", DoubleType()),
+            StructField("cent_id", LongType()),
+        ])
+
+        def _scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                x = np.array([np.asarray(e, dtype=np.float64)
+                              for e in pdf.iloc[:, 1]])
+                norms = np.linalg.norm(x, axis=1)
+                best = np.argmax((x / norms[:, None]) @ c_mat.T, axis=1)
+                yield pd.DataFrame({
+                    f"{prefix}_id": pdf.iloc[:, 0].to_numpy().astype("int64"),
+                    f"{prefix}_vec": pdf.iloc[:, 1],
+                    f"{prefix}_norm": norms,
+                    "cent_id": c_ids[best],
+                })
+
+        return side.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _scan, out_schema
+        )
+
+    corpus_assigned = assign_arrow(corpus, "c")
     query_probes = nearest(queries, "q", nprobe)
     cos = (dot_expr("q_vec", "c_vec")
            / (F.col("q_norm") * F.col("c_norm")))
