@@ -138,3 +138,39 @@ def test_sessionize_gap_boundary(spark, gaps):
         prev = s
     sessions.append((start * US, prev * US, n))
     assert got == sorted(sessions)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lefts=st.lists(st.tuples(ts_secs, st.integers(0, 9)),
+                   min_size=1, max_size=12),
+    rights=st.lists(st.tuples(ts_secs, st.integers(10, 19)),
+                    min_size=0, max_size=12),
+    tol_s=st.integers(min_value=0, max_value=2 * HOUR),
+)
+def test_asof_join_matches_python_reference(spark, lefts, rights, tol_s):
+    """asof_join == 'latest right at-or-before left within tolerance,
+    same-ts rights resolved by max tiebreak' computed directly."""
+    from flink_user_behavior_analysis_spark.operators import asof_join
+
+    left = _df(spark, [(1, _ts(s), e) for s, e in lefts],
+               "k long, ts timestamp, event_id long")
+    right = _df(spark, [(1, _ts(s), e) for s, e in rights],
+                "k long, ts timestamp, event_id long")
+    out = asof_join(left, right, ["k"], "ts", "ts",
+                    right_cols=["event_id"], tolerance_seconds=tol_s,
+                    order_tiebreak=["event_id"])
+    got = sorted((r["ts"], r["event_id"], r["ts_asof"], r["event_id_asof"])
+                 for r in out.collect())
+    want = []
+    for ls, le in lefts:
+        cands = [(rs, re) for rs, re in rights if rs <= ls]
+        if cands:
+            mts = max(rs for rs, _ in cands)
+            mid = max(re for rs, re in cands if rs == mts)
+            if ls - mts <= tol_s:
+                want.append((_ts(ls), le, mts * US, mid))
+                continue
+        want.append((_ts(ls), le, None, None))
+    assert got == sorted(want)
