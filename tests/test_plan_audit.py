@@ -1,0 +1,39 @@
+"""Plan audit (SURVEY §7 step 9 as a regression guard): no Python in
+the hot path.
+
+Every registered query's physical plan must be free of row-at-a-time
+Python (`BatchEvalPython`); Arrow-batched Python stages (MapInPandas /
+FlatMapGroupsInPandas / ArrowEvalPython) are allowed ONLY in the
+queries that deliberately use them for dense math or opaque-binary
+decode. Anything else must stay inside JVM whole-stage codegen.
+"""
+
+import pytest
+
+from flink_user_behavior_analysis_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose design includes an Arrow-batched Python stage
+ARROW_ALLOWED = {
+    "ann_topk",              # BLAS query-matrix scan (mapInPandas)
+    "ann_topk_ivf",          # numpy centroid assignment (mapInPandas)
+    "dedup_embedding_cosine",  # blocked GEMM (applyInPandas)
+    "multimodal_decode",     # decode stub over binary payloads
+    "frame_sample",          # per-media frame expansion
+}
+
+ARROW_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+               "FlatMapCoGroupsInPandas")
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_in_hot_path(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in the plan"
+    )
+    if name not in ARROW_ALLOWED:
+        hits = [n for n in ARROW_NODES if n in plan]
+        assert not hits, f"{name}: unexpected Python stage {hits}"
