@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from .. import schemas
 
@@ -40,9 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        # nanosAsLong only fires for physical TIMESTAMP(NANOS); files
+        # written with micro precision (e.g. tools/make_scale.py output)
+        # need no truncation — only NTZ->TZ normalization (identity on
+        # values with the session pinned to UTC)
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            raw = raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
