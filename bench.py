@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
     "ann_topk",
     "ann_topk_lsh",
     "ann_topk_ivf",

@@ -378,6 +378,58 @@ def cosine_pairs(vecs: DataFrame, threshold: float,
     )
 
 
+def cosine_pairs_lsh(vecs: DataFrame, threshold: float,
+                     planes: int = 4, dims: int = 64,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs (cosine >= threshold) with LSH candidate pruning
+    — the sub-quadratic path for embedding dedup at corpus scale.
+
+    Each vector lands in exactly ONE sign-pattern bucket; one shuffle
+    groups each bucket onto an executor, and an Arrow-batched numpy
+    GEMM scores all intra-bucket pairs at BLAS speed (a SQL bucket
+    self-join + per-pair fold was measured 4x SLOWER than the exact
+    blocked GEMM at 10x sf0.1 — interpreted folds lose to dense math
+    even with 16x fewer pairs). Output has no false positives (exact
+    cosine verify); false negatives are cross-bucket pairs — for
+    cosine >= t the per-plane collision probability is
+    1 - acos(t)/pi, so fewer planes -> higher recall, bigger buckets.
+    At real scale, cap or sub-block degenerate buckets the same way
+    cosine_pairs_blocked blocks the full corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = vecs.select(F.col(id_col), F.col(vec_col)).withColumn(
+        "bucket", lsh_bucket_expr(vec_col, planes, dims)
+    )
+
+    out_schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+    thr = float(threshold)
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy().astype("int64")
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.array([np.asarray(e, dtype=np.float64)
+                      for e in pdf[vec_col].iloc[order]])
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        cos = np.round(x @ x.T, 4)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= thr
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cosine": cos[ia[keep], ib[keep]],
+        })
+
+    return v.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)
+
+
 def cosine_pairs_blocked(vecs: DataFrame, threshold: float,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",

@@ -251,6 +251,47 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_blocked(_embs(spark, sf_dir), COSINE_T)
 
 
+COSINE_LSH_PLANES = 4
+
+
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic variant of dedup_embedding_cosine: LSH-bucketed
+    candidates, exact-cosine verify (operators/similarity.py:
+    cosine_pairs_lsh)."""
+    from .operators.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        _embs(spark, sf_dir), COSINE_T,
+        planes=COSINE_LSH_PLANES, dims=EMB_DIMS,
+    )
+
+
+def _cosine_lsh_sql() -> str:
+    def plane(p: int) -> str:
+        return (
+            f"[(('0x' || substr(md5('{p}_' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            f" / 1000.0 for d in range(0, {EMB_DIMS})]"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {plane(p)}) >= 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END"
+        for p in range(COSINE_LSH_PLANES)
+    )
+    return f"""
+WITH {_D_NORMED},
+hashed AS (
+    SELECT vec_id, e, nrm, {bucket} AS bucket FROM n
+), scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+    FROM hashed a JOIN hashed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {COSINE_T}
+"""
+
+
 _D_NORMED = """
 n AS (
     SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -528,6 +569,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
@@ -546,6 +588,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_clusters": _clusters_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+    "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_lsh": _ann_lsh_sql(),
     "ann_topk_ivf": _ann_ivf_sql(),
