@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_embedding_cosine_lsh",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_lsh_mp",
     "ann_topk_ivf",
     "text_stats",
     "doc_fingerprints",

@@ -210,17 +210,30 @@ def lsh_bucket_expr(vec_col: str, planes: int, dims: int) -> Column:
 def hyperplane_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                         planes: int = 6, dims: int = 64,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        probes: int = 0) -> DataFrame:
     """Approximate cosine top-k: candidates share the query's LSH bucket.
 
-    Recall is tunable via ``planes`` (fewer planes -> bigger buckets ->
-    higher recall, more compute). The bucket equality join shuffles on
-    the bucket id; at 100 TB add multi-probe (flip one bit) or several
-    independent tables — both are unions of the same join.
+    Recall is tunable two ways: ``planes`` (fewer planes -> bigger
+    buckets -> higher recall, more compute) and ``probes`` —
+    multi-probe LSH: each query also searches the ``probes`` buckets
+    at Hamming distance 1 (one sign bit flipped), recovering neighbors
+    that fell just across a hyperplane. Probing expands only the tiny
+    query side (probes+1 rows per query); the corpus keeps one bucket
+    per vector, so candidates stay unique per (query, neighbor) and
+    the join still shuffles on the bucket id. probes=planes searches
+    every distance-1 bucket.
     """
     q = _normed(queries, id_col, vec_col, "q").withColumn(
         "bucket", lsh_bucket_expr("q_vec", planes, dims)
     )
+    if probes:
+        probe_arr = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+              for p in range(min(probes, planes))],
+        )
+        q = q.withColumn("bucket", F.explode(probe_arr))
     c = _normed(corpus, id_col, vec_col, "c").withColumn(
         "bucket", lsh_bucket_expr("c_vec", planes, dims)
     )

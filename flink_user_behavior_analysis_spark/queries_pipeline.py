@@ -376,6 +376,56 @@ FROM ranked WHERE rnk <= {ANN_K}
 """
 
 
+def q_ann_topk_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of ann_topk_lsh: each query also searches
+    every bucket at Hamming distance 1 (one hyperplane sign flipped),
+    recovering neighbors that fall just across a plane."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return hyperplane_lsh_topk(
+        queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS,
+        probes=LSH_PLANES,
+    )
+
+
+def _ann_lsh_mp_sql() -> str:
+    def plane(p: int) -> str:
+        return (
+            f"[(('0x' || substr(md5('{p}_' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            f" / 1000.0 for d in range(0, {EMB_DIMS})]"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(e, {plane(p)}) >= 0 "
+        f"THEN {1 << p}::BIGINT ELSE 0 END"
+        for p in range(LSH_PLANES)
+    )
+    return f"""
+WITH {_D_NORMED},
+hashed AS (
+    SELECT vec_id, e, nrm, {bucket} AS bucket FROM n
+), probed AS (
+    SELECT vec_id, e, nrm, bucket AS probe
+    FROM hashed WHERE vec_id < {ANN_QUERY_MAX_ID}
+    UNION ALL
+    SELECT vec_id, e, nrm, xor(bucket, (1::BIGINT << p)) AS probe
+    FROM hashed, range(0, {LSH_PLANES}) t(p)
+    WHERE vec_id < {ANN_QUERY_MAX_ID}
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS cos
+    FROM probed q JOIN hashed c
+      ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {ANN_K}
+"""
+
+
 IVF_MOD, IVF_NPROBE = 31, 2
 
 
@@ -572,6 +622,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_lsh_mp": q_ann_topk_lsh_mp,
     "ann_topk_ivf": q_ann_topk_ivf,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -591,6 +642,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_lsh": _ann_lsh_sql(),
+    "ann_topk_lsh_mp": _ann_lsh_mp_sql(),
     "ann_topk_ivf": _ann_ivf_sql(),
     "text_stats": TEXT_STATS_SQL,
     "language_id": _lang_id_sql(),
