@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "text_stats",
     "doc_fingerprints",
+    "doc_split",
     "multimodal_decode",
 ]
 

@@ -1,5 +1,6 @@
 from .asof import asof_join
 from .cluster import connected_components, dedup_clusters
+from .sampling import hash_sample, hash_split, hash_uniform
 from .blacklist import cap_filter_with_warnings
 from .dedup import (
     exact_dedup,
@@ -36,6 +37,9 @@ __all__ = [
     "cap_filter_with_warnings",
     "connected_components",
     "dedup_clusters",
+    "hash_sample",
+    "hash_split",
+    "hash_uniform",
     "consecutive_events",
     "cosine_pairs",
     "cosine_pairs_blocked",

@@ -1,7 +1,9 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Four families, all expressed with built-in column expressions (no
-Python in the hot path — every plan stays inside whole-stage codegen):
+Text families below are expressed with built-in column expressions (no
+Python in the hot path — every plan stays inside whole-stage codegen);
+embedding-based dedup lives in operators/similarity.py and clustering
+of the resulting pairs in operators/cluster.py:
 
 - exact_dedup:        md5 over normalized text, keep-lowest-id groups
 - ngram_jaccard_pairs: exact pairwise Jaccard over word n-gram shingles

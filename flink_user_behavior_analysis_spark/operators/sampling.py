@@ -1,0 +1,59 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines: every row's fate is a pure function of (seed, id), so
+splits are reproducible across runs, engines, and cluster sizes —
+no RNG state, no per-partition seeds, no reshuffle sensitivity.
+
+u(id) = md5_long(seed || ':' || id) / 2^60 is uniform on [0, 1); both
+Spark and DuckDB compute it bit-identically (the repo's portable
+60-bit md5 hash), so assignments are oracle-checkable. At 100 TB this
+is a narrow projection + scan (no shuffle, no state): the split
+column can be computed at read time or written once as a partition
+column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_long
+
+_HASH_SPACE = float(1 << 60)
+
+
+def hash_uniform(id_col: str, seed: str) -> Column:
+    """Deterministic uniform [0, 1) from (seed, id)."""
+    return md5_long(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    ) / F.lit(_HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str,
+                seed: str = "sample") -> DataFrame:
+    """Keep ~rate of rows, deterministically (u < rate)."""
+    return df.where(hash_uniform(id_col, seed) < rate)
+
+
+def hash_split(df: DataFrame, splits: Sequence[tuple[str, float]],
+               id_col: str, seed: str = "split") -> DataFrame:
+    """Assign each row to a named split with the given weights.
+
+    ``splits`` is [(name, weight), ...]; weights are normalized.
+    Returns df plus a ``split`` column. Rows never migrate between
+    splits when data is added, repartitioned, or reprocessed — the
+    property training pipelines need to avoid train/test leakage
+    across dataset versions.
+    """
+    total = sum(w for _, w in splits)
+    u = hash_uniform(id_col, seed)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / total
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

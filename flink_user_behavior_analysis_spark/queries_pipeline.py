@@ -311,6 +311,43 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {COSINE_T}
 """
 
 
+SPLIT_SEED = "split"
+SPLIT_WEIGHTS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per document
+    (operators/sampling.py:hash_split) — reproducible across runs,
+    engines, and dataset versions."""
+    from .operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return hash_split(docs, SPLIT_WEIGHTS, "doc_id", seed=SPLIT_SEED)
+
+
+def _doc_split_sql() -> str:
+    # thresholds accumulated EXACTLY as hash_split accumulates them
+    # (float addition: 0.8 + 0.1 is 0.9000000000000001, not 0.9) so
+    # both engines slice [0,1) at identical doubles
+    total = sum(w for _, w in SPLIT_WEIGHTS)
+    cases, acc = [], 0.0
+    for name, w in SPLIT_WEIGHTS[:-1]:
+        acc += w / total
+        cases.append(f"WHEN u < {acc!r} THEN '{name}'")
+    cases.append(f"ELSE '{SPLIT_WEIGHTS[-1][0]}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH u AS (
+    SELECT doc_id,
+           {_D_MD5INT.format(x="'" + SPLIT_SEED + ":' || doc_id::VARCHAR")}
+               / 1152921504606846976.0 AS u
+    FROM documents
+)
+SELECT doc_id, {case} AS split
+FROM u
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +657,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "doc_split": q_doc_split,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_mp": q_ann_topk_lsh_mp,
@@ -640,6 +678,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
+    "doc_split": _doc_split_sql(),
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_lsh": _ann_lsh_sql(),
     "ann_topk_lsh_mp": _ann_lsh_mp_sql(),
