@@ -194,12 +194,20 @@ def hyperplane_weight_expr(plane: int, dims: int) -> str:
     return f"array({vals})"
 
 
-def lsh_bucket_expr(vec_col: str, planes: int, dims: int) -> Column:
-    """Bucket id: bit p set iff dot(vec, plane_p) >= 0."""
+def lsh_bucket_expr(vec_col: str, planes: int, dims: int,
+                    first_plane: int = 0) -> Column:
+    """Bucket id: bit p set iff dot(vec, plane_{first_plane + p}) >= 0.
+
+    ``first_plane`` selects a disjoint plane family per LSH table
+    (table t uses planes [t * planes, (t+1) * planes)), so multi-table
+    OR-construction needs no extra state — every engine regenerates
+    any table's planes from the global plane index alone.
+    """
     bucket = None
     for p in range(planes):
         dot = F.expr(
-            f"aggregate(zip_with({vec_col}, {hyperplane_weight_expr(p, dims)}, "
+            f"aggregate(zip_with({vec_col}, "
+            f"{hyperplane_weight_expr(first_plane + p, dims)}, "
             f"(x, w) -> cast(x AS DOUBLE) * w), cast(0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         term = F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -262,34 +270,44 @@ def hyperplane_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
-             centroid_mod: int = 31, nprobe: int = 2,
+             n_centroids: int = 32, nprobe: int = 2,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """IVF (inverted-file) approximate top-k: a deterministic coarse
     quantizer partitions the corpus into centroid lists; each query
     probes only its ``nprobe`` nearest lists.
 
-    The centroid set is the corpus rows with id % centroid_mod == 0 —
-    a stateless, reproducible quantizer (a trained k-means would drop
-    in the same slot; determinism is what the oracle gate needs).
-    Query probing keeps the DOUBLE left-fold expressions (the query
-    set is small); the corpus assignment — the O(|corpus| x |cents|)
-    stage — runs as an Arrow/numpy scan (the folds are CodegenFallback
-    and evaluate interpreted: 805k pairs x 64 dims measured 2.8 s at
-    sf0.1, vs ~0.5 s for the BLAS scan). At real scale persist the
-    assignment as a table bucketed by cent_id — the probe join is then
-    a pruned partition read.
+    The centroid set is the ``n_centroids`` corpus rows with the
+    smallest md5_long(id) — a stateless, reproducible quantizer whose
+    size is FIXED regardless of corpus size (a trained k-means would
+    drop in the same slot; determinism is what the oracle gate
+    needs). The selection is a top-K by hash, which Spark executes as
+    TakeOrderedAndProject (map-side partial top-K, no global sort);
+    the K rows that reach the driver are O(n_centroids), never
+    O(|corpus|). Query probing keeps the DOUBLE left-fold expressions
+    (the query set is small); the corpus assignment — the
+    O(|corpus| x n_centroids) stage — runs as an Arrow/numpy scan
+    (the folds are CodegenFallback and evaluate interpreted: 805k
+    pairs x 64 dims measured 2.8 s at sf0.1, vs ~0.5 s for the BLAS
+    scan). At real scale persist the assignment as a table bucketed
+    by cent_id — the probe join is then a pruned partition read.
 
-    Recall tuning: nprobe up, centroid_mod up (more, smaller lists).
+    Recall tuning: nprobe up, n_centroids up (more, smaller lists).
     """
     from pyspark.sql import Window
 
-    cents = corpus.where(
-        F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0
-    ).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("cent_vec"),
-        norm_expr(vec_col).alias("cent_norm"),
+    from .dedup import md5_long
+
+    cents = (
+        corpus.select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm_expr(vec_col).alias("cent_norm"),
+        )
+        .withColumn("_h", md5_long(F.col("cent_id").cast("string")))
+        .orderBy("_h", "cent_id")
+        .limit(n_centroids)
+        .drop("_h")
     )
 
     def nearest(side: DataFrame, prefix: str, topn: int) -> DataFrame:
@@ -308,8 +326,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 .drop("_ccos", "_crnk"))
 
     def assign_arrow(side: DataFrame, prefix: str) -> DataFrame:
-        # centroid matrix is broadcast state (small by construction:
-        # |corpus| / centroid_mod rows); rows sorted by cent_id so
+        # centroid matrix is broadcast state (exactly n_centroids rows,
+        # independent of corpus size); rows sorted by cent_id so
         # argmax's first-max matches the cent_id-asc tiebreak of the
         # SQL form and the oracle
         import numpy as np
@@ -391,56 +409,132 @@ def cosine_pairs(vecs: DataFrame, threshold: float,
     )
 
 
+_PAIR_SCHEMA = StructType([
+    StructField("id_a", LongType()),
+    StructField("id_b", LongType()),
+    StructField("cosine", DoubleType()),
+])
+
+
+def _make_block_pair_fn(thr: float):
+    """Blocked-GEMM pair kernel shared by cosine_pairs_blocked and
+    cosine_pairs_lsh: scores side-a x side-b of one (bi, bj) block
+    pair, emitting (id_a < id_b, cosine >= thr). The group key's LAST
+    two fields must be (bi, bj) — leading fields (LSH table, bucket)
+    are ignored, so the same kernel serves both the full-corpus and
+    the per-bucket decompositions.
+    """
+
+    def _block_pairs(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        bi, bj = key[-2], key[-1]
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ids_a = a["vid"].to_numpy()
+        ids_b = b["vid"].to_numpy()
+        xa = np.array([np.asarray(e, dtype=np.float64) for e in a["vec"]])
+        xb = np.array([np.asarray(e, dtype=np.float64) for e in b["vec"]])
+        xa /= np.linalg.norm(xa, axis=1, keepdims=True)
+        xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+        cos = np.round(xa @ xb.T, 4)
+        ia, ib = np.where(cos >= thr)
+        if bi == bj:
+            # same block on both sides: every unordered pair appears in
+            # both orientations — keep exactly the a<b one
+            keep = ids_a[ia] < ids_b[ib]
+            ia, ib = ia[keep], ib[keep]
+            lo, hi = ids_a[ia], ids_b[ib]
+        else:
+            # distinct blocks: each unordered pair appears exactly once;
+            # normalize the id order in the output
+            lo = np.minimum(ids_a[ia], ids_b[ib])
+            hi = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({
+            "id_a": lo.astype("int64"),
+            "id_b": hi.astype("int64"),
+            "cosine": cos[ia, ib],
+        })
+
+    return _block_pairs
+
+
 def cosine_pairs_lsh(vecs: DataFrame, threshold: float,
                      planes: int = 4, dims: int = 64,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     n_blocks: int = 4,
+                     tables: int = 1) -> DataFrame:
     """Near-dup pairs (cosine >= threshold) with LSH candidate pruning
     — the sub-quadratic path for embedding dedup at corpus scale.
 
-    Each vector lands in exactly ONE sign-pattern bucket; one shuffle
-    groups each bucket onto an executor, and an Arrow-batched numpy
-    GEMM scores all intra-bucket pairs at BLAS speed (a SQL bucket
-    self-join + per-pair fold was measured 4x SLOWER than the exact
-    blocked GEMM at 10x sf0.1 — interpreted folds lose to dense math
-    even with 16x fewer pairs). Output has no false positives (exact
-    cosine verify); false negatives are cross-bucket pairs — for
-    cosine >= t the per-plane collision probability is
-    1 - acos(t)/pi, so fewer planes -> higher recall, bigger buckets.
-    At real scale, cap or sub-block degenerate buckets the same way
-    cosine_pairs_blocked blocks the full corpus.
+    Each vector lands in exactly ONE sign-pattern bucket per LSH
+    table; within a bucket, pairs are scored by the same blocked-GEMM
+    decomposition as cosine_pairs_blocked, keyed by
+    (table, bucket, bi, bj): each vector is hashed into one of
+    ``n_blocks`` blocks and replicated to the block pairs containing
+    it, so per-task memory is bounded by 2 x |bucket| / n_blocks
+    REGARDLESS of bucket skew — a degenerate bucket (half the corpus
+    sharing a sign pattern) becomes n_blocks(n_blocks+1)/2 bounded
+    tasks instead of one executor-OOM pandas frame. The GEMM runs at
+    BLAS speed (a SQL bucket self-join + per-pair fold was measured
+    4x SLOWER than the exact blocked GEMM at 10x sf0.1 — interpreted
+    folds lose to dense math even with 16x fewer pairs).
+
+    Output has no false positives (exact cosine verify); false
+    negatives are pairs no table buckets together — per plane the
+    collision probability is 1 - acos(t)/pi, so recall is tuned by
+    fewer ``planes`` (bigger buckets) or more ``tables``
+    (OR-construction: table t uses the disjoint plane family
+    [t*planes, (t+1)*planes), a pair survives if ANY table buckets
+    it together; duplicates are dropped on (id_a, id_b)). The output
+    pair set is invariant in ``n_blocks`` (pure decomposition).
     """
-    import numpy as np
-    import pandas as pd
+    v0 = vecs.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    blk = F.pmod(F.col("vid"), F.lit(n_blocks)).cast("int")
+    fn = _make_block_pair_fn(float(threshold))
 
-    v = vecs.select(F.col(id_col), F.col(vec_col)).withColumn(
-        "bucket", lsh_bucket_expr(vec_col, planes, dims)
-    )
-
-    out_schema = StructType([
-        StructField("id_a", LongType()),
-        StructField("id_b", LongType()),
-        StructField("cosine", DoubleType()),
-    ])
-    thr = float(threshold)
-
-    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf[id_col].to_numpy().astype("int64")
-        order = np.argsort(ids)
-        ids = ids[order]
-        x = np.array([np.asarray(e, dtype=np.float64)
-                      for e in pdf[vec_col].iloc[order]])
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        cos = np.round(x @ x.T, 4)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= thr
-        return pd.DataFrame({
-            "id_a": ids[ia[keep]],
-            "id_b": ids[ib[keep]],
-            "cosine": cos[ia[keep], ib[keep]],
-        })
-
-    return v.groupBy("bucket").applyInPandas(_bucket_pairs, out_schema)
+    per_table = []
+    for t in range(tables):
+        vt = v0.select(
+            "vid", "vec",
+            lsh_bucket_expr("vec", planes, dims, first_plane=t * planes)
+            .alias("bucket"),
+            blk.alias("blk"),
+        )
+        # side A of block pair (blk, j) for j >= blk; side B of (i, blk)
+        # for i <= blk — identical replication scheme to
+        # cosine_pairs_blocked, scoped per bucket
+        as_a = vt.select(
+            "vid", "vec", "bucket", F.col("blk").alias("bi"),
+            F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("bj"),
+            F.lit("a").alias("side"),
+        )
+        as_b = vt.select(
+            "vid", "vec", "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+            F.col("blk").alias("bj"),
+            F.lit("b").alias("side"),
+        )
+        pairs_t = (
+            as_a.unionByName(as_b)
+            .groupBy("bucket", "bi", "bj")
+            .applyInPandas(fn, _PAIR_SCHEMA)
+        )
+        per_table.append(pairs_t)
+    if tables == 1:
+        return per_table[0]
+    out = per_table[0]
+    for pt in per_table[1:]:
+        out = out.unionByName(pt)
+    # a pair found by several tables has the same exact-verified cosine
+    # in each — one dedup shuffle on the pair key
+    return out.dropDuplicates(["id_a", "id_b"])
 
 
 def cosine_pairs_blocked(vecs: DataFrame, threshold: float,
@@ -483,48 +577,6 @@ def cosine_pairs_blocked(vecs: DataFrame, threshold: float,
         F.lit("b").alias("side"),
     )
     tagged = as_a.unionByName(as_b)
-
-    out_schema = StructType([
-        StructField("id_a", LongType()),
-        StructField("id_b", LongType()),
-        StructField("cosine", DoubleType()),
-    ])
-    thr = float(threshold)
-
-    def _block_pairs(key, pdf):
-        import numpy as np
-        import pandas as pd
-
-        bi, bj = key
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
-        a = pdf[pdf["side"] == "a"]
-        b = pdf[pdf["side"] == "b"]
-        if len(a) == 0 or len(b) == 0:
-            return empty
-        ids_a = a["vid"].to_numpy()
-        ids_b = b["vid"].to_numpy()
-        xa = np.array([np.asarray(e, dtype=np.float64) for e in a["vec"]])
-        xb = np.array([np.asarray(e, dtype=np.float64) for e in b["vec"]])
-        xa /= np.linalg.norm(xa, axis=1, keepdims=True)
-        xb /= np.linalg.norm(xb, axis=1, keepdims=True)
-        cos = np.round(xa @ xb.T, 4)
-        ia, ib = np.where(cos >= thr)
-        if bi == bj:
-            # same block on both sides: every unordered pair appears in
-            # both orientations — keep exactly the a<b one
-            keep = ids_a[ia] < ids_b[ib]
-            ia, ib = ia[keep], ib[keep]
-            lo, hi = ids_a[ia], ids_b[ib]
-        else:
-            # distinct blocks: each unordered pair appears exactly once;
-            # normalize the id order in the output
-            lo = np.minimum(ids_a[ia], ids_b[ib])
-            hi = np.maximum(ids_a[ia], ids_b[ib])
-        return pd.DataFrame({
-            "id_a": lo.astype("int64"),
-            "id_b": hi.astype("int64"),
-            "cosine": cos[ia, ib],
-        })
-
-    return tagged.groupBy("bi", "bj").applyInPandas(_block_pairs, out_schema)
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        _make_block_pair_fn(float(threshold)), _PAIR_SCHEMA
+    )

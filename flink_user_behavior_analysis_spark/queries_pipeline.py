@@ -256,14 +256,71 @@ COSINE_LSH_PLANES = 4
 
 def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic variant of dedup_embedding_cosine: LSH-bucketed
-    candidates, exact-cosine verify (operators/similarity.py:
-    cosine_pairs_lsh)."""
+    candidates, blocked-GEMM scoring within buckets so per-task memory
+    is bounded by block size even on degenerate buckets
+    (operators/similarity.py:cosine_pairs_lsh). The pair set is
+    invariant in n_blocks, so the single-bucket-join oracle still
+    matches."""
     from .operators.similarity import cosine_pairs_lsh
 
     return cosine_pairs_lsh(
         _embs(spark, sf_dir), COSINE_T,
-        planes=COSINE_LSH_PLANES, dims=EMB_DIMS,
+        planes=COSINE_LSH_PLANES, dims=EMB_DIMS, n_blocks=4,
     )
+
+
+COSINE_LSH_TABLES = 2
+
+
+def q_dedup_embedding_cosine_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table OR-construction variant: a pair is a candidate if
+    ANY of the ``COSINE_LSH_TABLES`` independent plane families
+    buckets it together — recall rises from ~(collision)^1 to
+    1-(1-collision)^tables at the cost of one extra hash+shuffle per
+    table and a pair-key dedup."""
+    from .operators.similarity import cosine_pairs_lsh
+
+    return cosine_pairs_lsh(
+        _embs(spark, sf_dir), COSINE_T,
+        planes=COSINE_LSH_PLANES, dims=EMB_DIMS, n_blocks=4,
+        tables=COSINE_LSH_TABLES,
+    )
+
+
+def _cosine_lsh_mt_sql() -> str:
+    def plane(p: int) -> str:
+        return (
+            f"[(('0x' || substr(md5('{p}_' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            f" / 1000.0 for d in range(0, {EMB_DIMS})]"
+        )
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(e, {plane(t * COSINE_LSH_PLANES + p)}) >= 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0 END"
+            for p in range(COSINE_LSH_PLANES)
+        )
+
+    buckets = ",\n           ".join(
+        f"{bucket(t)} AS b{t}" for t in range(COSINE_LSH_TABLES)
+    )
+    any_match = " OR ".join(
+        f"a.b{t} = b.b{t}" for t in range(COSINE_LSH_TABLES)
+    )
+    return f"""
+WITH {_D_NORMED},
+hashed AS (
+    SELECT vec_id, e, nrm,
+           {buckets}
+    FROM n
+), scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+    FROM hashed a JOIN hashed b
+      ON ({any_match}) AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {COSINE_T}
+"""
 
 
 def _cosine_lsh_sql() -> str:
@@ -463,7 +520,7 @@ FROM ranked WHERE rnk <= {ANN_K}
 """
 
 
-IVF_MOD, IVF_NPROBE = 31, 2
+IVF_K, IVF_NPROBE = 32, 2
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +529,7 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
     return ivf_topk(queries, embs, ANN_K,
-                    centroid_mod=IVF_MOD, nprobe=IVF_NPROBE)
+                    n_centroids=IVF_K, nprobe=IVF_NPROBE)
 
 
 def _ann_ivf_sql() -> str:
@@ -480,7 +537,9 @@ def _ann_ivf_sql() -> str:
 WITH {_D_NORMED},
 cents AS (
     SELECT vec_id AS cent_id, e AS cent_vec, nrm AS cent_norm
-    FROM n WHERE vec_id % {IVF_MOD} = 0
+    FROM n
+    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+    LIMIT {IVF_K}
 ), c_assign AS (
     SELECT * FROM (
         SELECT n.vec_id AS c_id, n.e AS c_vec, n.nrm AS c_norm, cents.cent_id,
@@ -657,6 +716,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+    "dedup_embedding_cosine_lsh_mt": q_dedup_embedding_cosine_lsh_mt,
     "doc_split": q_doc_split,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
@@ -678,6 +738,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
+    "dedup_embedding_cosine_lsh_mt": _cosine_lsh_mt_sql(),
     "doc_split": _doc_split_sql(),
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_lsh": _ann_lsh_sql(),

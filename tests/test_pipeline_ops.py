@@ -75,6 +75,45 @@ def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
         pass
 
 
+def test_cosine_lsh_invariant_in_n_blocks(spark, sf_dir):
+    """The blocked-within-bucket decomposition is pure parallelism:
+    the pair set must be byte-identical for any n_blocks."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        cosine_pairs_lsh,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    one = {(r.id_a, r.id_b, r.cosine)
+           for r in cosine_pairs_lsh(embs, 0.4, n_blocks=1).collect()}
+    four = {(r.id_a, r.id_b, r.cosine)
+            for r in cosine_pairs_lsh(embs, 0.4, n_blocks=4).collect()}
+    seven = {(r.id_a, r.id_b, r.cosine)
+             for r in cosine_pairs_lsh(embs, 0.4, n_blocks=7).collect()}
+    assert one == four == seven
+    assert one, "smoke data should contain near-dup embeddings"
+
+
+def test_cosine_lsh_multitable_recall(spark, sf_dir):
+    """OR-construction: tables=2 finds every tables=1 pair plus
+    (possibly) cross-bucket pairs table 0 missed; everything it emits
+    is a true >= threshold pair with the exact cosine."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        cosine_pairs_blocked,
+        cosine_pairs_lsh,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    single = {(r.id_a, r.id_b): r.cosine
+              for r in cosine_pairs_lsh(embs, 0.4, tables=1).collect()}
+    multi = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs_lsh(embs, 0.4, tables=2).collect()}
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs_blocked(embs, 0.4).collect()}
+    assert set(single) <= set(multi) <= set(exact)
+    for key, cos in multi.items():
+        assert abs(exact[key] - cos) < 1e-9
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     """IVF with nprobe=2 should recall a solid share of true top-5
     neighbors and score candidates with the exact cosine."""
