@@ -181,7 +181,12 @@ def file_replay_stream(
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .parquet(glob_path)
         )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # mirror load_table: only a physically-nanos file reads as int64
+        # and needs truncation; a micro-precision rewrite (e.g.
+        # tools/make_scale.py output) arrives as TimestampType already
+        if isinstance(raw_schema["ts"].dataType, LongType):
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     batch = load_table(spark, sf_dir, name)
     return (
         spark.readStream.schema(batch.schema)

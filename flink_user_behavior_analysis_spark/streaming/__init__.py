@@ -12,11 +12,13 @@ from .stateful import (
     cap_filter_stateful,
     consecutive_fail_stateful,
     order_timeout_stateful,
+    reconcile_stateful,
 )
 
 __all__ = [
     "cap_filter_stateful",
     "consecutive_fail_stateful",
+    "reconcile_stateful",
     "hot_items_counts_stream",
     "marketing_by_channel_stream",
     "order_timeout_stateful",

@@ -154,6 +154,129 @@ def cap_filter_stateful(
     )
 
 
+def reconcile_stateful(
+    events: DataFrame,
+    lower_seconds: float,
+    upper_seconds: float,
+    key_cols: tuple[str, str] = ("user_id", "item_id"),
+    type_col: str = "event_type",
+    left_value: str = "purchase",
+    right_value: str = "click",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming J2: full-outer two-stream reconciliation with
+    unmatched routing — the streaming twin of operators/joins.py
+    ``reconcile`` (reference TxPayMatch.java:65-170: CoProcessFunction
+    with per-side state + timers; side outputs :71-73).
+
+    Both sides buffer in keyed state. A new left (pay) emits
+    ``matched`` against every buffered right (receipt) with
+    receipt_ts - pay_ts in [lower, upper] — ALL qualifying pairs, the
+    same join (not 1:1 matching) semantics as the batch twin — and
+    vice versa. A buffered pay can match no future receipt once the
+    watermark passes pay_ts + upper, so it expires then, emitting
+    ``unmatched_pay`` if it never matched; a receipt expires at
+    receipt_ts - lower with ``unmatched_receipt``. Expiry runs against
+    GroupState.getCurrentWatermarkMs() on every invocation, plus an
+    event-time timer at the earliest pending deadline so idle keys
+    still flush — exactly the reference's per-side ValueState + timer
+    shape, with state bounded by the band width per key.
+    """
+    out_schema = StructType([
+        StructField("kind", StringType()),
+        StructField("user_id", LongType()),
+        StructField("item_id", LongType()),
+        StructField("pay_us", LongType()),
+        StructField("receipt_us", LongType()),
+    ])
+    # per-side buffer packed as "ts_us:matched_flag," strings — a few
+    # band-widths of events per key, never unbounded
+    state_schema = StructType([
+        StructField("pays", StringType()),
+        StructField("receipts", StringType()),
+    ])
+    lo_us = int(lower_seconds * US)
+    hi_us = int(upper_seconds * US)
+    cols = ["kind", "user_id", "item_id", "pay_us", "receipt_us"]
+
+    def _unpack(packed: str) -> list[list[int]]:
+        return [[int(a), int(b)] for a, b in
+                (e.split(":") for e in packed.split(",") if e)]
+
+    def _pack(buf: list[list[int]]) -> str:
+        return ",".join(f"{t}:{m}" for t, m in buf)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        pays, receipts = ([], [])
+        if state.exists:
+            p_packed, r_packed = state.get
+            pays, receipts = _unpack(p_packed), _unpack(r_packed)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["__ts_us", "__ord"])
+            for ts_us, etype in zip(pdf["__ts_us"], pdf["__etype"]):
+                ts_us = int(ts_us)
+                matched = 0
+                if etype == "l":
+                    for r in receipts:
+                        if lo_us <= r[0] - ts_us <= hi_us:
+                            out.append(("matched", key[0], key[1], ts_us, r[0]))
+                            r[1] = matched = 1
+                    pays.append([ts_us, matched])
+                else:
+                    for p in pays:
+                        if lo_us <= ts_us - p[0] <= hi_us:
+                            out.append(("matched", key[0], key[1], p[0], ts_us))
+                            p[1] = matched = 1
+                    receipts.append([ts_us, matched])
+        # expire: a pay's last eligible receipt is pay+upper, a
+        # receipt's last eligible pay is receipt-lower — both decided
+        # once the watermark passes the deadline
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        live_p, live_r = [], []
+        for t, m in pays:
+            if t + hi_us <= wm_us:
+                if not m:
+                    out.append(("unmatched_pay", key[0], key[1], t, None))
+            else:
+                live_p.append([t, m])
+        for t, m in receipts:
+            if t - lo_us <= wm_us:
+                if not m:
+                    out.append(("unmatched_receipt", key[0], key[1], None, t))
+            else:
+                live_r.append([t, m])
+        if not live_p and not live_r:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((_pack(live_p), _pack(live_r)))
+            deadline_us = min([t + hi_us for t, _ in live_p]
+                              + [t - lo_us for t, _ in live_r])
+            state.setTimeoutTimestamp(
+                max(deadline_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    prepared = events.where(
+        F.col(type_col).isin(left_value, right_value)
+    ).select(
+        F.col(key_cols[0]),
+        F.col(key_cols[1]),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(order_col).alias("__ord"),
+        F.when(F.col(type_col) == left_value, F.lit("l"))
+        .otherwise(F.lit("r")).alias("__etype"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def order_timeout_stateful(
     events: DataFrame,
     timeout_seconds: int,

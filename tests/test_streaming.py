@@ -17,6 +17,7 @@ from flink_user_behavior_analysis_spark.streaming import (
     marketing_by_channel_stream,
     order_timeout_stateful,
     page_views_stream,
+    reconcile_stateful,
     run_available_now,
     run_topn_foreach_batch,
     stream_events,
@@ -99,6 +100,35 @@ def test_cap_filter_stateful_equals_batch(spark, sf_dir):
     got = run_available_now(cap_filter_stateful(ev, cap=3), "append")
     want = Q.QUERIES["blacklist_warnings"](spark, sf_dir)
     _assert_same(got, want, ["user_id", "behavior", "day", "warning_msg"])
+
+
+def test_reconcile_stateful_equals_batch(spark, sf_dir):
+    """J2 streaming twin: matched pairs are watermark-independent
+    (emitted the moment the later side arrives) so the matched leg must
+    equal the batch reconcile exactly; unmatched legs emit only once
+    the watermark passes the deadline, so every emitted unmatched row
+    must appear in the batch result (keys with deadlines beyond the
+    final watermark may legitimately stay open, like a Flink job
+    killed at t sees no timers past t)."""
+    ev = stream_events(spark, sf_dir, watermark="0 seconds")
+    ev = ev.withColumn(
+        "item_id", F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    )
+    got = run_available_now(
+        reconcile_stateful(ev, -12 * 3600, 12 * 3600), "append"
+    )
+    want = Q.QUERIES["tx_match"](spark, sf_dir)
+    cols = ["kind", "user_id", "item_id", "pay_us", "receipt_us"]
+    got_rows = _rows(got, cols)
+    want_rows = _rows(want, cols)
+    assert set(got_rows) <= set(want_rows)
+    got_matched = [r for r in got_rows if r[0] == "matched"]
+    want_matched = [r for r in want_rows if r[0] == "matched"]
+    assert got_matched == want_matched
+    # unmatched rows whose deadline precedes the final watermark fired
+    assert any(r[0] != "matched" for r in got_rows), (
+        "no unmatched row emitted — timers never fired"
+    )
 
 
 def test_order_timeout_stateful_matches_batch_for_closed_keys(spark, sf_dir):
