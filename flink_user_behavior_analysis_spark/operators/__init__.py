@@ -15,7 +15,7 @@ from .dedup import (
 )
 from .joins import interval_join, reconcile
 from .multimodal import decode_media, documents_as_media, frame_sample
-from .patterns import consecutive_events, match_create_pay
+from .patterns import consecutive_events, followed_by, match_create_pay
 from .sessionize import sessionize
 from .skew import salted_join
 from .similarity import (
@@ -47,6 +47,7 @@ __all__ = [
     "doc_fingerprints",
     "documents_as_media",
     "exact_dedup",
+    "followed_by",
     "frame_sample",
     "hyperplane_lsh_topk",
     "interval_join",

@@ -63,6 +63,53 @@ def consecutive_events(
     return runs.where(cond).drop("_run")
 
 
+def followed_by(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    first: Column,
+    second: Column,
+    within_seconds: float,
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """General two-step CEP with RELAXED contiguity: per key, each
+    event matching ``first`` pairs with the EARLIEST strictly-later
+    event matching ``second`` when the gap is <= within_seconds —
+    Flink's ``begin(A).followedBy(B).within(t)`` (OrderTimeout.java:
+    52-60 uses exactly this contiguity; the commented two-step login
+    pattern LoginFailWithCEP.java:48-59 is the n=2 shape). Unlike
+    consecutive_events (strict ``next`` contiguity), non-matching
+    events BETWEEN the two steps do not break the match.
+
+    Window-function form: one shuffle on key_cols; for every row the
+    next ``second``-match timestamp comes from a min over the
+    strictly-following frame in (ts, tiebreak) order, so each
+    qualifying A emits exactly one row — the first-following-B match
+    Flink's NO_SKIP strategy produces. Output: key cols + first_us /
+    second_us (epoch micros).
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreak]
+    w = (Window.partitionBy(*key_cols).orderBy(*order)
+         .rowsBetween(1, Window.unboundedFollowing))
+    flagged = df.withColumn("_ts_us", ts_us)
+    next_b = F.min(F.when(second, F.col("_ts_us"))).over(w)
+    return (
+        flagged.withColumn("_next_b_us", next_b)
+        .where(
+            first
+            & F.col("_next_b_us").isNotNull()
+            & (F.col("_next_b_us") - F.col("_ts_us")
+               <= int(within_seconds * 1_000_000))
+        )
+        .select(
+            *key_cols,
+            F.col("_ts_us").alias("first_us"),
+            F.col("_next_b_us").alias("second_us"),
+        )
+    )
+
+
 def match_create_pay(
     events: DataFrame,
     key_cols: Sequence[str],

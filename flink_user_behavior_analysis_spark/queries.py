@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .operators import (
     cap_filter_with_warnings,
     consecutive_events,
+    followed_by,
     interval_join,
     match_create_pay,
     reconcile,
@@ -321,6 +322,83 @@ WITH seq AS (
 SELECT user_id, first_fail_us, last_fail_us
 FROM seq
 WHERE run = {n} AND last_fail_us - first_fail_us <= {span_s * US}
+"""
+
+
+# =====================================================================
+# C4 — general followedBy CEP (relaxed contiguity): A followedBy B
+# within t over arbitrary predicates
+# reference: OrderTimeout.java:52-60 (followedBy contiguity),
+# LoginFailWithCEP.java:48-59 (commented 2-step login pattern)
+# =====================================================================
+
+FB_SPAN_S = 6 * 3600
+VP_SPAN_S = 24 * 3600
+
+
+def login_fail_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step login-fail pattern with RELAXED contiguity: fail
+    followedBy fail within 6h — interleaved successes do not reset
+    (contrast login_fail, which is the strict ``next`` form)."""
+    is_fail = F.col("event_type") == "error"
+    return followed_by(
+        _events(spark, sf_dir), ["user_id"], "ts",
+        is_fail, is_fail, within_seconds=FB_SPAN_S,
+        order_tiebreak=["event_id"],
+    ).select(
+        "user_id",
+        F.col("first_us").alias("first_fail_us"),
+        F.col("second_us").alias("next_fail_us"),
+    )
+
+
+LOGIN_FAIL_FB_SQL = f"""
+WITH seq AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_us
+    FROM events
+)
+SELECT user_id, ts_us AS first_fail_us, next_b_us AS next_fail_us
+FROM seq
+WHERE event_type = 'error' AND next_b_us IS NOT NULL
+  AND next_b_us - ts_us <= {FB_SPAN_S * US}
+"""
+
+
+def view_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step via the general CEP operator: view followedBy
+    purchase of the same (user, item) within 24h — the J3 create->pay
+    shape expressed through followed_by instead of the dedicated
+    match_create_pay state machine."""
+    ev = _with_item(_events(spark, sf_dir))
+    return followed_by(
+        ev, ["user_id", "item_id"], "ts",
+        F.col("event_type") == "view", F.col("event_type") == "purchase",
+        within_seconds=VP_SPAN_S, order_tiebreak=["event_id"],
+    ).select(
+        "user_id", "item_id",
+        F.col("first_us").alias("view_us"),
+        F.col("second_us").alias("purchase_us"),
+    )
+
+
+VIEW_THEN_PURCHASE_SQL = f"""
+WITH ev AS (
+    SELECT user_id, {DUCK_ITEM} AS item_id, event_type, ts, event_id
+    FROM events
+), seq AS (
+    SELECT user_id, item_id, event_type, epoch_us(ts) AS ts_us,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id, item_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_b_us
+    FROM ev
+)
+SELECT user_id, item_id, ts_us AS view_us, next_b_us AS purchase_us
+FROM seq
+WHERE event_type = 'view' AND next_b_us IS NOT NULL
+  AND next_b_us - ts_us <= {VP_SPAN_S * US}
 """
 
 
@@ -819,6 +897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ad_stats_by_province": ad_stats_by_province,
     "login_fail": login_fail,
     "login_fail_cep": login_fail_cep,
+    "login_fail_fb": login_fail_fb,
+    "view_then_purchase": view_then_purchase,
     "order_timeout": order_timeout,
     "tx_interval_join": tx_interval_join,
     "tx_match": tx_match,
@@ -844,6 +924,8 @@ ORACLES: dict[str, str] = {
     "ad_stats_by_province": AD_STATS_SQL,
     "login_fail": _login_fail_sql(2, 6 * 3600),
     "login_fail_cep": _login_fail_sql(3, 12 * 3600),
+    "login_fail_fb": LOGIN_FAIL_FB_SQL,
+    "view_then_purchase": VIEW_THEN_PURCHASE_SQL,
     "order_timeout": ORDER_TIMEOUT_SQL,
     "tx_interval_join": TX_INTERVAL_JOIN_SQL,
     "tx_match": TX_MATCH_SQL,

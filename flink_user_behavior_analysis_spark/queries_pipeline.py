@@ -405,6 +405,29 @@ FROM u
 """
 
 
+SAMPLE_RATE, SAMPLE_SEED = 0.25, "sample"
+
+
+def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample of documents
+    (operators/sampling.py:hash_sample): u(doc_id) < rate with the
+    portable md5 hash, so the kept set is identical across engines,
+    runs, and cluster layouts — no shuffle, pure scan predicate."""
+    from .operators.sampling import hash_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return hash_sample(docs, SAMPLE_RATE, "doc_id", seed=SAMPLE_SEED)
+
+
+def _sample_docs_sql() -> str:
+    return f"""
+SELECT doc_id
+FROM documents
+WHERE {_D_MD5INT.format(x="'" + SAMPLE_SEED + ":' || doc_id::VARCHAR")}
+      / 1152921504606846976.0 < {SAMPLE_RATE}
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,6 +741,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
     "dedup_embedding_cosine_lsh_mt": q_dedup_embedding_cosine_lsh_mt,
     "doc_split": q_doc_split,
+    "sample_docs": q_sample_docs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_mp": q_ann_topk_lsh_mp,
@@ -740,6 +764,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
     "dedup_embedding_cosine_lsh_mt": _cosine_lsh_mt_sql(),
     "doc_split": _doc_split_sql(),
+    "sample_docs": _sample_docs_sql(),
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_lsh": _ann_lsh_sql(),
     "ann_topk_lsh_mp": _ann_lsh_mp_sql(),

@@ -195,6 +195,22 @@ def file_replay_stream(
     )
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka-0-10 connector is on the session's
+    JVM classpath (public Maven coordinates
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version> — add
+    via --packages on a real cluster). The end-to-end integration test
+    (tests/test_kafka_integration.py) keys off this and a broker env
+    var, skipping cleanly offline."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # pragma: no cover - env-dependent
+        return False
+
+
 def kafka_source(
     spark: SparkSession,
     brokers: str,

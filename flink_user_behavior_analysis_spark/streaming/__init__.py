@@ -4,6 +4,7 @@ from .jobs import (
     page_views_stream,
     run_available_now,
     run_topn_foreach_batch,
+    run_with_late_channel,
     stream_events,
     tx_interval_join_stream,
     unique_visitors_stream,
@@ -25,6 +26,7 @@ __all__ = [
     "page_views_stream",
     "run_available_now",
     "run_topn_foreach_batch",
+    "run_with_late_channel",
     "stream_events",
     "tx_interval_join_stream",
     "unique_visitors_stream",

@@ -152,6 +152,64 @@ def run_available_now(
     return sdf.sparkSession.table(name)
 
 
+def run_with_late_channel(
+    raw_sdf: DataFrame,
+    delay_seconds: float,
+    compute,
+    ts_col: str = "ts",
+) -> dict[str, DataFrame]:
+    """Late-row side channel (reference HotPage.java:66,76-77: elements
+    later than watermark+allowedLateness go to a side output; SURVEY
+    section 4 flags this as custom work — Spark drops late rows
+    silently, so the side channel has to be built at the source).
+
+    Drains a bounded RAW stream via foreachBatch, reproducing Spark's
+    watermark rule on the driver: the watermark for batch N is
+    max(event time through batch N-1) - delay. Rows of batch N with
+    ts < watermark are routed to the ``late`` leg; on-time rows feed
+    ``compute`` (a batch-DataFrame -> DataFrame query) for the
+    ``result`` leg — so the main result is exactly the batch recompute
+    over the rows a watermarked streaming agg would have accepted,
+    and nothing is silently dropped.
+
+    Bounded-replay harness (like run_topn_foreach_batch): per-batch
+    rows are collected to the driver. An unbounded production run
+    would instead write both legs to keyed sinks from inside
+    foreachBatch.
+    """
+    spark = raw_sdf.sparkSession
+    delay_us = int(delay_seconds * 1_000_000)
+    holder: dict = {"wm_us": None, "late": [], "on_time": [],
+                    "schema": raw_sdf.schema}
+
+    def _split(batch_df: DataFrame, _bid: int) -> None:
+        wm = holder["wm_us"]
+        ts_us = F.unix_micros(F.col(ts_col))
+        if wm is None:
+            late_rows, ontime = [], batch_df
+        else:
+            late_rows = batch_df.where(ts_us < F.lit(wm)).collect()
+            ontime = batch_df.where(ts_us >= F.lit(wm))
+        ontime_rows = ontime.collect()
+        holder["late"].extend(late_rows)
+        holder["on_time"].extend(ontime_rows)
+        mx = batch_df.agg(F.max(ts_us)).first()[0]
+        if mx is not None:
+            new_wm = mx - delay_us
+            holder["wm_us"] = new_wm if wm is None else max(wm, new_wm)
+
+    q = (
+        raw_sdf.writeStream.outputMode("append")
+        .foreachBatch(_split)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    on_time_df = spark.createDataFrame(holder["on_time"], holder["schema"])
+    late_df = spark.createDataFrame(holder["late"], holder["schema"])
+    return {"result": compute(on_time_df), "late": late_df}
+
+
 def run_topn_foreach_batch(
     counts_sdf: DataFrame,
     n: int,

@@ -1,0 +1,104 @@
+"""Late-row side channel (SURVEY section 4 custom work; reference
+HotPage.java:66,76-77): replay events out of order across two files so
+the second batch carries rows older than the watermark, and assert
+they land in the ``late`` frame while the main result equals the batch
+recompute over the on-time rows."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from flink_user_behavior_analysis_spark.operators import windowed_count
+from flink_user_behavior_analysis_spark.sources import load_table
+from flink_user_behavior_analysis_spark.streaming import run_with_late_channel
+
+DELAY_S = 3600  # allowed lateness: 1 hour
+
+
+def _two_file_replay_dir(spark, sf_dir, tmp_path):
+    """Split events into two parquet files replayed in order: file 0
+    (most rows, includes the global max ts), then file 1 (a sample
+    spread over the whole time range — its old rows arrive 'late')."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.where(F.col("event_id") % 5 != 0)
+    second = ev.where(F.col("event_id") % 5 == 0)
+    stream_dir = tmp_path / "replay"
+    stream_dir.mkdir()
+    for i, part in enumerate((first, second)):
+        out = tmp_path / f"stage_{i}"
+        part.coalesce(1).write.parquet(str(out))
+        (src,) = glob.glob(str(out / "part-*.parquet"))
+        dst = stream_dir / f"{i:02d}.parquet"
+        shutil.copy(src, dst)
+        # FileStreamSource drains oldest-mtime first — pin the order
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    return stream_dir, first, second
+
+
+def test_late_rows_routed_to_side_channel(spark, sf_dir, tmp_path):
+    stream_dir, first, second = _two_file_replay_dir(spark, sf_dir, tmp_path)
+    raw = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+
+    def compute(on_time):
+        return windowed_count(
+            on_time.where(F.col("event_type") == "click"),
+            "ts", ["user_id"], "1 hour", "1 hour",
+        )
+
+    legs = run_with_late_channel(raw, DELAY_S, compute)
+
+    # expected late set: batch-2 rows older than wm = max ts(batch 1) - delay
+    max_us_1 = first.agg(F.max(F.unix_micros("ts"))).first()[0]
+    wm_us = max_us_1 - DELAY_S * 1_000_000
+    expect_late = {
+        r.event_id
+        for r in second.where(F.unix_micros("ts") < F.lit(wm_us)).collect()
+    }
+    got_late = {r.event_id for r in legs["late"].collect()}
+    assert got_late == expect_late
+    assert got_late, "replay should produce late rows (else the test is vacuous)"
+
+    # main result == batch recompute over exactly the on-time rows
+    on_time = first.unionByName(
+        second.where(F.unix_micros("ts") >= F.lit(wm_us))
+    )
+    want = compute(on_time)
+    got = legs["result"]
+    key = lambda df: sorted(
+        (r.window_end_us, r.user_id, r.cnt) for r in df.collect()
+    )
+    assert key(got) == key(want)
+
+
+def test_late_channel_empty_when_delay_covers_disorder(spark, sf_dir, tmp_path):
+    """With allowed lateness wider than the replay's disorder, nothing
+    is late and the result equals the full batch query."""
+    stream_dir, first, second = _two_file_replay_dir(spark, sf_dir, tmp_path)
+    raw = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    span_us = load_table(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+    ).first()[0]
+
+    def compute(on_time):
+        return windowed_count(
+            on_time.where(F.col("event_type") == "click"),
+            "ts", ["user_id"], "1 hour", "1 hour",
+        )
+
+    legs = run_with_late_channel(raw, span_us / 1_000_000 + 1, compute)
+    assert legs["late"].count() == 0
+    want = compute(load_table(spark, sf_dir, "events"))
+    key = lambda df: sorted(
+        (r.window_end_us, r.user_id, r.cnt) for r in df.collect()
+    )
+    assert key(legs["result"]) == key(want)

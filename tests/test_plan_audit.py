@@ -19,7 +19,8 @@ ARROW_ALLOWED = {
     "ann_topk",              # BLAS query-matrix scan (mapInPandas)
     "ann_topk_ivf",          # numpy centroid assignment (mapInPandas)
     "dedup_embedding_cosine",  # blocked GEMM (applyInPandas)
-    "dedup_embedding_cosine_lsh",  # per-bucket GEMM (applyInPandas)
+    "dedup_embedding_cosine_lsh",  # per-bucket blocked GEMM (applyInPandas)
+    "dedup_embedding_cosine_lsh_mt",  # same, one stage per LSH table
     "multimodal_decode",     # decode stub over binary payloads
     "frame_sample",          # per-media frame expansion
 }

@@ -174,3 +174,21 @@ def test_asof_join_matches_python_reference(spark, lefts, rights, tol_s):
                 continue
         want.append((_ts(ls), le, None, None))
     assert got == sorted(want)
+
+
+def test_followed_by_relaxed_contains_strict(spark, sf_dir):
+    """Every strict-contiguity (next) two-fail match is also a relaxed
+    (followedBy) match: with no event between them, the earliest
+    following fail IS the immediately-next one."""
+    from flink_user_behavior_analysis_spark import queries as Q
+
+    strict = {
+        (r.user_id, r.first_fail_us, r.last_fail_us)
+        for r in Q.QUERIES["login_fail"](spark, sf_dir).collect()
+    }
+    relaxed = {
+        (r.user_id, r.first_fail_us, r.next_fail_us)
+        for r in Q.QUERIES["login_fail_fb"](spark, sf_dir).collect()
+    }
+    assert strict, "smoke data should contain strict two-fail runs"
+    assert strict <= relaxed
