@@ -65,11 +65,16 @@ def main() -> None:
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        release_signature_cache,
+    )
+
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is not None:
             try:
                 fn(spark, warm_dir).count()
+                release_signature_cache()
             except Exception as exc:  # pragma: no cover
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
@@ -82,6 +87,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # drop this query's persisted signature frames before timing
+        # the next one — a long-lived session must not accumulate blocks
+        release_signature_cache()
         print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)

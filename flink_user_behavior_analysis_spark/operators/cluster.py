@@ -61,6 +61,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -81,8 +82,19 @@ def connected_components(
             F.sum(F.col("comp").cast("decimal(38,0)"))
         ).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # min-label propagation needs ~graph-diameter rounds; returning
+        # silently here would hand back WRONG cluster ids for any
+        # component with diameter > max_iter (e.g. a long chain)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a component with diameter > max_iter — raise "
+            "max_iter (or switch to the large-star/small-star variant "
+            "noted in dedup_clusters' docstring for deep graphs)"
+        )
     singletons = nodes.select(F.col(id_col).alias("n")).join(
         labels.select("n"), "n", "left_anti"
     ).select("n", F.col("n").cast("long").alias("comp"))

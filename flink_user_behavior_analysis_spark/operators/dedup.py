@@ -33,6 +33,8 @@ should be salted or dropped by a bucket-size cap before the pair join
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -43,6 +45,64 @@ def md5_long(col: Column) -> Column:
     DuckDB equivalent: ('0x' || substr(md5(x), 1, 15))::BIGINT.
     """
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def use_fast_hash() -> bool:
+    """Production knob: SPARK_GRAFT_FAST_HASH=1 swaps the md5-derived
+    signature hash for JVM xxhash64 at the cost of oracle portability
+    (DuckDB has no xxhash64, so fast-hash runs skip the SQL oracles;
+    the LSH/SimHash pair SEMANTICS are hash-agnostic — recall tests
+    hold under either primitive). Read per call so tests can toggle."""
+    return os.environ.get("SPARK_GRAFT_FAST_HASH", "0") == "1"
+
+
+def sig_hash(col: Column) -> Column:
+    """Signature-hash seam for MinHash/SimHash: portable md5_long by
+    default (bit-identical in DuckDB — the oracle-parity tax PERF.md
+    measures at ~5x vs xxhash64); xxhash64 masked into the same
+    non-negative 60-bit domain when fast hashing is enabled.
+
+    Split/sample assignment (operators/sampling.py) deliberately does
+    NOT route through this seam: split stability across engines and
+    dataset versions is the product feature there, so it stays md5.
+    """
+    if use_fast_hash():
+        return F.xxhash64(col).bitwiseAND(F.lit((1 << 60) - 1))
+    return md5_long(col)
+
+
+_CACHED_FRAMES: list[DataFrame] = []
+
+
+def _tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + registration so long-lived sessions can release.
+
+    minhash_lsh_pairs / simhash_pairs persist their signature frames
+    (both sides of a self-join read them); the RETURNED plan still
+    references those blocks, so they cannot be unpersisted inside the
+    operator. Callers that run many queries in one session (Engine,
+    bench loops) call release_signature_cache() after materializing
+    each result; otherwise Spark's LRU eviction reclaims the blocks.
+    """
+    df = df.persist()
+    _CACHED_FRAMES.append(df)
+    return df
+
+
+def release_signature_cache() -> int:
+    """Unpersist every signature/shingle frame cached by the dedup
+    operators since the last release. Safe to call any time AFTER the
+    consuming query has been materialized (collect/count/write);
+    returns the number of frames released."""
+    n = 0
+    for df in _CACHED_FRAMES:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _CACHED_FRAMES.clear()
+    return n
 
 
 def normalized_text(col: str = "text") -> Column:
@@ -170,7 +230,7 @@ def minhash_signatures(docs: DataFrame, k: int = 12,
     sh = with_shingles(docs, id_col, text_col, n)
     ex = sh.select(F.col(id_col), F.explode_outer("shingles").alias("shingle"))
     aggs = [
-        F.min(md5_long(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))))
+        F.min(sig_hash(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))))
         .alias(f"mh{i}")
         for i in range(k)
     ]
@@ -200,7 +260,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, k: int = 12,
     # the explode+groupBy signature subtree per side (the broadcast
     # join leaves no common exchange to reuse). Same design at 100 TB:
     # signatures are the materialized artifact, the joins read them.
-    sigs = minhash_signatures(docs, k, id_col, text_col, n).persist()
+    sigs = _tracked_persist(minhash_signatures(docs, k, id_col, text_col, n))
     # one posexplode projection instead of a bands-way union: the
     # signature subtree exists ONCE in the plan, so the self-join below
     # reuses a single shuffle (union branches would recompute the
@@ -229,7 +289,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, k: int = 12,
                 F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = with_shingles(docs, id_col, text_col, n).persist()
+    sh = _tracked_persist(with_shingles(docs, id_col, text_col, n))
     sha = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -260,7 +320,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     words = with_tokens(docs, id_col, text_col).select(
         F.col(id_col), F.explode_outer("tokens").alias("word")
     )
-    inst = words.withColumn("h", md5_long(F.col("word")))
+    inst = words.withColumn("h", sig_hash(F.col("word")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
@@ -291,7 +351,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # subtree runs once per side (no shared exchange to reuse under a
     # broadcast join). The persisted signature table is also what a
     # 100 TB deployment would materialize.
-    sigs = simhash_signatures(docs, id_col, text_col).persist()
+    sigs = _tracked_persist(simhash_signatures(docs, id_col, text_col))
     chunk_w = SIMHASH_BITS // 4
     # posexplode instead of a 4-way union: one signature subtree in the
     # plan, so the self-join reuses one shuffle instead of recomputing

@@ -148,7 +148,14 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64,
     max_frames fixed-stride byte windows (stand-in for video frame
     extraction — same schema/partitioning shape as the real thing).
 
-    JVM-side: substring on binary + posexplode; no Python.
+    JVM-side: substring on binary + posexplode; no Python. Frames are
+    BYTE windows (the honest semantics for opaque media — a frame
+    boundary has no reason to respect UTF-8); the fingerprint hashes
+    the frame's HEX encoding rather than the raw bytes so the DuckDB
+    oracle can reproduce it exactly for any payload (DuckDB cannot
+    slice or sha256 BLOBs, but both engines produce identical
+    uppercase hex, and hashing hex(bytes) is content-equivalent to
+    hashing the bytes).
     """
     frames = F.expr(
         f"transform(sequence(0, least(n_bytes div {every_n_bytes}, "
@@ -162,5 +169,5 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64,
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.octet_length("frame_bytes").cast("long").alias("frame_len"),
-        F.sha2("frame_bytes", 256).alias("frame_sha256"),
+        F.sha2(F.hex("frame_bytes"), 256).alias("frame_sha256"),
     )

@@ -298,17 +298,30 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     from .dedup import md5_long
 
-    cents = (
+    # one TakeOrderedAndProject job selects the K centroid rows; they
+    # are collected ONCE (K rows — bounded regardless of corpus size)
+    # and both consumers (the broadcast probe join and the numpy
+    # assignment matrix) are rebuilt from the local copy, so the
+    # corpus top-K scan runs exactly once
+    cent_rows = (
         corpus.select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
-            norm_expr(vec_col).alias("cent_norm"),
         )
         .withColumn("_h", md5_long(F.col("cent_id").cast("string")))
         .orderBy("_h", "cent_id")
         .limit(n_centroids)
         .drop("_h")
+        .collect()
     )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        cent_rows,
+        StructType([
+            StructField("cent_id", LongType()),
+            StructField("cent_vec", corpus.schema[vec_col].dataType),
+        ]),
+    ).select("cent_id", "cent_vec", norm_expr("cent_vec").alias("cent_norm"))
 
     def nearest(side: DataFrame, prefix: str, topn: int) -> DataFrame:
         s = _normed(side, id_col, vec_col, prefix)
@@ -327,14 +340,14 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
 
     def assign_arrow(side: DataFrame, prefix: str) -> DataFrame:
         # centroid matrix is broadcast state (exactly n_centroids rows,
-        # independent of corpus size); rows sorted by cent_id so
-        # argmax's first-max matches the cent_id-asc tiebreak of the
-        # SQL form and the oracle
+        # independent of corpus size, already collected); rows sorted
+        # by cent_id so argmax's first-max matches the cent_id-asc
+        # tiebreak of the SQL form and the oracle
         import numpy as np
 
-        cent_rows = cents.select("cent_id", "cent_vec").orderBy("cent_id").collect()
-        c_ids = np.array([int(r[0]) for r in cent_rows], dtype="int64")
-        c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+        by_id = sorted(cent_rows, key=lambda r: int(r[0]))
+        c_ids = np.array([int(r[0]) for r in by_id], dtype="int64")
+        c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in by_id])
         c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
 
         out_schema = StructType([

@@ -16,9 +16,12 @@ result-identical drop-in for an inner equi-join:
 
 Cost: right side x B rows shuffled; left side unchanged. Choose B ~
 (hot-key rows / rows-per-task). The salt derives from a deterministic
-hash of chosen columns (default: a per-row monotonic id), keeping runs
-reproducible — unlike the reference's random.nextInt salting
-(PageView.java:72-73, M1).
+hash of chosen columns (default: xxhash64 over ALL left columns — a
+pure function of row content, so it is identical across retries,
+repartitions, and cluster layouts), keeping runs reproducible —
+unlike the reference's random.nextInt salting (PageView.java:72-73,
+M1). Note salting on the JOIN keys alone would be useless (constant
+within a key); the non-key columns are what spread a hot key.
 """
 
 from __future__ import annotations
@@ -41,12 +44,10 @@ def salted_join(
     Returns the same rows as ``left.join(right, on, 'inner')`` with
     the join key spread over ``salt_buckets`` partitions per key.
     """
-    if salt_on:
-        salt = F.pmod(
-            F.xxhash64(*[F.col(c) for c in salt_on]), F.lit(salt_buckets)
-        )
-    else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    salt_cols = list(salt_on) if salt_on else list(left.columns)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
+    )
     lsalted = left.withColumn("_salt", salt.cast("int"))
     rreplicated = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -101,10 +101,13 @@ def salted_two_stage_count(
     high-cardinality column so results stay reproducible, unlike the
     reference's random.nextInt(10).
     """
+    # default: hash every column — deterministic in row content alone
+    # (monotonically_increasing_id would change with partition layout,
+    # breaking the reproducibility this operator promises)
     salt = (
         F.pmod(F.xxhash64(F.col(salt_col)), F.lit(buckets))
         if salt_col is not None
-        else F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+        else F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
     )
     salted = df.withColumn("_salt", salt)
     partial = windowed_agg(

@@ -625,14 +625,16 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = f"""
 WITH marked AS (
-    SELECT user_id, epoch_us(ts) AS ts_us,
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id,
            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_S * US}
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessioned AS (
+    -- event_id tiebreak: same total order as the lag window and the
+    -- Spark operator, else same-timestamp peers can split differently
     SELECT user_id, ts_us,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
     FROM marked
 )

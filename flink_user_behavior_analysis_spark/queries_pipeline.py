@@ -714,18 +714,24 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n_bytes=64, max_frames=8)
 
 
+# byte-window frames sliced via the hex encoding (2 hex chars per
+# byte) — byte-exact for any payload, unlike character substring on
+# text, which diverges from the operator's byte windows on non-ASCII
 FRAME_SAMPLE_SQL = """
 WITH frames AS (
-    SELECT doc_id AS media_id,
+    SELECT doc_id AS media_id, hex(encode(text)) AS hx,
            unnest(range(0, least(octet_length(encode(text)) // 64, 7) + 1))
                AS frame_idx
     FROM documents
+), sliced AS (
+    SELECT media_id, frame_idx,
+           substring(hx, (frame_idx * 128 + 1)::INT, 128) AS frame_hex
+    FROM frames
 )
-SELECT f.media_id, f.frame_idx::BIGINT AS frame_idx,
-       octet_length(encode(substring(d.text, (f.frame_idx * 64 + 1)::INT, 64)))::BIGINT
-           AS frame_len,
-       sha256(substring(d.text, (f.frame_idx * 64 + 1)::INT, 64)) AS frame_sha256
-FROM frames f JOIN documents d ON f.media_id = d.doc_id
+SELECT media_id, frame_idx::BIGINT AS frame_idx,
+       (length(frame_hex) // 2)::BIGINT AS frame_len,
+       sha256(frame_hex) AS frame_sha256
+FROM sliced
 """
 
 

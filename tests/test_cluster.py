@@ -28,3 +28,23 @@ def test_dedup_clusters_sizes_and_keepers(spark):
     assert all(rows[i]["cluster_size"] == 3 for i in (5, 6, 7))
     assert rows[9]["cluster_id"] == 9 and rows[9]["cluster_size"] == 1
     assert sorted(i for i, r in rows.items() if r["is_keeper"]) == [5, 9]
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain needs ~diameter rounds; exhausting max_iter must raise
+    rather than silently returning wrong labels."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.operators import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+    # and with enough rounds the same chain converges to one component
+    out = connected_components(nodes, edges, max_iter=12)
+    assert {r.component for r in out.collect()} == {0}

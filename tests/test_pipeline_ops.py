@@ -37,6 +37,26 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert lsh <= exact  # verification step removes false positives
 
 
+def test_minhash_lsh_fast_hash_same_recall(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_FAST_HASH=1 swaps md5 for xxhash64 in the signature
+    seam; the verified pair set must still be a no-false-positive
+    subset of the exact Jaccard pairs with near-total recall (the
+    LSH guarantee is hash-agnostic)."""
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, 0.8).collect()
+    }
+    assert lsh <= exact
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 20), missed
+
+
 def test_lsh_topk_subset_of_bruteforce_candidates(spark, sf_dir):
     """LSH top-k returns only true neighbors (cosine values must agree
     with the brute-force scoring for the same pairs)."""
@@ -63,6 +83,31 @@ def test_fake_decode_deterministic_and_shaped(spark, sf_dir):
         assert len(r.feature) == FEATURE_DIM
         expected = _fake_decode(bytes(src[mid]))
         assert all(abs(a - b) < 1e-6 for a, b in zip(r.feature, expected))
+
+
+def test_frame_sample_byte_windows_non_ascii(spark):
+    """Frames are BYTE windows even when a boundary cuts a UTF-8
+    codepoint; the hex-based fingerprint must match a host-side
+    byte-slice reimplementation exactly (regression: a char-based
+    oracle only agreed on ASCII payloads)."""
+    import hashlib
+
+    from flink_user_behavior_analysis_spark.operators import frame_sample
+
+    text = "héllo wörld " * 10  # 140 bytes, boundaries cut codepoints
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = frame_sample(
+        documents_as_media(docs), every_n_bytes=64, max_frames=8
+    ).collect()
+    payload = text.encode()
+    exp = []
+    for i in range(min(len(payload) // 64, 7) + 1):
+        sl = payload[i * 64:(i + 1) * 64]
+        exp.append((1, i, len(sl),
+                    hashlib.sha256(sl.hex().upper().encode()).hexdigest()))
+    got = sorted((r.media_id, r.frame_idx, r.frame_len, r.frame_sha256)
+                 for r in rows)
+    assert got == exp
 
 
 def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
