@@ -83,13 +83,22 @@ def main() -> None:
         fn = Q.QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        # drop this query's persisted signature frames before timing
-        # the next one — a long-lived session must not accumulate blocks
-        release_signature_cache()
+        # min of 2 timed runs: this container is a shared VM and
+        # single-shot walls vary ~1.5x with neighbor load; the min is
+        # the reproducible number (plans are warmed above, so neither
+        # run pays JIT)
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # drop persisted signature frames between timings — a
+            # long-lived session must not accumulate blocks, and run 2
+            # must not read run 1's cache
+            release_signature_cache()
+        per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)

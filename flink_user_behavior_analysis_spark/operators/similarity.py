@@ -401,6 +401,43 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def quantize_embeddings(vecs: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: q_i = floor(x_i * 127 /
+    amax + 0.5) with amax = max |x_i| — the 4x storage/bandwidth
+    reduction an embedding corpus takes before ANN at 100 TB scale
+    (dequantization error <= scale/2 per component, scale = amax/127).
+
+    Pure column expressions (transform/aggregate folds on DOUBLE) —
+    shuffle-free scan, and every arithmetic step is order-identical in
+    DuckDB so the quantized values are oracle-checkable bit-for-bit.
+    Output keeps the int8 codes as an array plus summary stats
+    (q_sum/q_min/q_max) so the oracle can gate on scalars.
+    """
+    amax = F.expr(
+        f"aggregate(transform({vec_col}, x -> abs(cast(x AS DOUBLE))), "
+        f"cast(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+    )
+    v = vecs.select(
+        F.col(id_col), F.col(vec_col), amax.alias("_amax")
+    )
+    q = F.expr(
+        f"transform({vec_col}, x -> CASE WHEN _amax = 0 THEN cast(0 AS BIGINT) "
+        f"ELSE cast(floor(cast(x AS DOUBLE) * 127 / _amax + 0.5) AS BIGINT) END)"
+    )
+    v = v.withColumn("q", q)
+    return v.select(
+        F.col(id_col),
+        F.round(F.col("_amax") / 127, 9).alias("scale"),
+        F.col("q"),
+        F.expr("aggregate(q, cast(0 AS BIGINT), (a, b) -> a + b)").alias("q_sum"),
+        F.array_min("q").cast("long").alias("q_min"),
+        F.array_max("q").cast("long").alias("q_max"),
+        F.size(F.col(vec_col)).cast("long").alias("n_dims"),
+    )
+
+
 def cosine_pairs(vecs: DataFrame, threshold: float,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -112,6 +112,82 @@ def language_id(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def corpus_quantiles(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     probs: tuple[float, ...] = QUANTILE_PROBS) -> DataFrame:
+    """Corpus-level length distribution: exact interpolated quantiles
+    of character and whitespace-token counts — the summary a curation
+    pipeline thresholds against (truncation lengths, short-doc
+    filters).
+
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` use
+    the same linear interpolation on sorted values (verified
+    bit-identical), so the single-row output is oracle-checkable.
+    One pass, partial aggregation; for 100 TB switch to
+    ``approx_percentile`` with a documented error bound — same plan
+    shape, sketch-mergeable.
+    """
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_ws = F.size(F.split(normalized_text(text_col), " ")).cast("double")
+    measured = docs.select(n_chars.alias("_nc"), n_ws.alias("_nt"))
+    aggs = []
+    for p in probs:
+        tag = str(int(p * 100))
+        aggs.append(F.round(F.percentile("_nc", p), 4).alias(f"chars_p{tag}"))
+        aggs.append(F.round(F.percentile("_nt", p), 4).alias(f"tokens_p{tag}"))
+    return measured.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), *aggs
+    )
+
+
+def token_vocab(docs: DataFrame, top_n: int = 100,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-N tokens by document frequency
+    (tokenizer/vocab building over the whole corpus — the aggregation
+    every BPE/WordPiece trainer starts from).
+
+    Output: (token, doc_freq, total_occurrences, rnk), ranked by
+    doc_freq desc with (occurrences desc, token asc) tiebreaks.
+
+    Scale shape: explode -> ONE groupBy(token) computing both counts
+    (distinct docs via count(distinct) would double-shuffle; instead
+    dedupe (doc, token) pairs map-side with a two-level agg), then a
+    global top-N, which Spark executes as TakeOrderedAndProject —
+    per-partition partial top-N, no full sort.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(F.split(normalized_text(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    # level 1: per (doc, token) occurrence counts — one shuffle;
+    # level 2: fold to per-token doc_freq + total — reuses the same
+    # hash partitioning on token? No: level 1 keys by (doc, token),
+    # level 2 by token; but level 1's output is tiny (distinct pairs),
+    # so the second exchange moves orders of magnitude less data than
+    # a count(distinct doc) expansion would.
+    per_doc = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    vocab = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+        F.sum("_occ").cast("long").alias("total_occurrences"),
+    )
+    from pyspark.sql import Window
+
+    order = [F.col("doc_freq").desc(), F.col("total_occurrences").desc(),
+             F.col("token").asc()]
+    # orderBy().limit() compiles to TakeOrderedAndProject (partial
+    # top-N per partition); the rank window then runs over only the
+    # top_n survivors — never a full-vocab single-partition sort
+    top = vocab.orderBy(*order).limit(top_n)
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 3,
                      minhash_k: int = 4) -> DataFrame:

@@ -623,6 +623,19 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "session_id", "session_start_us", "session_end_us", "n_events")
 
 
+def sessionize_users_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessions via Spark's built-in session_window (the
+    streaming-capable engine path; operators/sessionize.py:
+    sessionize_native documents the measure-zero boundary caveat vs
+    the lag+cumsum form — both gate against the same oracle)."""
+    from .operators.sessionize import sessionize_native
+
+    ev = _events(spark, sf_dir)
+    return sessionize_native(ev, ["user_id"], "ts", SESSION_GAP_S).select(
+        "user_id", "session_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
 SESSIONIZE_SQL = f"""
 WITH marked AS (
     SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -907,6 +920,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blacklist_warnings": blacklist_warnings,
     "blacklist_filtered": blacklist_filtered,
     "sessionize_users": sessionize_users,
+    "sessionize_users_native": sessionize_users_native,
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "top_customers_per_segment": top_customers_per_segment,
@@ -934,6 +948,7 @@ ORACLES: dict[str, str] = {
     "blacklist_warnings": BLACKLIST_WARNINGS_SQL,
     "blacklist_filtered": BLACKLIST_FILTERED_SQL,
     "sessionize_users": SESSIONIZE_SQL,
+    "sessionize_users_native": SESSIONIZE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,

@@ -599,6 +599,40 @@ FROM ranked WHERE rnk <= {ANN_K}
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table
+    (operators/similarity.py:quantize_embeddings)."""
+    from .operators.similarity import quantize_embeddings
+
+    # scalar summary columns only: the q array itself is
+    # property-tested (dequant error bound) rather than oracle-hashed
+    return quantize_embeddings(_embs(spark, sf_dir)).select(
+        "vec_id", "scale", "q_sum", "q_min", "q_max", "n_dims"
+    )
+
+
+QUANTIZE_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax,
+           embedding::DOUBLE[] AS e
+    FROM embeddings
+), coded AS (
+    SELECT vec_id, amax,
+           list_transform(e, x -> CASE WHEN amax = 0 THEN 0::BIGINT
+               ELSE floor(x * 127 / amax + 0.5)::BIGINT END) AS qv,
+           len(e) AS n_dims
+    FROM q
+)
+SELECT vec_id, round(amax / 127, 9) AS scale,
+       list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv)::BIGINT AS q_min,
+       list_max(qv)::BIGINT AS q_max,
+       n_dims::BIGINT AS n_dims
+FROM coded
+"""
+
+
 # ------------------------------------------------------------------- text
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +691,68 @@ scored AS (
 SELECT doc_id, {', '.join(f'score_{lg}' for lg in langs)},
        {pred} AS predicted_lang
 FROM scored
+"""
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length-distribution quantiles over the corpus
+    (operators/text.py:corpus_quantiles)."""
+    from .operators.text import corpus_quantiles
+
+    return corpus_quantiles(_docs(spark, sf_dir))
+
+
+def _corpus_quantiles_sql() -> str:
+    from .operators.text import QUANTILE_PROBS
+
+    cols = []
+    for p in QUANTILE_PROBS:
+        tag = str(int(p * 100))
+        cols.append(f"round(quantile_cont(nc, {p}), 4) AS chars_p{tag}")
+        cols.append(f"round(quantile_cont(nt, {p}), 4) AS tokens_p{tag}")
+    return f"""
+WITH {_D_BASE},
+m AS (
+    SELECT length(d.text)::DOUBLE AS nc, len(t.w)::DOUBLE AS nt
+    FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       {', '.join(cols)}
+FROM m
+"""
+
+
+VOCAB_TOP_N = 100
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by document frequency
+    (operators/text.py:token_vocab)."""
+    from .operators.text import token_vocab
+
+    return token_vocab(_docs(spark, sf_dir), top_n=VOCAB_TOP_N)
+
+
+def _token_vocab_sql() -> str:
+    return f"""
+WITH {_D_BASE},
+toks AS (
+    SELECT doc_id, unnest(w) AS token FROM tok
+), nonempty AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), per_doc AS (
+    SELECT doc_id, token, COUNT(*) AS occ
+    FROM nonempty GROUP BY 1, 2
+), vocab AS (
+    SELECT token, COUNT(*)::BIGINT AS doc_freq, sum(occ)::BIGINT AS total_occurrences
+    FROM per_doc GROUP BY 1
+), ranked AS (
+    SELECT *, row_number() OVER (
+        ORDER BY doc_freq DESC, total_occurrences DESC, token) AS rnk
+    FROM vocab
+)
+SELECT token, doc_freq, total_occurrences, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {VOCAB_TOP_N}
 """
 
 
@@ -752,8 +848,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_lsh_mp": q_ann_topk_lsh_mp,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "quantize_embeddings": q_quantize_embeddings,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
+    "token_vocab": q_token_vocab,
+    "corpus_quantiles": q_corpus_quantiles,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -775,8 +874,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_topk_lsh": _ann_lsh_sql(),
     "ann_topk_lsh_mp": _ann_lsh_mp_sql(),
     "ann_topk_ivf": _ann_ivf_sql(),
+    "quantize_embeddings": QUANTIZE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "language_id": _lang_id_sql(),
+    "token_vocab": _token_vocab_sql(),
+    "corpus_quantiles": _corpus_quantiles_sql(),
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
     # multimodal_decode: mapInPandas fake decode — rows-only

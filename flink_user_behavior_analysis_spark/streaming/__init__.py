@@ -5,6 +5,7 @@ from .jobs import (
     run_available_now,
     run_topn_foreach_batch,
     run_with_late_channel,
+    sessionize_stream,
     stream_events,
     tx_interval_join_stream,
     unique_visitors_stream,
@@ -27,6 +28,7 @@ __all__ = [
     "run_available_now",
     "run_topn_foreach_batch",
     "run_with_late_channel",
+    "sessionize_stream",
     "stream_events",
     "tx_interval_join_stream",
     "unique_visitors_stream",

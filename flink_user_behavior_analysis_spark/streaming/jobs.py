@@ -92,6 +92,24 @@ def marketing_by_channel_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_count(ev, "ts", ["channel", "behavior"], "1 hour", "20 minutes")
 
 
+def sessionize_stream(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 30 * 60
+) -> DataFrame:
+    """Gap-based sessionization as a STREAMING aggregation via Spark's
+    native session_window — state-store-backed session merging, the
+    engine feature the batch lag+cumsum form cannot stream (sessions
+    merge as late events arrive; watermark evicts closed sessions).
+    Output matches sessionize_native minus the per-key session index
+    (a global rank is not a streaming aggregation)."""
+    ev = stream_events(spark, sf_dir)
+    win = F.session_window(F.col("ts"), f"{gap_seconds} seconds")
+    return ev.groupBy(win.alias("w"), F.col("user_id")).agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "session_start_us", "session_end_us", "n_events")
+
+
 def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 streaming: stream-stream interval join with watermarks
     (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner

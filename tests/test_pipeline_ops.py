@@ -120,6 +120,21 @@ def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
         pass
 
 
+def test_quantization_error_bound(spark, sf_dir):
+    """int8 quantization reconstructs every component within scale/2
+    (symmetric rounding), and q codes stay in [-127, 127]."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    joined = quantize_embeddings(embs).join(embs, "vec_id").limit(200)
+    for r in joined.collect():
+        assert -127 <= r.q_min <= r.q_max <= 127
+        for x, qi in zip(r.embedding, r.q):
+            assert abs(float(x) - qi * r.scale) <= r.scale / 2 + 1e-6
+
+
 def test_cosine_lsh_invariant_in_n_blocks(spark, sf_dir):
     """The blocked-within-bucket decomposition is pure parallelism:
     the pair set must be byte-identical for any n_blocks."""

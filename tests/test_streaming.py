@@ -19,6 +19,7 @@ from flink_user_behavior_analysis_spark.streaming import (
     page_views_stream,
     reconcile_stateful,
     run_available_now,
+    sessionize_stream,
     run_topn_foreach_batch,
     stream_events,
     tx_interval_join_stream,
@@ -100,6 +101,17 @@ def test_cap_filter_stateful_equals_batch(spark, sf_dir):
     got = run_available_now(cap_filter_stateful(ev, cap=3), "append")
     want = Q.QUERIES["blacklist_warnings"](spark, sf_dir)
     _assert_same(got, want, ["user_id", "behavior", "day", "warning_msg"])
+
+
+def test_sessionize_stream_equals_batch(spark, sf_dir):
+    """Native session_window streaming aggregation == the batch
+    lag+cumsum sessionize on the bounded replay."""
+    got = run_available_now(sessionize_stream(spark, sf_dir))
+    want = Q.QUERIES["sessionize_users"](spark, sf_dir)
+    _assert_same(
+        got, want,
+        ["user_id", "session_start_us", "session_end_us", "n_events"],
+    )
 
 
 def test_reconcile_stateful_equals_batch(spark, sf_dir):
