@@ -45,6 +45,11 @@ HEADLINE = [
     "ann_topk_lsh_mp",
     "ann_topk_ivf",
     "text_stats",
+    "token_vocab",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "contamination",
+    "chunk_docs",
     "doc_fingerprints",
     "doc_split",
     "multimodal_decode",

@@ -57,3 +57,34 @@ def hash_split(df: DataFrame, splits: Sequence[tuple[str, float]],
     last = splits[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def stratified_sample_k(df: DataFrame, key_cols: Sequence[str], k: int,
+                        id_col: str, seed: str = "strat") -> DataFrame:
+    """Exactly min(k, |stratum|) rows per key group, deterministically:
+    rank rows within each stratum by the portable hash of (seed, id)
+    (id tiebreak) and keep rank <= k — a reproducible, engine-portable
+    replacement for reservoir sampling (balanced per-class subsets,
+    eval-set carving).
+
+    Scale shape: ONE shuffle on the stratum key; the rank is a
+    row_number window, which Spark evaluates streaming per partition
+    (no buffering beyond the sort). Skew caveat: a stratum lives in
+    one task — for few/huge strata at 100 TB, pre-filter with an
+    approximate per-stratum hash threshold (hash_uniform < ~k/n_s)
+    before the exact rank so the sort input is O(k) per stratum.
+
+    Returns df plus ``strat_rank`` (1-based within stratum).
+    """
+    from pyspark.sql import Window
+
+    h = md5_long(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("strat_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("strat_rank") <= k)
+    )

@@ -188,6 +188,122 @@ def token_vocab(docs: DataFrame, top_n: int = 100,
     )
 
 
+def _all_grams(tokens_col: str, n: int) -> Column:
+    """ALL word n-grams (with duplicates — unlike shingle_array's
+    distinct set, repetition measurement needs multiplicity); empty
+    array when the document has fewer than n tokens."""
+    t = tokens_col
+    return F.expr(
+        f"CASE WHEN size({t}) < {n} THEN cast(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n}))) END"
+    )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    bigrams covered by the single most frequent bigram, and the
+    fraction of trigrams that occur more than once. High values mark
+    boilerplate/spam that length- and punctuation-based quality
+    scores miss (cf. Rae et al. 2021, "Scaling Language Models",
+    repetition filters C.2).
+
+    Output per doc: n_bigrams, top_bigram_n, top_bigram_frac,
+    n_trigrams, dup_trigram_n, dup_trigram_frac (fracs rounded 4dp;
+    0.0 when the doc is too short to have that gram order).
+
+    Scale shape: both gram orders ride ONE exploded stream tagged by
+    n -> one shuffle on (doc, n, gram) for the occurrence counts, a
+    second tiny shuffle on (doc, n) for the per-doc fold, then a
+    pivot (conditional agg, no extra exchange). Never a per-doc
+    quadratic: multiplicity is counted by groupBy, not by an
+    array-lambda scan over distinct grams.
+    """
+    from .dedup import with_tokens
+
+    toks = with_tokens(docs, id_col, text_col)
+    streams = [
+        toks.select(
+            F.col(id_col), F.lit(n).alias("_n"),
+            F.explode_outer(_all_grams("tokens", n)).alias("_gram"),
+        )
+        for n in (2, 3)
+    ]
+    grams = streams[0].unionByName(streams[1]).where(F.col("_gram").isNotNull())
+    occ = grams.groupBy(id_col, "_n", "_gram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    per = occ.groupBy(id_col, "_n").agg(
+        F.sum("_cnt").alias("total"),
+        F.max("_cnt").alias("topn"),
+        F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0)).alias("dupn"),
+    )
+    wide = per.groupBy(id_col).pivot("_n", [2, 3]).agg(
+        F.first("total").alias("total"),
+        F.first("topn").alias("topn"),
+        F.first("dupn").alias("dupn"),
+    )
+    z = F.lit(0).cast("long")
+    n2 = F.coalesce(F.col("2_total"), z)
+    n3 = F.coalesce(F.col("3_total"), z)
+    top2 = F.coalesce(F.col("2_topn"), z)
+    dup3 = F.coalesce(F.col("3_dupn"), z)
+    return wide.select(
+        F.col(id_col),
+        n2.alias("n_bigrams"),
+        top2.alias("top_bigram_n"),
+        F.round(top2.cast("double") / F.greatest(n2, F.lit(1)), 4
+                ).alias("top_bigram_frac"),
+        n3.alias("n_trigrams"),
+        dup3.alias("dup_trigram_n"),
+        F.round(dup3.cast("double") / F.greatest(n3, F.lit(1)), 4
+                ).alias("dup_trigram_frac"),
+    )
+
+
+def tf_idf_top_terms(docs: DataFrame, k: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Top-k most distinctive terms per document by tf-idf.
+
+    score = tf * (N / df) with plain IEEE division instead of the
+    usual log idf: both engines' `ln` are libm calls with no
+    correctness-of-rounding guarantee, while mul/div are exactly
+    rounded — so the rounded score is bit-identical in DuckDB and the
+    ranking (score desc, token asc on the ROUNDED value) is
+    deterministic across engines.
+
+    Scale shape: one shuffle on (doc, token) for tf, one on token for
+    df (input already distinct pairs — orders of magnitude smaller
+    than the token stream), a token-keyed join of the two, the corpus
+    size N joined in as a broadcast 1-row aggregate (no driver-side
+    count()), then a per-doc top-k window. No collect anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import with_tokens
+
+    toks = with_tokens(docs, id_col, text_col).select(
+        F.col(id_col), F.explode_outer("tokens").alias("token")
+    ).where(F.col("token").isNotNull() & (F.col("token") != ""))
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    scored = tf.join(dfreq, "token").join(F.broadcast(n_docs)).select(
+        F.col(id_col), "token", "tf", "df",
+        F.round(F.col("tf").cast("double") * F.col("_n_docs") / F.col("df"), 4
+                ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return scored.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 3,
                      minhash_k: int = 4) -> DataFrame:

@@ -756,6 +756,182 @@ FROM ranked WHERE rnk <= {VOCAB_TOP_N}
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals
+    (operators/text.py:repetition_stats)."""
+    from .operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+REPETITION_SQL = f"""
+WITH {_D_BASE},
+g2 AS (
+    SELECT doc_id, 2 AS n,
+           unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                  ELSE [array_to_string(w[i:i+1], ' ')
+                        for i in range(1, len(w))] END) AS gram
+    FROM tok
+), g3 AS (
+    SELECT doc_id, 3 AS n,
+           unnest(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                  ELSE [array_to_string(w[i:i+2], ' ')
+                        for i in range(1, len(w) - 1)] END) AS gram
+    FROM tok
+), occ AS (
+    SELECT doc_id, n, gram, COUNT(*) AS cnt
+    FROM (SELECT * FROM g2 UNION ALL SELECT * FROM g3) GROUP BY 1, 2, 3
+), per AS (
+    SELECT doc_id, n, sum(cnt) AS total, max(cnt) AS topn,
+           sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dupn
+    FROM occ GROUP BY 1, 2
+), wide AS (
+    SELECT doc_id,
+           coalesce(max(CASE WHEN n = 2 THEN total END), 0) AS n2,
+           coalesce(max(CASE WHEN n = 2 THEN topn END), 0) AS top2,
+           coalesce(max(CASE WHEN n = 3 THEN total END), 0) AS n3,
+           coalesce(max(CASE WHEN n = 3 THEN dupn END), 0) AS dup3
+    FROM per GROUP BY 1
+)
+SELECT doc_id, n2::BIGINT AS n_bigrams, top2::BIGINT AS top_bigram_n,
+       round(top2::DOUBLE / greatest(n2, 1), 4) AS top_bigram_frac,
+       n3::BIGINT AS n_trigrams, dup3::BIGINT AS dup_trigram_n,
+       round(dup3::DOUBLE / greatest(n3, 1), 4) AS dup_trigram_frac
+FROM wide
+"""
+
+
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 distinctive terms by tf-idf
+    (operators/text.py:tf_idf_top_terms)."""
+    from .operators.text import tf_idf_top_terms
+
+    return tf_idf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+TFIDF_SQL = f"""
+WITH {_D_BASE},
+toks AS (
+    SELECT doc_id, unnest(w) AS token FROM tok
+), ne AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+    SELECT doc_id, token, COUNT(*)::BIGINT AS tf FROM ne GROUP BY 1, 2
+), dfreq AS (
+    SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), nd AS (
+    SELECT COUNT(*)::BIGINT AS n_docs FROM documents
+), scored AS (
+    SELECT t.doc_id, t.token, t.tf, d.df,
+           round(t.tf::DOUBLE * nd.n_docs / d.df, 4) AS tfidf
+    FROM tf t JOIN dfreq d USING (token) CROSS JOIN nd
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+    FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {TFIDF_K}
+"""
+
+
+CONTAM_RATE, CONTAM_N = 0.05, 5
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing a 5-gram with
+    the (hash-split) eval set
+    (operators/contamination.py:ngram_contamination)."""
+    from .operators.contamination import ngram_contamination
+
+    return ngram_contamination(_docs(spark, sf_dir), CONTAM_RATE, CONTAM_N)
+
+
+def _contamination_sql() -> str:
+    u = _D_MD5INT.format(x="'eval:' || doc_id::VARCHAR")
+    n = CONTAM_N
+    return f"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+    FROM documents
+), tok AS (
+    SELECT doc_id, string_split(ntext, ' ') AS w FROM norm
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(w) - {n - 2})])
+           END AS shingles,
+           {u} / 1152921504606846976.0 < {CONTAM_RATE} AS is_eval
+    FROM tok
+), grams AS (
+    SELECT doc_id, is_eval, unnest(shingles) AS gram FROM sh
+), ev AS (
+    SELECT DISTINCT gram FROM grams WHERE is_eval
+)
+SELECT g.doc_id, COUNT(*)::BIGINT AS n_hits
+FROM grams g JOIN ev USING (gram)
+WHERE NOT g.is_eval
+GROUP BY 1
+"""
+
+
+STRAT_K = 20
+
+
+def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sample of documents by lang
+    (operators/sampling.py:stratified_sample_k)."""
+    from .operators.sampling import stratified_sample_k
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample_k(docs, ["lang"], STRAT_K, "doc_id")
+
+
+def _stratified_sql() -> str:
+    h = _D_MD5INT.format(x="'strat:' || doc_id::VARCHAR")
+    return f"""
+WITH r AS (
+    SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang ORDER BY {h}, doc_id) AS strat_rank
+    FROM documents
+)
+SELECT doc_id, lang, strat_rank::BIGINT AS strat_rank
+FROM r WHERE strat_rank <= {STRAT_K}
+"""
+
+
+CHUNK_TOKENS = 32
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking of every document
+    (operators/chunking.py:chunk_documents)."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), CHUNK_TOKENS)
+
+
+CHUNK_SQL = f"""
+WITH {_D_BASE},
+nch AS (
+    SELECT doc_id, w, ceil(len(w) / {CHUNK_TOKENS}.0)::INT AS nc FROM tok
+), idx AS (
+    SELECT doc_id, w, unnest(range(0, nc)) AS i FROM nch
+)
+SELECT doc_id, i::BIGINT AS chunk_idx,
+       len(w[(i * {CHUNK_TOKENS} + 1):((i + 1) * {CHUNK_TOKENS})])::BIGINT
+           AS n_chunk_tokens,
+       array_to_string(w[(i * {CHUNK_TOKENS} + 1):((i + 1) * {CHUNK_TOKENS})],
+                       ' ') AS chunk_text
+FROM idx
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_docs(spark, sf_dir))
 
@@ -853,6 +1029,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "token_vocab": q_token_vocab,
     "corpus_quantiles": q_corpus_quantiles,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "contamination": q_contamination,
+    "stratified_sample": q_stratified_docs,
+    "chunk_docs": q_chunk_docs,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -879,6 +1060,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "language_id": _lang_id_sql(),
     "token_vocab": _token_vocab_sql(),
     "corpus_quantiles": _corpus_quantiles_sql(),
+    "repetition_stats": REPETITION_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "contamination": _contamination_sql(),
+    "stratified_sample": _stratified_sql(),
+    "chunk_docs": CHUNK_SQL,
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
     # multimodal_decode: mapInPandas fake decode — rows-only

