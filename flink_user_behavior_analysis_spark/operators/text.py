@@ -274,11 +274,15 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 5,
     ranking (score desc, token asc on the ROUNDED value) is
     deterministic across engines.
 
-    Scale shape: one shuffle on (doc, token) for tf, one on token for
-    df (input already distinct pairs — orders of magnitude smaller
-    than the token stream), a token-keyed join of the two, the corpus
-    size N joined in as a broadcast 1-row aggregate (no driver-side
-    count()), then a per-doc top-k window. No collect anywhere.
+    Scale shape: ONE scan and one shuffle on (doc, token) for tf;
+    since tf has exactly one row per (doc, token), document frequency
+    is a count() window over token on the SAME frame — no second
+    tokenization pass, no self-join (a groupBy+join formulation was
+    measured to re-scan and re-tokenize the corpus in a second plan
+    branch). The corpus size N rides in as a broadcast 1-row
+    aggregate (no driver-side count()), then a per-doc top-k window,
+    which Spark executes with WindowGroupLimit (partial top-k before
+    the final per-doc sort). No collect anywhere.
     """
     from pyspark.sql import Window
 
@@ -289,10 +293,11 @@ def tf_idf_top_terms(docs: DataFrame, k: int = 5,
     ).where(F.col("token").isNotNull() & (F.col("token") != ""))
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df"))
+    dfw = Window.partitionBy("token")
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
-    scored = tf.join(dfreq, "token").join(F.broadcast(n_docs)).select(
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(dfw).cast("long")
+    ).join(F.broadcast(n_docs)).select(
         F.col(id_col), "token", "tf", "df",
         F.round(F.col("tf").cast("double") * F.col("_n_docs") / F.col("df"), 4
                 ).alias("tfidf"),

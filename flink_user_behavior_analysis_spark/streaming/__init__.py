@@ -1,4 +1,5 @@
 from .jobs import (
+    exact_dedup_stream,
     hot_items_counts_stream,
     marketing_by_channel_stream,
     page_views_stream,
@@ -18,6 +19,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "exact_dedup_stream",
     "cap_filter_stateful",
     "consecutive_fail_stateful",
     "reconcile_stateful",

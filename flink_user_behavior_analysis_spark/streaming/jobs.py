@@ -110,6 +110,28 @@ def sessionize_stream(
     ).select("user_id", "session_start_us", "session_end_us", "n_events")
 
 
+def exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the md5-fingerprint groupBy of
+    operators/dedup.exact_dedup as an unbounded aggregation — each
+    arriving document folds into its fingerprint group, so the keeper
+    (min doc_id) and multiplicity stay correct under any arrival
+    order. Complete mode on the bounded replay equals the batch
+    operator exactly; an unbounded production run uses update mode,
+    or — when a late bound exists — dropDuplicatesWithinWatermark,
+    which caps state at O(watermark window) instead of O(distinct
+    fingerprints)."""
+    from ..operators.dedup import normalized_text
+
+    ensure_utc(spark)
+    docs = file_replay_stream(spark, sf_dir, "documents")
+    return docs.select(
+        F.md5(normalized_text("text")).alias("fingerprint"), F.col("doc_id")
+    ).groupBy("fingerprint").agg(
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
 def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 streaming: stream-stream interval join with watermarks
     (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner

@@ -176,3 +176,13 @@ def test_order_timeout_stateful_matches_batch_for_closed_keys(spark, sf_dir):
     payed_want = {k for k, v in want_rows.items() if v[2] == "payed"}
     payed_got = {k for k, v in got_rows.items() if v[2] == "payed"}
     assert payed_want == payed_got
+
+
+def test_exact_dedup_stream_equals_batch(spark, sf_dir):
+    """Streaming fingerprint dedup (complete mode) == the batch
+    exact_dedup aggregation on the bounded replay."""
+    from flink_user_behavior_analysis_spark.streaming import exact_dedup_stream
+
+    got = run_available_now(exact_dedup_stream(spark, sf_dir))
+    want = Q.QUERIES["dedup_exact"](spark, sf_dir)
+    _assert_same(got, want, ["fingerprint", "keeper_id", "n_docs"])
