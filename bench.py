@@ -50,6 +50,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "contamination",
     "chunk_docs",
+    "pack_sequences",
+    "dedup_keeper_quality",
     "doc_fingerprints",
     "doc_split",
     "multimodal_decode",

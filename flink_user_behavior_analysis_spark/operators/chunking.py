@@ -1,13 +1,20 @@
-"""Document chunking: split each document into fixed-size token
-windows — the precursor to sequence packing in a training-data
-pipeline (every tokenizer/packer consumes bounded-length pieces, not
-whole documents).
+"""Document chunking and sequence packing: split documents into
+fixed-size token windows, then pack the windows into training
+sequences of exactly ``seq_tokens`` tokens (GPT-style
+concat-and-cut) — the transform that turns a curated corpus into
+model input.
 
-Scale shape: pure per-row array expressions (split -> slice windows
--> posexplode) — an embarrassingly parallel projection with NO
-shuffle; at 100 TB it runs at parquet scan speed with only the text
-column read. The fan-out factor is len/chunk_tokens, bounded and
-known, so output partition sizing stays predictable.
+Scale shape: chunking is pure per-row array expressions (split ->
+slice windows -> posexplode) — an embarrassingly parallel projection
+with NO shuffle; at 100 TB it runs at parquet scan speed with only
+the text column read. Packing needs a running token count, which is
+inherently sequential GLOBALLY — so it runs per hash-bucket: a
+deterministic bucket of the doc id scopes the cumulative sum to one
+window partition, every bucket packs independently in parallel, and
+the only waste is <=1 ragged tail sequence per bucket (fraction
+~B*L/total_tokens, vanishing at scale). This bucket-scoped
+concat-and-cut is how distributed packers actually bound the
+sequential dependency.
 """
 
 from __future__ import annotations
@@ -15,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import with_tokens
+from .dedup import md5_long, with_tokens
 
 
 def chunk_documents(
@@ -44,4 +51,80 @@ def chunk_documents(
         F.size(F.split(F.col("chunk_text"), " ")).cast("long"
                ).alias("n_chunk_tokens"),
         "chunk_text",
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_tokens: int = 64,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    seed: str = "pack",
+) -> DataFrame:
+    """Pack chunk_documents output into sequences of exactly
+    ``seq_tokens`` tokens by concatenating the bucket's token stream
+    in (doc, chunk) order and cutting every ``seq_tokens`` — chunks
+    that straddle a cut contribute a piece to each side, so no
+    padding and no token is dropped.
+
+    Output: (bucket, seq_id, n_seq_tokens, n_docs, seq_text), where
+    n_seq_tokens == seq_tokens for every sequence except at most the
+    last per bucket (the ragged tail).
+
+    One shuffle on bucket for the running sum (window), an explode of
+    at most 2 rows per chunk (a chunk shorter than a sequence spans
+    <=2 cuts), then one groupBy (bucket, seq) to assemble — the
+    assembly order is carried by array_sort on (doc, chunk_idx)
+    structs, not by any partitioning assumption.
+    """
+    from pyspark.sql import Window
+
+    L = int(seq_tokens)
+    bucket = (
+        md5_long(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+        % n_buckets
+    ).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(id_col, "chunk_idx")
+    c = chunks.select(bucket, id_col, "chunk_idx", "n_chunk_tokens",
+                      "chunk_text").withColumn(
+        "_cend", F.sum("n_chunk_tokens").over(w)
+    ).withColumn("_cstart", F.col("_cend") - F.col("n_chunk_tokens"))
+    spans = c.select(
+        "bucket", F.col(id_col), "chunk_idx", "chunk_text",
+        "_cstart", "_cend",
+        F.explode(
+            F.sequence(
+                F.expr(f"_cstart div {L}"),
+                F.expr(f"(_cend - 1) div {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    g = F.greatest(F.col("_cstart"), F.col("seq_id") * L)
+    e = F.least(F.col("_cend"), (F.col("seq_id") + 1) * L)
+    pieces = spans.select(
+        "bucket", "seq_id", F.col(id_col), "chunk_idx",
+        (e - g).alias("_np"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.col("chunk_text"), " "),
+                (g - F.col("_cstart") + 1).cast("int"),
+                (e - g).cast("int"),
+            ),
+        ).alias("_piece"),
+    )
+    assembled = pieces.groupBy("bucket", "seq_id").agg(
+        F.sum("_np").cast("long").alias("n_seq_tokens"),
+        F.size(F.collect_set(F.col(id_col))).cast("long").alias("n_docs"),
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col), "chunk_idx", "_piece"))
+            ).getField("_piece"),
+        ).alias("seq_text"),
+    )
+    return assembled.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "n_seq_tokens", "n_docs", "seq_text",
     )

@@ -128,3 +128,42 @@ def dedup_clusters(
             (F.col(id_col) == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def keeper_by_quality(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Cluster assignment with QUALITY-based keeper selection: within
+    each near-dup cluster keep the highest-``score_col`` document
+    (min id on ties) — what a curation pipeline actually retains (the
+    best copy), vs dedup_clusters' positional min-id keeper.
+
+    ``quality`` is any (id, score) frame, e.g. text.text_stats output;
+    ranking on an already-rounded score keeps the argmax
+    engine-portable.
+
+    Scale shape: components as in connected_components, one join to
+    the (small, per-doc) quality frame, then a single shuffle on
+    cluster_id where one window pass computes both the cluster size
+    and the rank. Near-dup clusters are tiny (bounded by the LSH
+    verify threshold), so no skew concern on the window key.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(docs.select(id_col), pairs, id_col=id_col)
+    j = comp.join(quality.select(id_col, score_col), id_col)
+    w = Window.partitionBy("component")
+    rk = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return j.select(
+        F.col(id_col),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.col(score_col),
+        (F.row_number().over(rk) == 1).alias("is_keeper"),
+    )

@@ -199,6 +199,54 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with quality-argmax keeper selection
+    (operators/cluster.py:keeper_by_quality over text_stats scores)."""
+    from .operators.cluster import keeper_by_quality
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, JACCARD_T, k=MINHASH_K, bands=LSH_BANDS)
+    quality = text_stats(docs).select("doc_id", "quality_score")
+    return keeper_by_quality(docs, pairs, quality)
+
+
+def _keeper_quality_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (
+    SELECT id_a AS n, id_b AS m FROM pairs
+    UNION ALL
+    SELECT id_b AS n, id_a AS m FROM pairs
+),
+reach(n, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.n, r.comp FROM sym s JOIN reach r ON r.n = s.m
+),
+comp AS (SELECT n AS doc_id, min(comp)::BIGINT AS cluster_id FROM reach GROUP BY n),
+q AS (
+    SELECT d.doc_id,
+           round(0.4 * least(len(t.w)::DOUBLE / 100, 1.0)
+                 + 0.3 * (1.0 - (length(d.text) - length(regexp_replace(d.text,
+                           '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                          / greatest(length(d.text), 1))
+                 + 0.3 * len(list_distinct(t.w))::DOUBLE / greatest(len(t.w), 1),
+                 4) AS quality_score
+    FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+),
+ranked AS (
+    SELECT c.doc_id, c.cluster_id, q.quality_score,
+           COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           row_number() OVER (PARTITION BY c.cluster_id
+               ORDER BY q.quality_score DESC, c.doc_id) AS rk
+    FROM comp c JOIN q USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size,
+       quality_score, rk = 1 AS is_keeper
+FROM ranked
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_docs(spark, sf_dir), SIMHASH_MAX_HAMMING)
 
@@ -932,6 +980,65 @@ FROM idx
 """
 
 
+SEQ_TOKENS, PACK_BUCKETS = 64, 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing of the 32-token chunks into
+    64-token training sequences, bucket-parallel
+    (operators/chunking.py:pack_sequences)."""
+    from .operators.chunking import chunk_documents, pack_sequences
+
+    return pack_sequences(
+        chunk_documents(_docs(spark, sf_dir), CHUNK_TOKENS),
+        SEQ_TOKENS, PACK_BUCKETS,
+    )
+
+
+def _pack_sql() -> str:
+    h = _D_MD5INT.format(x="'pack:' || doc_id::VARCHAR")
+    c, L, b = CHUNK_TOKENS, SEQ_TOKENS, PACK_BUCKETS
+    return f"""
+WITH {_D_BASE},
+nch AS (
+    SELECT doc_id, w, ceil(len(w) / {c}.0)::INT AS nc FROM tok
+), idx AS (
+    SELECT doc_id, w, unnest(range(0, nc)) AS i FROM nch
+), ch AS (
+    SELECT doc_id, i AS chunk_idx,
+           len(w[(i * {c} + 1):((i + 1) * {c})]) AS n_chunk_tokens,
+           array_to_string(w[(i * {c} + 1):((i + 1) * {c})], ' ') AS chunk_text
+    FROM idx
+), bk AS (
+    SELECT *, {h} % {b} AS bucket FROM ch
+), cum AS (
+    SELECT *, sum(n_chunk_tokens) OVER (
+        PARTITION BY bucket ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cend
+    FROM bk
+), st AS (
+    SELECT *, (cend - n_chunk_tokens)::BIGINT AS cstart FROM cum
+), spans AS (
+    SELECT *, unnest(range(cstart // {L}, (cend - 1) // {L} + 1)) AS seq_id
+    FROM st
+), pieces AS (
+    SELECT bucket, seq_id, doc_id, chunk_idx,
+           least(cend, (seq_id + 1) * {L})
+               - greatest(cstart, seq_id * {L}) AS np,
+           array_to_string(string_split(chunk_text, ' ')
+               [(greatest(cstart, seq_id * {L}) - cstart + 1)
+                :(least(cend, (seq_id + 1) * {L}) - cstart)], ' ') AS piece
+    FROM spans
+)
+SELECT bucket::BIGINT AS bucket, seq_id::BIGINT AS seq_id,
+       sum(np)::BIGINT AS n_seq_tokens,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       array_to_string(list(piece ORDER BY doc_id, chunk_idx), ' ')
+           AS seq_text
+FROM pieces GROUP BY 1, 2
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_docs(spark, sf_dir))
 
@@ -1014,6 +1121,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keeper_quality": q_dedup_keeper_quality,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
@@ -1034,6 +1142,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination": q_contamination,
     "stratified_sample": q_stratified_docs,
     "chunk_docs": q_chunk_docs,
+    "pack_sequences": q_pack_sequences,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -1045,6 +1154,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
+    "dedup_keeper_quality": _keeper_quality_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
@@ -1065,6 +1175,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "contamination": _contamination_sql(),
     "stratified_sample": _stratified_sql(),
     "chunk_docs": CHUNK_SQL,
+    "pack_sequences": _pack_sql(),
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
     # multimodal_decode: mapInPandas fake decode — rows-only

@@ -312,3 +312,55 @@ def test_tfidf_at_most_k_per_doc(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.max("rnk").alias("mx"))
     bad = per.where((F.col("n") > 4) | (F.col("mx") != F.col("n")))
     assert bad.count() == 0
+
+
+def test_pack_sequences_exact_length_and_conservation(spark, sf_dir):
+    """Every packed sequence has exactly seq_tokens tokens except at
+    most one ragged tail per bucket, no token is lost (totals match
+    the chunk stream), and seq_text really contains n_seq_tokens
+    whitespace tokens."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, 32)
+    packed = pack_sequences(chunks, 64, 8)
+    rows = packed.collect()
+    total_chunks = chunks.agg(F.sum("n_chunk_tokens")).collect()[0][0]
+    assert sum(r.n_seq_tokens for r in rows) == total_chunks
+    ragged = {}
+    for r in rows:
+        assert len(r.seq_text.split(" ")) == r.n_seq_tokens
+        if r.n_seq_tokens != 64:
+            ragged.setdefault(r.bucket, []).append(r.seq_id)
+    for bucket, seqs in ragged.items():
+        assert len(seqs) == 1, (bucket, seqs)
+    # the ragged one must be the bucket's LAST sequence
+    last = {r.bucket: max(x.seq_id for x in rows if x.bucket == r.bucket)
+            for r in rows}
+    for bucket, seqs in ragged.items():
+        assert seqs[0] == last[bucket]
+
+
+def test_keeper_by_quality_picks_best(spark, sf_dir):
+    """Exactly one keeper per cluster, and it attains the cluster's
+    max quality score."""
+    from flink_user_behavior_analysis_spark.operators.cluster import (
+        keeper_by_quality,
+    )
+    from flink_user_behavior_analysis_spark.operators.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, 0.5)
+    quality = text_stats(docs).select("doc_id", "quality_score")
+    out = keeper_by_quality(docs, pairs, quality).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert any(len(v) > 1 for v in by_cluster.values())
+    for rs in by_cluster.values():
+        keepers = [r for r in rs if r.is_keeper]
+        assert len(keepers) == 1
+        assert keepers[0].quality_score == max(r.quality_score for r in rs)
