@@ -143,6 +143,32 @@ def corpus_quantiles(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def corpus_quantiles_approx(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            probs: tuple[float, ...] = QUANTILE_PROBS,
+                            accuracy: int = 10000) -> DataFrame:
+    """The 100 TB form of corpus_quantiles: Greenwald-Khanna
+    ``approx_percentile`` sketches (rank error <= 1/accuracy,
+    mergeable across partitions — no global sort, same one-pass plan
+    shape). No oracle: sketch internals are engine-specific; the
+    pytest twin asserts every output lies within the rank-error bound
+    of the exact quantiles.
+    """
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_ws = F.size(F.split(normalized_text(text_col), " ")).cast("double")
+    measured = docs.select(n_chars.alias("_nc"), n_ws.alias("_nt"))
+    aggs = []
+    for p in probs:
+        tag = str(int(p * 100))
+        aggs.append(F.approx_percentile("_nc", F.lit(p), F.lit(accuracy))
+                    .alias(f"chars_p{tag}"))
+        aggs.append(F.approx_percentile("_nt", F.lit(p), F.lit(accuracy))
+                    .alias(f"tokens_p{tag}"))
+    return measured.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), *aggs
+    )
+
+
 def token_vocab(docs: DataFrame, top_n: int = 100,
                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-N tokens by document frequency

@@ -742,6 +742,16 @@ FROM scored
 """
 
 
+def q_corpus_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based corpus quantiles — the mergeable 100 TB path
+    (operators/text.py:corpus_quantiles_approx). rows-only check:
+    sketch internals are engine-specific; the error-bound pytest
+    (tests/test_pipeline_ops.py) is the correctness evidence."""
+    from .operators.text import corpus_quantiles_approx
+
+    return corpus_quantiles_approx(_docs(spark, sf_dir))
+
+
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact length-distribution quantiles over the corpus
     (operators/text.py:corpus_quantiles)."""
@@ -1137,6 +1147,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "token_vocab": q_token_vocab,
     "corpus_quantiles": q_corpus_quantiles,
+    "corpus_quantiles_approx": q_corpus_quantiles_approx,
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,

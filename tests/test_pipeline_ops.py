@@ -364,3 +364,38 @@ def test_keeper_by_quality_picks_best(spark, sf_dir):
         keepers = [r for r in rs if r.is_keeper]
         assert len(keepers) == 1
         assert keepers[0].quality_score == max(r.quality_score for r in rs)
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    """Every approx_percentile output is an actual data value whose
+    rank is within the 1/accuracy rank-error bound of the requested
+    quantile (the GK sketch guarantee the 100 TB path relies on)."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        QUANTILE_PROBS,
+        corpus_quantiles_approx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    acc = 10000
+    row = corpus_quantiles_approx(docs, accuracy=acc).collect()[0]
+    import re
+
+    texts = [r.text for r in docs.select("text").collect()]
+    chars = sorted(float(len(t)) for t in texts)
+    toks = sorted(
+        float(len(re.sub(" +", " ",
+                         re.sub("[^a-z0-9 ]", " ", t.lower())).strip()
+                  .split(" ")))
+        for t in texts
+    )
+    n = len(chars)
+    eps = 1.0 / acc
+    for p in QUANTILE_PROBS:
+        tag = str(int(p * 100))
+        for vals, col in ((chars, f"chars_p{tag}"), (toks, f"tokens_p{tag}")):
+            v = float(getattr(row, col))
+            assert v in vals  # GK returns an actual element
+            lo = sum(1 for x in vals if x < v)
+            hi = sum(1 for x in vals if x <= v)
+            want = p * n
+            assert lo - eps * n <= want <= hi + eps * n + 1

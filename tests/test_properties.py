@@ -192,3 +192,55 @@ def test_followed_by_relaxed_contains_strict(spark, sf_dir):
     }
     assert strict, "smoke data should contain strict two-fail runs"
     assert strict <= relaxed
+
+
+words = st.text(alphabet="abc", min_size=1, max_size=3)
+doc_texts = st.lists(
+    st.lists(words, min_size=0, max_size=40).map(" ".join),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=doc_texts)
+def test_pack_sequences_property(spark, texts):
+    """On arbitrary corpora (including empty docs and docs shorter
+    than one chunk): packing conserves every token in bucket order,
+    every sequence except at most one tail per bucket is exactly L
+    tokens, and seq_text matches a python concat-and-cut
+    reimplementation."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from flink_user_behavior_analysis_spark.operators.dedup import md5_long
+
+    C, L, B = 5, 8, 3
+    docs = _df(spark, list(enumerate(texts)), "doc_id long, text string")
+    packed = pack_sequences(chunk_documents(docs, C), L, B).collect()
+
+    # python twin: same portable bucket hash, same normalization
+    bh = {
+        r.doc_id: r.b
+        for r in docs.select(
+            "doc_id",
+            (md5_long(
+                F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))
+            ) % B).alias("b"),
+        ).collect()
+    }
+    import re
+
+    streams = {}
+    for doc_id, text in enumerate(texts):
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", text.lower())).strip()
+        streams.setdefault(bh[doc_id], []).extend(norm.split(" "))
+    want = {}
+    for b, toks in streams.items():
+        for s in range(0, (len(toks) + L - 1) // L):
+            want[(b, s)] = toks[s * L:(s + 1) * L]
+    got = {(r.bucket, r.seq_id): r.seq_text.split(" ") for r in packed}
+    assert got == want
+    for r in packed:
+        assert r.n_seq_tokens == len(want[(r.bucket, r.seq_id)])
