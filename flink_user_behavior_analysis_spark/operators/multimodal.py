@@ -142,6 +142,27 @@ def decode_media(media: DataFrame, decoder: str = "fake",
     return media.mapInPandas(_decode_batches, schema=FEATURE_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_bytes: int = 128) -> DataFrame:
+    """'Resize/downsample' plumbing: cap each payload at ``max_bytes``
+    bytes, recomputing the size/fingerprint metadata — the schema and
+    plan shape of a real thumbnail/re-encode pass (which would swap
+    the substring for a decode-resize-encode Pandas UDF; that real
+    kernel is gated exactly like decode_media(decoder='real')).
+
+    JVM-side substring on binary — shuffle-free, no Python. The
+    fingerprint hashes the HEX of the (possibly truncated) payload,
+    same oracle-portability contract as frame_sample.
+    """
+    clipped = F.expr(f"substring(payload, 1, {int(max_bytes)})")
+    return media.select(
+        "media_id", "media_type", "format",
+        F.col("n_bytes").alias("orig_n_bytes"),
+        F.octet_length(clipped).cast("long").alias("n_bytes"),
+        (F.col("n_bytes") > max_bytes).alias("resized"),
+        F.sha2(F.hex(clipped), 256).alias("content_sha256"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing: explode each payload into up to

@@ -1098,6 +1098,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_MAX_BYTES = 128
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget media resize plumbing
+    (operators/multimodal.py:resize_media)."""
+    from .operators.multimodal import resize_media
+
+    media = documents_as_media(_docs(spark, sf_dir))
+    return resize_media(media, RESIZE_MAX_BYTES)
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH m AS (
+    SELECT doc_id AS media_id, 'image' AS media_type, 'png' AS format,
+           encode(text) AS payload,
+           octet_length(encode(text))::BIGINT AS orig_n_bytes,
+           substring(hex(encode(text)), 1, {RESIZE_MAX_BYTES} * 2) AS hx
+    FROM documents
+)
+SELECT media_id, media_type, format, orig_n_bytes,
+       (length(hx) // 2)::BIGINT AS n_bytes,
+       orig_n_bytes > {RESIZE_MAX_BYTES} AS resized,
+       sha256(hx) AS content_sha256
+FROM m
+"""
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(_docs(spark, sf_dir))
     return frame_sample(media, every_n_bytes=64, max_frames=8)
@@ -1157,6 +1185,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
 }
 
@@ -1190,5 +1219,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
     # multimodal_decode: mapInPandas fake decode — rows-only
+    "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
 }

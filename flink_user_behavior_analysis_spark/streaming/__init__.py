@@ -1,4 +1,5 @@
 from .jobs import (
+    STREAMING_QUERIES,
     exact_dedup_stream,
     hot_items_counts_stream,
     marketing_by_channel_stream,
@@ -19,6 +20,7 @@ from .stateful import (
 )
 
 __all__ = [
+    "STREAMING_QUERIES",
     "exact_dedup_stream",
     "cap_filter_stateful",
     "consecutive_fail_stateful",

@@ -285,3 +285,21 @@ def run_topn_foreach_batch(
     )
     q.awaitTermination()
     return spark.createDataFrame(holder["rows"], holder["schema"])
+
+
+# Discoverable registry of the streaming twins: name -> builder taking
+# (spark, sf_dir) and returning an unstarted streaming DataFrame (run
+# with run_available_now for the bounded-replay form the equivalence
+# tests use, or writeStream with your own sink/trigger unbounded).
+# Stateful machines (consecutive fails, cap filter, reconcile, order
+# timeout) live in streaming.stateful and wrap the same stream_events
+# source; they are registered here through their module entrypoints.
+STREAMING_QUERIES = {
+    "hot_items_counts": hot_items_counts_stream,
+    "page_views": page_views_stream,
+    "unique_visitors": unique_visitors_stream,
+    "marketing_by_channel": marketing_by_channel_stream,
+    "sessionize": sessionize_stream,
+    "exact_dedup": exact_dedup_stream,
+    "tx_interval_join": tx_interval_join_stream,
+}
