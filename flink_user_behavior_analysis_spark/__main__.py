@@ -32,7 +32,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="run ad-hoc Spark SQL over the registered views")
     ap.add_argument("--reference", action="store_true",
                     help="treat QUERY as a reference-fixture query")
+    ap.add_argument("--stream", action="store_true",
+                    help="run QUERY's streaming twin (bounded availableNow "
+                         "replay drained to a memory sink — the reference's "
+                         "mains are streaming jobs; this is their analogue)")
     args = ap.parse_args(argv)
+
+    from .streaming import STREAMING_QUERIES
 
     if args.list:
         print("testdata queries:")
@@ -41,11 +47,22 @@ def main(argv: list[str] | None = None) -> int:
         print("reference-fixture queries:")
         for n in sorted(REFERENCE_QUERIES):
             print(f"  {n}")
+        print("streaming twins (--stream):")
+        for n in sorted(STREAMING_QUERIES):
+            print(f"  {n}")
         return 0
 
     eng = Engine(args.sf_dir, register_sql_views=bool(args.sql))
     if args.sql:
         df = eng.sql(args.sql)
+    elif args.stream:
+        if args.query not in STREAMING_QUERIES:
+            ap.error(
+                f"--stream requires one of: {', '.join(sorted(STREAMING_QUERIES))}"
+            )
+        from .streaming import run_available_now
+
+        df = run_available_now(STREAMING_QUERIES[args.query](eng.spark, args.sf_dir))
     elif args.reference:
         if not args.query:
             ap.error("--reference requires a query name")
