@@ -52,6 +52,7 @@ HEADLINE = [
     "chunk_docs",
     "pack_sequences",
     "dedup_keeper_quality",
+    "curation_pipeline",
     "doc_fingerprints",
     "doc_split",
     "multimodal_decode",

@@ -117,44 +117,69 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_ctes() -> str:
+def _text_ctes(base: str = "documents", prefix: str = "", n: int = 3) -> str:
+    """norm/tok/sh CTE chain over an arbitrary (doc_id, text) base —
+    the parameterized form of _D_BASE so composed pipelines can run
+    the same normalization over FILTERED doc sets with non-colliding
+    CTE names."""
+    p = prefix
+    return f"""{p}norm AS (
+    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+    FROM {base}
+), {p}tok AS (
+    SELECT doc_id, string_split(ntext, ' ') AS w FROM {p}norm
+), {p}sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(w) - {n - 2})])
+           END AS shingles
+    FROM {p}tok
+)"""
+
+
+def _minhash_ctes(base: str = "documents", prefix: str = "") -> str:
     """The MinHash-LSH pair pipeline as a CTE chain (ends with a
-    ``pairs`` CTE of verified near-dup pairs) so both the pair query
-    and the clustering query build on one SQL body."""
+    ``{prefix}pairs`` CTE of verified near-dup pairs) so the pair
+    query, the clustering queries, and the composed curation pipeline
+    all build on one SQL body, over any (doc_id, text) base."""
+    p = prefix
     r = MINHASH_K // LSH_BANDS
     mh_cols = ",\n           ".join(
         f"min({_D_MD5INT.format(x=repr(str(i) + '|') + ' || s')}) AS mh{i}"
         for i in range(MINHASH_K)
     )
     band_selects = "\n    UNION ALL\n".join(
-        "    SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sigs".format(
-            b=b,
+        "    SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM {p}sigs"
+        .format(
+            b=b, p=p,
             expr=" || ',' || ".join(
                 f"mh{b * r + j}::VARCHAR" for j in range(r)
             ),
         )
         for b in range(LSH_BANDS)
     )
-    return f"""{_D_BASE},
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-sigs AS (
+    return f"""{_text_ctes(base, prefix)},
+{p}ex AS (SELECT doc_id, unnest(shingles) AS s FROM {p}sh),
+{p}sigs AS (
     SELECT doc_id,
            {mh_cols}
-    FROM ex GROUP BY doc_id
-), buckets AS (
+    FROM {p}ex GROUP BY doc_id
+), {p}buckets AS (
 {band_selects}
-), cands AS (
+), {p}cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a JOIN buckets b
+    FROM {p}buckets a JOIN {p}buckets b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), scored AS (
+), {p}scored AS (
     SELECT id_a, id_b,
            round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /
                  (len(x.shingles) + len(y.shingles)
                   - len(list_intersect(x.shingles, y.shingles))), 4) AS jaccard
-    FROM cands JOIN sh x ON id_a = x.doc_id JOIN sh y ON id_b = y.doc_id
-), pairs AS (
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+    FROM {p}cands JOIN {p}sh x ON id_a = x.doc_id JOIN {p}sh y ON id_b = y.doc_id
+), {p}pairs AS (
+    SELECT id_a, id_b, jaccard FROM {p}scored WHERE jaccard >= {JACCARD_T}
 )"""
 
 
@@ -1049,6 +1074,176 @@ FROM pieces GROUP BY 1, 2
 """
 
 
+CURATION_QMIN = 0.6
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the composed pipeline a pre-training run
+    actually executes, each stage one of this repo's operators —
+
+      eval/train hash split -> quality filter (text_stats >= 0.6)
+      -> exact dedup (min-id keeper) -> MinHash-LSH near-dup
+      clustering (min-id keeper) -> 5-gram decontamination vs the
+      eval split -> 32-token chunking -> 64-token sequence packing.
+
+    Output = the packed training sequences of the surviving corpus.
+    The oracle replays every stage as one DuckDB CTE chain, so the
+    hash match certifies the COMPOSITION, not just each stage alone.
+
+    Scale: each stage keeps its own operator's shuffle shape; stages
+    communicate only by doc_id semi/anti joins on progressively
+    smaller survivor sets. The survivor frames d2/d3/d4 are
+    localCheckpoint'ed: the composed stages otherwise nest one
+    Catalyst tree deep enough for a driver StackOverflowError during
+    analysis (measured — the 5-gram explode over the un-checkpointed
+    d3 join is the tipping point; project collapsing substitutes the
+    higher-order shingle expression multiplicatively through the
+    join). Same lineage-truncation rationale as connected_components;
+    d2 is also consumed by three downstream stages, so materializing
+    it avoids recomputing quality + exact-dedup three times.
+    """
+    from .operators.chunking import chunk_documents, pack_sequences
+    from .operators.cluster import connected_components
+    from .operators.dedup import normalized_text, with_shingles
+    from .operators.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    is_eval = hash_uniform("doc_id", "eval") < CONTAM_RATE
+    eval_docs = docs.where(is_eval)
+    train = docs.where(~is_eval)
+    good = text_stats(train).where(
+        F.col("quality_score") >= CURATION_QMIN).select("doc_id")
+    d1 = train.join(good, "doc_id")
+    keep_exact = (
+        d1.select("doc_id", F.md5(normalized_text("text")).alias("_fp"))
+        .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d2 = d1.join(keep_exact, "doc_id").localCheckpoint(eager=True)
+    pairs = minhash_lsh_pairs(d2, JACCARD_T, k=MINHASH_K, bands=LSH_BANDS)
+    comp = connected_components(d2.select("doc_id"), pairs, id_col="doc_id")
+    keepers = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
+    d3 = d2.join(keepers, "doc_id").localCheckpoint(eager=True)
+    ev_grams = (
+        with_shingles(eval_docs, n=CONTAM_N)
+        .select(F.explode_outer("shingles").alias("gram"))
+        .where(F.col("gram").isNotNull()).distinct()
+    )
+    tr_grams = with_shingles(d3, n=CONTAM_N).select(
+        "doc_id", F.explode_outer("shingles").alias("gram")
+    ).where(F.col("gram").isNotNull())
+    contaminated = (
+        tr_grams.join(F.broadcast(ev_grams), "gram").select("doc_id").distinct()
+    )
+    d4 = d3.join(contaminated, "doc_id", "left_anti").localCheckpoint(eager=True)
+    return pack_sequences(
+        chunk_documents(d4, CHUNK_TOKENS), SEQ_TOKENS, PACK_BUCKETS
+    )
+
+
+def _curation_sql() -> str:
+    u = _D_MD5INT.format(x="'eval:' || doc_id::VARCHAR")
+    h = _D_MD5INT.format(x="'pack:' || doc_id::VARCHAR")
+    c, L, b, n = CHUNK_TOKENS, SEQ_TOKENS, PACK_BUCKETS, CONTAM_N
+    return f"""
+WITH RECURSIVE split AS (
+    SELECT doc_id, text,
+           {u} / 1152921504606846976.0 < {CONTAM_RATE} AS is_eval
+    FROM documents
+), evald AS (
+    SELECT doc_id, text FROM split WHERE is_eval
+), train AS (
+    SELECT doc_id, text FROM split WHERE NOT is_eval
+),
+{_text_ctes("train", "t")},
+quality AS (
+    SELECT d.doc_id,
+           round(0.4 * least(len(t.w)::DOUBLE / 100, 1.0)
+                 + 0.3 * (1.0 - (length(d.text) - length(regexp_replace(d.text,
+                           '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                          / greatest(length(d.text), 1))
+                 + 0.3 * len(list_distinct(t.w))::DOUBLE / greatest(len(t.w), 1),
+                 4) AS q
+    FROM train d JOIN ttok t ON d.doc_id = t.doc_id
+), d1 AS (
+    SELECT t.doc_id, t.text FROM train t
+    JOIN quality q USING (doc_id) WHERE q.q >= {CURATION_QMIN}
+), keep_exact AS (
+    SELECT min(f.doc_id) AS doc_id
+    FROM d1 f JOIN tnorm nn ON f.doc_id = nn.doc_id
+    GROUP BY md5(nn.ntext)
+), d2 AS (
+    SELECT d1.* FROM d1 JOIN keep_exact USING (doc_id)
+),
+{_minhash_ctes("d2", "m")},
+sym AS (
+    SELECT id_a AS nd, id_b AS md FROM mpairs
+    UNION ALL
+    SELECT id_b AS nd, id_a AS md FROM mpairs
+),
+reach(nd, comp) AS (
+    SELECT doc_id, doc_id FROM d2
+    UNION
+    SELECT s.nd, r.comp FROM sym s JOIN reach r ON r.nd = s.md
+),
+comp AS (SELECT nd AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY nd),
+d3 AS (
+    SELECT d2.* FROM d2 JOIN comp ON d2.doc_id = comp.doc_id
+    WHERE comp.doc_id = comp.cluster_id
+),
+{_text_ctes("evald", "e", n)},
+eg AS (
+    SELECT DISTINCT unnest(shingles) AS gram FROM esh
+),
+{_text_ctes("d3", "g", n)},
+contaminated AS (
+    SELECT DISTINCT s.doc_id
+    FROM (SELECT doc_id, unnest(shingles) AS gram FROM gsh) s
+    JOIN eg USING (gram)
+), d4 AS (
+    SELECT d3.doc_id, d3.text FROM d3
+    LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
+),
+{_text_ctes("d4", "p")},
+nch AS (
+    SELECT doc_id, w, ceil(len(w) / {c}.0)::INT AS nc FROM ptok
+), idx AS (
+    SELECT doc_id, w, unnest(range(0, nc)) AS i FROM nch
+), ch AS (
+    SELECT doc_id, i AS chunk_idx,
+           len(w[(i * {c} + 1):((i + 1) * {c})]) AS n_chunk_tokens,
+           array_to_string(w[(i * {c} + 1):((i + 1) * {c})], ' ') AS chunk_text
+    FROM idx
+), bk AS (
+    SELECT *, {h} % {b} AS bucket FROM ch
+), cum AS (
+    SELECT *, sum(n_chunk_tokens) OVER (
+        PARTITION BY bucket ORDER BY doc_id, chunk_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cend
+    FROM bk
+), st AS (
+    SELECT *, (cend - n_chunk_tokens)::BIGINT AS cstart FROM cum
+), spans AS (
+    SELECT *, unnest(range(cstart // {L}, (cend - 1) // {L} + 1)) AS seq_id
+    FROM st
+), pieces AS (
+    SELECT bucket, seq_id, doc_id, chunk_idx,
+           least(cend, (seq_id + 1) * {L})
+               - greatest(cstart, seq_id * {L}) AS np,
+           array_to_string(string_split(chunk_text, ' ')
+               [(greatest(cstart, seq_id * {L}) - cstart + 1)
+                :(least(cend, (seq_id + 1) * {L}) - cstart)], ' ') AS piece
+    FROM spans
+)
+SELECT bucket::BIGINT AS bucket, seq_id::BIGINT AS seq_id,
+       sum(np)::BIGINT AS n_seq_tokens,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       array_to_string(list(piece ORDER BY doc_id, chunk_idx), ' ')
+           AS seq_text
+FROM pieces GROUP BY 1, 2
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_docs(spark, sf_dir))
 
@@ -1182,6 +1377,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_docs,
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
+    "curation_pipeline": q_curation_pipeline,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -1216,6 +1412,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "stratified_sample": _stratified_sql(),
     "chunk_docs": CHUNK_SQL,
     "pack_sequences": _pack_sql(),
+    "curation_pipeline": _curation_sql(),
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
     # multimodal_decode: mapInPandas fake decode — rows-only
