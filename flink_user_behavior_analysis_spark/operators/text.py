@@ -41,6 +41,27 @@ def token_counts(text_col: str = "text") -> dict[str, Column]:
     }
 
 
+def quality_score_col(text_col: str = "text") -> Column:
+    """The composite quality score as a reusable per-row Column, so a
+    pipeline can apply it as a pure scan predicate (no join) — same
+    rounded value text_stats reports."""
+    norm = normalized_text(text_col)
+    toks = F.split(norm, " ")
+    n_ws = F.size(toks).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_punct = (n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9\\s]", ""))).cast("long")
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    uniq_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                  / F.greatest(n_ws, F.lit(1)))
+    score = (
+        F.lit(0.4) * F.least(n_ws.cast("double") / 100, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * uniq_ratio
+    )
+    return F.round(score, 4)
+
+
 def text_stats(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: lengths, ratios, a composite score.
@@ -64,11 +85,6 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
                     lambda acc, t: acc + F.length(t))
         / F.greatest(n_ws, F.lit(1))
     )
-    score = (
-        F.lit(0.4) * F.least(n_ws.cast("double") / 100, F.lit(1.0))
-        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
-        + F.lit(0.3) * uniq_ratio
-    )
     cnts = token_counts(text_col)
     return docs.select(
         F.col(id_col),
@@ -78,7 +94,7 @@ def text_stats(docs: DataFrame, id_col: str = "doc_id",
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(uniq_ratio, 4).alias("uniq_ratio"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),
-        F.round(score, 4).alias("quality_score"),
+        quality_score_col(text_col).alias("quality_score"),
     )
 
 

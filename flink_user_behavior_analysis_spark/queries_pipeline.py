@@ -1111,9 +1111,11 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = hash_uniform("doc_id", "eval") < CONTAM_RATE
     eval_docs = docs.where(is_eval)
     train = docs.where(~is_eval)
-    good = text_stats(train).where(
-        F.col("quality_score") >= CURATION_QMIN).select("doc_id")
-    d1 = train.join(good, "doc_id")
+    # quality is a pure per-row projection, so the filter inlines as a
+    # scan predicate — no join, no shuffle
+    from .operators.text import quality_score_col
+
+    d1 = train.where(quality_score_col("text") >= CURATION_QMIN)
     keep_exact = (
         d1.select("doc_id", F.md5(normalized_text("text")).alias("_fp"))
         .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
