@@ -52,6 +52,7 @@ HEADLINE = [
     "chunk_docs",
     "pack_sequences",
     "dedup_keeper_quality",
+    "dedup_incremental",
     "curation_pipeline",
     "doc_fingerprints",
     "doc_split",

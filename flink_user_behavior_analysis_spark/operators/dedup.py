@@ -381,3 +381,103 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         cands.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def band_buckets(sigs: DataFrame, k: int, bands: int,
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket) LSH probe keys from a signature frame — one
+    posexplode projection (see minhash_lsh_pairs for why not a
+    bands-way union)."""
+    r = k // bands
+    band_hashes = F.array(*[
+        F.md5(F.concat_ws(",", *[
+            F.col(f"mh{bi * r + j}").cast("string") for j in range(r)
+        ]))
+        for bi in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+
+
+def dedup_incremental(corpus: DataFrame, delta: DataFrame, threshold: float,
+                      k: int = 12, bands: int = 4, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """Dedup an incoming DELTA batch against an existing CORPUS and
+    against itself — the production shape of near-dup dedup at 100 TB:
+    the corpus is NOT re-deduped per batch; its signatures/buckets are
+    a materialized artifact (computed once, stored partitioned by
+    (band, bucket)), and each new batch computes only its own
+    signatures and probes. Here both sides are derived in-plan; in
+    production swap ``minhash_signatures(corpus)`` for a read of the
+    signature store — the probe join is identical and co-partitioned.
+
+    Per delta doc: status = 'dup_corpus' if it verifies (exact shingle
+    Jaccard >= threshold, after LSH candidate generation) against any
+    corpus doc; else 'dup_delta' if it verifies against a SMALLER-id
+    delta doc (greedy min-id-first, matching the clusters keeper
+    convention); else 'kept'. n_corpus_matches counts the verified
+    corpus collisions (0 unless dup_corpus).
+    """
+    sigs_c = _tracked_persist(
+        minhash_signatures(corpus, k, id_col, text_col, n))
+    sigs_d = _tracked_persist(
+        minhash_signatures(delta, k, id_col, text_col, n))
+    bc = band_buckets(sigs_c, k, bands, id_col)
+    bd = band_buckets(sigs_d, k, bands, id_col)
+    sh_c = _tracked_persist(with_shingles(corpus, id_col, text_col, n))
+    sh_d = _tracked_persist(with_shingles(delta, id_col, text_col, n))
+
+    def _jac(a: str, b: str) -> Column:
+        inter = F.size(F.array_intersect(a, b))
+        return F.round(
+            inter.cast("double") / (F.size(a) + F.size(b) - inter), 4)
+
+    cand_cd = (
+        bd.alias("d").join(bc.alias("c"), ["band", "bucket"])
+        .select(F.col(f"d.{id_col}").alias("did"),
+                F.col(f"c.{id_col}").alias("cid"))
+        .distinct()
+    )
+    ver_cd = (
+        cand_cd
+        .join(sh_d.select(F.col(id_col).alias("did"),
+                          F.col("shingles").alias("sh_a")), "did")
+        .join(sh_c.select(F.col(id_col).alias("cid"),
+                          F.col("shingles").alias("sh_b")), "cid")
+        .where(_jac("sh_a", "sh_b") >= threshold)
+        .groupBy("did")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_matches"))
+    )
+    a, b = bd.alias("a"), bd.alias("b")
+    cand_dd = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    dup_delta = (
+        cand_dd
+        .join(sh_d.select(F.col(id_col).alias("id_a"),
+                          F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh_d.select(F.col(id_col).alias("id_b"),
+                          F.col("shingles").alias("sh_b")), "id_b")
+        .where(_jac("sh_a", "sh_b") >= threshold)
+        .select(F.col("id_b").alias("did")).distinct()
+        .withColumn("_dd", F.lit(True))
+    )
+    return (
+        delta.select(F.col(id_col))
+        .join(ver_cd.withColumnRenamed("did", id_col), id_col, "left")
+        .join(dup_delta.withColumnRenamed("did", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("n_corpus_matches").isNotNull(), "dup_corpus")
+            .when(F.col("_dd"), "dup_delta")
+            .otherwise("kept").alias("status"),
+            F.coalesce("n_corpus_matches", F.lit(0)).cast("long")
+            .alias("n_corpus_matches"),
+        )
+    )

@@ -139,11 +139,11 @@ def _text_ctes(base: str = "documents", prefix: str = "", n: int = 3) -> str:
 )"""
 
 
-def _minhash_ctes(base: str = "documents", prefix: str = "") -> str:
-    """The MinHash-LSH pair pipeline as a CTE chain (ends with a
-    ``{prefix}pairs`` CTE of verified near-dup pairs) so the pair
-    query, the clustering queries, and the composed curation pipeline
-    all build on one SQL body, over any (doc_id, text) base."""
+def _lsh_ctes(base: str = "documents", prefix: str = "") -> str:
+    """Normalization -> shingles -> MinHash signatures -> LSH band
+    buckets over any (doc_id, text) base, CTE names prefixed — the
+    shared probe-side body for same-frame pairing (_minhash_ctes) and
+    cross-frame incremental dedup."""
     p = prefix
     r = MINHASH_K // LSH_BANDS
     mh_cols = ",\n           ".join(
@@ -168,7 +168,16 @@ def _minhash_ctes(base: str = "documents", prefix: str = "") -> str:
     FROM {p}ex GROUP BY doc_id
 ), {p}buckets AS (
 {band_selects}
-), {p}cands AS (
+)"""
+
+
+def _minhash_ctes(base: str = "documents", prefix: str = "") -> str:
+    """The MinHash-LSH pair pipeline as a CTE chain (ends with a
+    ``{prefix}pairs`` CTE of verified near-dup pairs) so the pair
+    query, the clustering queries, and the composed curation pipeline
+    all build on one SQL body, over any (doc_id, text) base."""
+    p = prefix
+    return f"""{_lsh_ctes(base, prefix)}, {p}cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM {p}buckets a JOIN {p}buckets b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -269,6 +278,74 @@ ranked AS (
 SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size,
        quality_score, rk = 1 AS is_keeper
 FROM ranked
+"""
+
+
+DELTA_RATE = 0.3
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a hash-split 30% 'new batch' deduped against
+    the remaining 70% 'existing corpus' and itself
+    (operators/dedup.py:dedup_incremental)."""
+    from .operators.dedup import dedup_incremental
+    from .operators.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    is_delta = hash_uniform("doc_id", "delta") < DELTA_RATE
+    return dedup_incremental(
+        docs.where(~is_delta), docs.where(is_delta),
+        JACCARD_T, k=MINHASH_K, bands=LSH_BANDS,
+    )
+
+
+def _incremental_sql() -> str:
+    u = _D_MD5INT.format(x="'delta:' || doc_id::VARCHAR")
+    jac = ("round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /"
+           " (len(x.shingles) + len(y.shingles)"
+           " - len(list_intersect(x.shingles, y.shingles))), 4)")
+    return f"""
+WITH split AS (
+    SELECT doc_id, text,
+           {u} / 1152921504606846976.0 < {DELTA_RATE} AS is_delta
+    FROM documents
+), corp AS (
+    SELECT doc_id, text FROM split WHERE NOT is_delta
+), delt AS (
+    SELECT doc_id, text FROM split WHERE is_delta
+),
+{_lsh_ctes("corp", "c")},
+{_lsh_ctes("delt", "d")},
+cand_cd AS (
+    SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+    FROM dbuckets d JOIN cbuckets c
+      ON d.band = c.band AND d.bucket = c.bucket
+), ver_cd AS (
+    SELECT did, COUNT(*)::BIGINT AS n_corpus_matches
+    FROM cand_cd
+    JOIN dsh x ON did = x.doc_id
+    JOIN csh y ON cid = y.doc_id
+    WHERE {jac} >= {JACCARD_T}
+    GROUP BY 1
+), cand_dd AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM dbuckets a JOIN dbuckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), ver_dd AS (
+    SELECT DISTINCT id_b
+    FROM cand_dd
+    JOIN dsh x ON id_a = x.doc_id
+    JOIN dsh y ON id_b = y.doc_id
+    WHERE {jac} >= {JACCARD_T}
+)
+SELECT dl.doc_id,
+       CASE WHEN v.did IS NOT NULL THEN 'dup_corpus'
+            WHEN w.id_b IS NOT NULL THEN 'dup_delta'
+            ELSE 'kept' END AS status,
+       coalesce(v.n_corpus_matches, 0)::BIGINT AS n_corpus_matches
+FROM delt dl
+LEFT JOIN ver_cd v ON dl.doc_id = v.did
+LEFT JOIN ver_dd w ON dl.doc_id = w.id_b
 """
 
 
@@ -1357,6 +1434,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_keeper_quality": q_dedup_keeper_quality,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
@@ -1393,6 +1471,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_sql(),
     "dedup_clusters": _clusters_sql(),
     "dedup_keeper_quality": _keeper_quality_sql(),
+    "dedup_incremental": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),

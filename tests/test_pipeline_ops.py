@@ -399,3 +399,42 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
             hi = sum(1 for x in vals if x <= v)
             want = p * n
             assert lo - eps * n <= want <= hi + eps * n + 1
+
+
+def test_incremental_dedup_consistent_with_full_pairs(spark, sf_dir):
+    """Incremental statuses agree with the single-frame LSH pair
+    operator run on the whole corpus: dup_corpus docs pair with some
+    corpus doc, dup_delta docs pair with a smaller delta id, kept
+    docs pair with neither."""
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = hash_uniform("doc_id", "delta") < 0.3
+    corpus, delta = docs.where(~is_delta), docs.where(is_delta)
+    out = {r.doc_id: r.status
+           for r in dedup_incremental(corpus, delta, 0.5).collect()}
+    assert set(out.values()) >= {"kept"}, "statuses missing"
+    delta_ids = set(out)
+    pairs = minhash_lsh_pairs(docs, 0.5).collect()
+    corpus_partner = set()
+    delta_partner = set()
+    for p in pairs:
+        for me, other in ((p.id_a, p.id_b), (p.id_b, p.id_a)):
+            if me in delta_ids:
+                if other not in delta_ids:
+                    corpus_partner.add(me)
+                elif other < me:
+                    delta_partner.add(me)
+    for doc_id, status in out.items():
+        if status == "dup_corpus":
+            assert doc_id in corpus_partner
+        elif status == "dup_delta":
+            assert doc_id in delta_partner and doc_id not in corpus_partner
+        else:
+            assert doc_id not in corpus_partner
+            assert doc_id not in delta_partner
