@@ -186,3 +186,14 @@ def test_exact_dedup_stream_equals_batch(spark, sf_dir):
     got = run_available_now(exact_dedup_stream(spark, sf_dir))
     want = Q.QUERIES["dedup_exact"](spark, sf_dir)
     _assert_same(got, want, ["fingerprint", "keeper_id", "n_docs"])
+
+
+def test_streaming_registry_names_and_builders(spark, sf_dir):
+    """Every STREAMING_QUERIES entry builds an unstarted streaming
+    DataFrame (isStreaming, no action run)."""
+    from flink_user_behavior_analysis_spark.streaming import STREAMING_QUERIES
+
+    assert len(STREAMING_QUERIES) >= 7
+    for name, fn in STREAMING_QUERIES.items():
+        df = fn(spark, sf_dir)
+        assert df.isStreaming, name
