@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_lsh_mp",
     "ann_topk_ivf",
+    "quantize_embeddings",
+    "lang_centroids",
     "text_stats",
     "token_vocab",
     "repetition_stats",

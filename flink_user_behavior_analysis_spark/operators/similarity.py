@@ -438,6 +438,48 @@ def quantize_embeddings(vecs: DataFrame,
     )
 
 
+def group_centroids(vecs: DataFrame, labels: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "lang") -> DataFrame:
+    """Element-wise mean vector per label group — class centroids,
+    per-domain embedding drift monitoring, and exactly the k-means
+    update step an IVF index trains with.
+
+    Scale shape: posexplode to (label, dim, value) -> ONE shuffle on
+    the uniform (label, dim) composite key with map-side partial
+    sums (label imbalance doesn't skew the reduce: each reducer key
+    receives one partial per map partition), then a per-label
+    re-assembly ordered by dim. Sums use FIXED-POINT (1e-6) integers
+    so the total is independent of addition order — cross-row double
+    sums are the one aggregation IEEE makes nondeterministic under
+    repartitioning, and the integer form is also what makes the
+    DuckDB oracle bit-exact.
+    """
+    j = vecs.select(F.col(id_col), F.col(vec_col)).join(
+        labels.select(F.col(id_col), F.col(label_col)), id_col)
+    ex = j.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    ).select(
+        label_col, "dim",
+        F.round(F.col("v").cast("double") * 1_000_000, 0).cast("long")
+        .alias("_f"),
+    )
+    per_dim = ex.groupBy(label_col, "dim").agg(
+        F.sum("_f").alias("_s"), F.count(F.lit(1)).alias("_c"))
+    assembled = per_dim.groupBy(label_col).agg(
+        F.max("_c").cast("long").alias("n_vecs"),
+        F.array_sort(F.collect_list(F.struct("dim", "_s"))).alias("_ds"),
+    )
+    centroid = F.transform(
+        F.col("_ds"),
+        lambda x: F.round(
+            x["_s"].cast("double") / 1_000_000.0 / F.col("n_vecs"), 6),
+    )
+    return assembled.select(
+        F.col(label_col), "n_vecs", centroid.alias("centroid"))
+
+
 def cosine_pairs(vecs: DataFrame, threshold: float,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

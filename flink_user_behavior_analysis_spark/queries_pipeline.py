@@ -749,6 +749,37 @@ FROM ranked WHERE rnk <= {ANN_K}
 """
 
 
+def q_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids
+    (operators/similarity.py:group_centroids; embeddings joined to
+    documents on vec_id = doc_id)."""
+    from .operators.similarity import group_centroids
+
+    embs = _embs(spark, sf_dir)
+    labels = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang")
+    return group_centroids(embs, labels)
+
+
+LANG_CENTROIDS_SQL = """
+WITH j AS (
+    SELECT d.lang, e.embedding::DOUBLE[] AS emb
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), ex AS (
+    SELECT lang,
+           unnest(range(0, len(emb))) AS dim,
+           unnest(list_transform(emb, x -> round(x * 1000000, 0)::BIGINT)) AS f
+    FROM j
+), per_dim AS (
+    SELECT lang, dim, sum(f)::BIGINT AS s, COUNT(*) AS c
+    FROM ex GROUP BY 1, 2
+)
+SELECT lang, max(c)::BIGINT AS n_vecs,
+       list(round(s::DOUBLE / 1000000.0 / c, 6) ORDER BY dim) AS centroid
+FROM per_dim GROUP BY 1
+"""
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embeddings table
     (operators/similarity.py:quantize_embeddings)."""
@@ -1446,6 +1477,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh_mp": q_ann_topk_lsh_mp,
     "ann_topk_ivf": q_ann_topk_ivf,
     "quantize_embeddings": q_quantize_embeddings,
+    "lang_centroids": q_lang_centroids,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "token_vocab": q_token_vocab,
@@ -1483,6 +1515,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_topk_lsh_mp": _ann_lsh_mp_sql(),
     "ann_topk_ivf": _ann_ivf_sql(),
     "quantize_embeddings": QUANTIZE_SQL,
+    "lang_centroids": LANG_CENTROIDS_SQL,
     "text_stats": TEXT_STATS_SQL,
     "language_id": _lang_id_sql(),
     "token_vocab": _token_vocab_sql(),

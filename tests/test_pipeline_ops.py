@@ -438,3 +438,31 @@ def test_incremental_dedup_consistent_with_full_pairs(spark, sf_dir):
         else:
             assert doc_id not in corpus_partner
             assert doc_id not in delta_partner
+
+
+def test_group_centroids_match_numpy_mean(spark, sf_dir):
+    """Fixed-point centroid equals the float mean within the 1e-6
+    quantization step, per label and dimension, and is invariant
+    under repartitioning (the order-independence claim)."""
+    import numpy as np
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        group_centroids,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    labels = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang")
+    got = {r.lang: (r.n_vecs, np.array(r.centroid))
+           for r in group_centroids(embs, labels).collect()}
+    rows = embs.join(labels, "vec_id").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(np.array(r.embedding, dtype=float))
+    for lang, vecs in by_lang.items():
+        n, cent = got[lang]
+        assert n == len(vecs)
+        assert np.max(np.abs(cent - np.mean(vecs, axis=0))) < 1e-6
+    reparted = group_centroids(embs.repartition(7), labels.repartition(3))
+    got2 = {r.lang: list(r.centroid) for r in reparted.collect()}
+    assert got2 == {lg: list(c) for lg, (_, c) in got.items()}
