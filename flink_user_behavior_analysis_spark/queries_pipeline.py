@@ -752,13 +752,24 @@ FROM ranked WHERE rnk <= {ANN_K}
 def q_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language embedding centroids
     (operators/similarity.py:group_centroids; embeddings joined to
-    documents on vec_id = doc_id)."""
+    documents on vec_id = doc_id).
+
+    The operator returns centroid as array<double>; the registered
+    query projects it to per-dim rows (lang, n_vecs, dim, value) so
+    the external correctness driver can canonicalize the output
+    (pandas sort_values cannot hash list cells — see round-2
+    CORRECTNESS lang_centroids.err)."""
     from .operators.similarity import group_centroids
 
     embs = _embs(spark, sf_dir)
     labels = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("vec_id"), "lang")
-    return group_centroids(embs, labels)
+    c = group_centroids(embs, labels)
+    return c.select(
+        "lang", "n_vecs",
+        F.posexplode("centroid").alias("dim", "value"),
+    ).select("lang", "n_vecs", F.col("dim").cast("long").alias("dim"),
+             "value")
 
 
 LANG_CENTROIDS_SQL = """
@@ -774,9 +785,9 @@ WITH j AS (
     SELECT lang, dim, sum(f)::BIGINT AS s, COUNT(*) AS c
     FROM ex GROUP BY 1, 2
 )
-SELECT lang, max(c)::BIGINT AS n_vecs,
-       list(round(s::DOUBLE / 1000000.0 / c, 6) ORDER BY dim) AS centroid
-FROM per_dim GROUP BY 1
+SELECT lang, c::BIGINT AS n_vecs, dim::BIGINT AS dim,
+       round(s::DOUBLE / 1000000.0 / c, 6) AS value
+FROM per_dim
 """
 
 
