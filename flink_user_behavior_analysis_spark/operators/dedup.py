@@ -34,8 +34,9 @@ should be salted or dropped by a bucket-size cap before the pair join
 from __future__ import annotations
 
 import os
+import threading
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -71,7 +72,13 @@ def sig_hash(col: Column) -> Column:
     return md5_long(col)
 
 
-_CACHED_FRAMES: list[DataFrame] = []
+# Persisted-frame registry, keyed per SparkSession so one session's
+# release cannot unpersist frames another session is still computing
+# against (that would only force recompute, not wrong results, but it
+# is a silent performance cliff). Guarded by a lock for concurrent
+# query threads inside one process.
+_CACHE_LOCK = threading.Lock()
+_CACHED_FRAMES: dict[SparkSession, list[DataFrame]] = {}
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -85,23 +92,38 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     each result; otherwise Spark's LRU eviction reclaims the blocks.
     """
     df = df.persist()
-    _CACHED_FRAMES.append(df)
+    with _CACHE_LOCK:
+        _CACHED_FRAMES.setdefault(df.sparkSession, []).append(df)
     return df
 
 
-def release_signature_cache() -> int:
+def release_signature_cache(session: SparkSession | None = None) -> int:
     """Unpersist every signature/shingle frame cached by the dedup
-    operators since the last release. Safe to call any time AFTER the
-    consuming query has been materialized (collect/count/write);
-    returns the number of frames released."""
+    operators since the last release, for ONE session. Safe to call
+    any time AFTER the consuming query has been materialized
+    (collect/count/write); returns the number of frames released.
+
+    ``session`` defaults to the active session; frames persisted by
+    OTHER sessions are left alone (releasing them here would silently
+    force recompute in those sessions). Pass the session explicitly
+    from non-Spark threads where no active session is set.
+    """
+    if session is None:
+        session = SparkSession.getActiveSession()
+    with _CACHE_LOCK:
+        if session is None:
+            # no active session (e.g. interpreter teardown): drain all
+            frames = [f for lst in _CACHED_FRAMES.values() for f in lst]
+            _CACHED_FRAMES.clear()
+        else:
+            frames = _CACHED_FRAMES.pop(session, [])
     n = 0
-    for df in _CACHED_FRAMES:
+    for df in frames:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to release
-    _CACHED_FRAMES.clear()
     return n
 
 

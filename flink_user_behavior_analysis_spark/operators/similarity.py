@@ -318,7 +318,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     cents = spark.createDataFrame(
         cent_rows,
         StructType([
-            StructField("cent_id", LongType()),
+            # id type mirrors the corpus id column (string ids work too)
+            StructField("cent_id", corpus.schema[id_col].dataType),
             StructField("cent_vec", corpus.schema[vec_col].dataType),
         ]),
     ).select("cent_id", "cent_vec", norm_expr("cent_vec").alias("cent_norm"))
@@ -345,16 +346,17 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
         # tiebreak of the SQL form and the oracle
         import numpy as np
 
-        by_id = sorted(cent_rows, key=lambda r: int(r[0]))
-        c_ids = np.array([int(r[0]) for r in by_id], dtype="int64")
+        by_id = sorted(cent_rows, key=lambda r: r[0])
+        c_ids = np.array([r[0] for r in by_id])
         c_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in by_id])
         c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
 
+        id_type = side.schema[id_col].dataType
         out_schema = StructType([
-            StructField(f"{prefix}_id", LongType()),
+            StructField(f"{prefix}_id", id_type),
             StructField(f"{prefix}_vec", side.schema[vec_col].dataType),
             StructField(f"{prefix}_norm", DoubleType()),
-            StructField("cent_id", LongType()),
+            StructField("cent_id", id_type),
         ])
 
         def _scan(batches):
@@ -366,7 +368,7 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 norms = np.linalg.norm(x, axis=1)
                 best = np.argmax((x / norms[:, None]) @ c_mat.T, axis=1)
                 yield pd.DataFrame({
-                    f"{prefix}_id": pdf.iloc[:, 0].to_numpy().astype("int64"),
+                    f"{prefix}_id": pdf.iloc[:, 0],
                     f"{prefix}_vec": pdf.iloc[:, 1],
                     f"{prefix}_norm": norms,
                     "cent_id": c_ids[best],

@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 
 def salted_join(
@@ -43,8 +44,29 @@ def salted_join(
 
     Returns the same rows as ``left.join(right, on, 'inner')`` with
     the join key spread over ``salt_buckets`` partitions per key.
+
+    The salt must derive from columns OUTSIDE the join keys: a salt
+    computed only from key columns is constant within each key and the
+    mitigation silently does nothing. The default (all left columns)
+    excludes map-typed columns, which ``xxhash64`` cannot hash; if the
+    remaining columns are a subset of the join keys, a ``ValueError``
+    asks for an explicit ``salt_on``.
     """
-    salt_cols = list(salt_on) if salt_on else list(left.columns)
+    if salt_on:
+        salt_cols = list(salt_on)
+    else:
+        salt_cols = [
+            f.name for f in left.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+    if set(salt_cols) <= set(on):
+        raise ValueError(
+            f"salted_join: effective salt columns {salt_cols} are a "
+            f"subset of the join keys {list(on)} — the salt would be "
+            f"constant per key and spread nothing. Pass salt_on= with "
+            f"at least one hashable non-key column (or add one, e.g. a "
+            f"monotonically_increasing_id)."
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt_buckets)
     )

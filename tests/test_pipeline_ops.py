@@ -197,6 +197,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, recall
 
 
+def test_ivf_supports_string_ids(spark, sf_dir):
+    """ADVICE r2: cent_id must mirror the corpus id type — a string-id
+    corpus should produce identical neighbors to the long-id run
+    (modulo the id rename)."""
+    from flink_user_behavior_analysis_spark.operators.similarity import ivf_topk
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    sembs = embs.select(
+        F.format_string("doc-%06d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    queries = embs.where(F.col("vec_id") < 8)
+    squeries = sembs.where(F.col("vec_id") < "doc-000008")
+    base = {(r.query_id, r.neighbor_id)
+            for r in ivf_topk(queries, embs, 5).collect()}
+    via_str = {(int(r.query_id[4:]), int(r.neighbor_id[4:]))
+               for r in ivf_topk(squeries, sembs, 5).collect()}
+    assert via_str == base and via_str
+
+
 def test_chunking_reconstructs_documents(spark, sf_dir):
     """Chunks are a partition of the token stream: rejoining every
     doc's chunks in chunk_idx order reproduces the normalized text,

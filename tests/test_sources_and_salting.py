@@ -103,3 +103,61 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = sorted(map(tuple, ev.join(cust, "user_id").collect()))
     salted = sorted(map(tuple, salted_join(ev, cust, ["user_id"], 8).collect()))
     assert plain == salted and plain
+
+
+def test_salted_join_rejects_key_only_salt(spark, sf_dir):
+    """A salt derived only from join-key columns is constant per key
+    (no skew mitigation) — the operator must refuse, not silently
+    degrade (ADVICE r2)."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.operators import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    with pytest.raises(ValueError, match="subset of the join keys"):
+        salted_join(ev, cust, ["user_id"], 8)
+    # explicit key-only salt_on is refused the same way
+    with pytest.raises(ValueError, match="subset of the join keys"):
+        salted_join(ev.withColumn("x", F.lit(1)), cust, ["user_id"], 8,
+                    salt_on=["user_id"])
+
+
+def test_salted_join_default_skips_map_columns(spark, sf_dir):
+    """Default salt-column selection must drop MapType columns, which
+    xxhash64 cannot hash (ADVICE r2)."""
+    from flink_user_behavior_analysis_spark.operators import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.create_map(F.lit("k"), F.col("event_type")).alias("m"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    plain = sorted(
+        map(tuple, ev.drop("m").join(cust, "user_id").collect()))
+    salted = sorted(
+        map(tuple,
+            salted_join(ev, cust, ["user_id"], 4).drop("m").collect()))
+    assert plain == salted and plain
+
+
+def test_signature_cache_is_per_session(spark):
+    """release_signature_cache drains only the requested session's
+    frames and reports the count (ADVICE r2)."""
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        _CACHED_FRAMES,
+        _tracked_persist,
+        release_signature_cache,
+    )
+
+    release_signature_cache(spark)  # clean slate
+    df = _tracked_persist(spark.range(10))
+    df.count()
+    assert spark in _CACHED_FRAMES and len(_CACHED_FRAMES[spark]) == 1
+    assert release_signature_cache(spark) == 1
+    assert spark not in _CACHED_FRAMES
+    assert release_signature_cache(spark) == 0
