@@ -278,10 +278,15 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     probes only its ``nprobe`` nearest lists.
 
     The centroid set is the ``n_centroids`` corpus rows with the
-    smallest md5_long(id) — a stateless, reproducible quantizer whose
-    size is FIXED regardless of corpus size (a trained k-means would
-    drop in the same slot; determinism is what the oracle gate
-    needs). The selection is a top-K by hash, which Spark executes as
+    smallest md5_long(vector content) — the hash key is the vector's
+    fixed-point (1e-6) serialization, NOT the row id, so the selected
+    centroids (and therefore the neighbors) are invariant under any
+    id renaming or id-type change (long ids vs string ids pick the
+    same centroid VECTORS; see test_ivf_supports_string_ids). A
+    stateless, reproducible quantizer whose size is FIXED regardless
+    of corpus size (a trained k-means would drop in the same slot;
+    determinism is what the oracle gate needs). The selection is a
+    top-K by hash, which Spark executes as
     TakeOrderedAndProject (map-side partial top-K, no global sort);
     the K rows that reach the driver are O(n_centroids), never
     O(|corpus|). Query probing keeps the DOUBLE left-fold expressions
@@ -308,10 +313,20 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
         )
-        .withColumn("_h", md5_long(F.col("cent_id").cast("string")))
-        .orderBy("_h", "cent_id")
+        # id-representation-invariant selection key: fixed-point
+        # serialization of the vector itself (same 1e-6 convention as
+        # group_centroids, so the DuckDB oracle reproduces it exactly);
+        # tiebreak by the serialized key, then cent_id only for exact
+        # duplicate vectors (where either pick yields the same centroid
+        # vector anyway)
+        .withColumn("_key", F.concat_ws(",", F.transform(
+            F.col("cent_vec"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0)
+            .cast("long").cast("string"))))
+        .withColumn("_h", md5_long(F.col("_key")))
+        .orderBy("_h", "_key", "cent_id")
         .limit(n_centroids)
-        .drop("_h")
+        .drop("_h", "_key")
         .collect()
     )
     spark = corpus.sparkSession

@@ -947,23 +947,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _GATE_HEAD: list[str] = [
-    # round-2 driver error (array output — fixed to per-dim rows)
-    "lang_centroids",
-    # never driver-gated before round 3
-    "curation_pipeline",
-    "chunk_docs",
-    "pack_sequences",
-    "stratified_sample",
-    "media_resize",
-    "corpus_quantiles_approx",
-    "multimodal_decode",
-    # green in r1 but outside the r2 window — re-gate
-    "doc_fingerprints",
-    "multimodal_meta",
-    "frame_sample",
-]
-
-_GATE_TAIL: list[str] = [
+    # round-4 rotation (VERDICT r3 item 3): the 9 queries demoted past
+    # the r3 window come back to the front for fresh driver rows
     "doc_split",
     "sample_docs",
     "quantize_embeddings",
@@ -973,6 +958,23 @@ _GATE_TAIL: list[str] = [
     "dedup_embedding_cosine_lsh_mt",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    # oracle upgraded this round (r3 row was err: no_oracle) — keep
+    # gated so the new rank-error columns earn a hash row
+    "corpus_quantiles_approx",
+]
+
+_GATE_TAIL: list[str] = [
+    # all hash-green (or rows-only by design) in CORRECTNESS_r03 —
+    # each can afford to sit out exactly one round
+    "lang_centroids",
+    "curation_pipeline",
+    "chunk_docs",
+    "pack_sequences",
+    "stratified_sample",
+    "media_resize",
+    "multimodal_decode",
+    "doc_fingerprints",
+    "multimodal_meta",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

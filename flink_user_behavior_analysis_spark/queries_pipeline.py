@@ -709,9 +709,11 @@ def _ann_ivf_sql() -> str:
     return f"""
 WITH {_D_NORMED},
 cents AS (
-    SELECT vec_id AS cent_id, e AS cent_vec, nrm AS cent_norm
+    SELECT vec_id AS cent_id, e AS cent_vec, nrm AS cent_norm,
+           array_to_string(list_transform(
+               e, x -> (round(x * 1000000, 0)::BIGINT)::VARCHAR), ',') AS vkey
     FROM n
-    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+    ORDER BY ('0x' || substr(md5(vkey), 1, 15))::BIGINT, vkey, vec_id
     LIMIT {IVF_K}
 ), c_assign AS (
     SELECT * FROM (
@@ -886,14 +888,67 @@ FROM scored
 """
 
 
+QUANTILE_ACCURACY = 10000
+
+
 def q_corpus_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based corpus quantiles — the mergeable 100 TB path
-    (operators/text.py:corpus_quantiles_approx). rows-only check:
-    sketch internals are engine-specific; the error-bound pytest
-    (tests/test_pipeline_ops.py) is the correctness evidence."""
-    from .operators.text import corpus_quantiles_approx
+    (operators/text.py:corpus_quantiles_approx) — wrapped in a
+    SELF-CERTIFYING output so the driver gate is meaningful (r3 row
+    was ``err: no_oracle``): the query emits the EXACT quantiles
+    (DuckDB-checkable) plus one ``ok_*`` certificate per sketch value
+    computed Spark-side — 1 iff the GK sketch value's rank lies
+    within n/accuracy (+1 row interpolation slack) of the target
+    rank.  The oracle pins the exact quantiles and asserts every
+    certificate is literally 1, so a sketch outside its error bound
+    hash-mismatches instead of passing silently."""
+    from .operators.text import (
+        QUANTILE_PROBS,
+        corpus_quantiles_approx,
+        normalized_text,
+    )
 
-    return corpus_quantiles_approx(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    sketch = corpus_quantiles_approx(docs, accuracy=QUANTILE_ACCURACY)
+    sketch_r = sketch.select(
+        *[F.col(c).alias(f"s_{c}") for c in sketch.columns])
+
+    n_chars = F.length(F.col("text")).cast("double")
+    n_ws = F.size(F.split(normalized_text("text"), " ")).cast("double")
+    measured = docs.select(n_chars.alias("_nc"), n_ws.alias("_nt"))
+
+    # one pass over the corpus computes BOTH the exact quantiles and
+    # the rank brackets [#(x < v), #(x <= v)] of every sketch value
+    # (the sketch row is a broadcast single-row cross join)
+    j = measured.crossJoin(F.broadcast(sketch_r))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for p in QUANTILE_PROBS:
+        tag = str(int(p * 100))
+        for meas, col_ in (("chars", "_nc"), ("tokens", "_nt")):
+            v = F.col(f"s_{meas}_p{tag}")
+            aggs.append(F.round(F.percentile(col_, p), 4)
+                        .alias(f"{meas}_p{tag}"))
+            aggs.append(F.sum((F.col(col_) < v).cast("long"))
+                        .alias(f"_lo_{meas}_{tag}"))
+            aggs.append(F.sum((F.col(col_) <= v).cast("long"))
+                        .alias(f"_hi_{meas}_{tag}"))
+    row = j.agg(*aggs)
+
+    n = F.col("n_docs").cast("double")
+    tol = n / QUANTILE_ACCURACY + 1.0
+    out = [F.col("n_docs")]
+    for p in QUANTILE_PROBS:
+        tag = str(int(p * 100))
+        for meas in ("chars", "tokens"):
+            out.append(F.col(f"{meas}_p{tag}"))
+            # sketch value v occupies 1-based ranks [lo+1, hi]; target
+            # rank is the interpolated 1 + p*(n-1)
+            t = 1.0 + F.lit(p) * (n - 1.0)
+            lo = F.col(f"_lo_{meas}_{tag}").cast("double")
+            hi = F.col(f"_hi_{meas}_{tag}").cast("double")
+            ok = (lo + 1.0 - tol <= t) & (t <= hi + tol)
+            out.append(ok.cast("long").alias(f"ok_{meas}_p{tag}"))
+    return row.select(*out)
 
 
 def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,6 +957,30 @@ def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import corpus_quantiles
 
     return corpus_quantiles(_docs(spark, sf_dir))
+
+
+def _corpus_quantiles_approx_sql() -> str:
+    from .operators.text import QUANTILE_PROBS
+
+    cols = []
+    for p in QUANTILE_PROBS:
+        tag = str(int(p * 100))
+        for meas, expr in (("chars", "nc"), ("tokens", "nt")):
+            cols.append(
+                f"round(quantile_cont({expr}, {p}), 4) AS {meas}_p{tag}")
+            # the certificate: the Spark side computes the sketch's
+            # actual rank error; the oracle demands it passed
+            cols.append(f"1::BIGINT AS ok_{meas}_p{tag}")
+    return f"""
+WITH {_D_BASE},
+m AS (
+    SELECT length(d.text)::DOUBLE AS nc, len(t.w)::DOUBLE AS nt
+    FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       {', '.join(cols)}
+FROM m
+"""
 
 
 def _corpus_quantiles_sql() -> str:
@@ -1531,6 +1610,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "language_id": _lang_id_sql(),
     "token_vocab": _token_vocab_sql(),
     "corpus_quantiles": _corpus_quantiles_sql(),
+    "corpus_quantiles_approx": _corpus_quantiles_approx_sql(),
     "repetition_stats": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "contamination": _contamination_sql(),

@@ -78,5 +78,27 @@ def test_tail_entries_all_have_prior_green_rows():
     )
 
 
+def test_tail_entries_were_green_in_latest_round():
+    """Staleness guard (ADVICE r3): 'prior green' is not 'currently
+    green'.  A query may only be demoted past the window if its green
+    row is at most one round old — i.e. it appeared hash-green (or is
+    rows-only by design) in the LATEST CORRECTNESS file.  This forces
+    the window to rotate every round instead of letting demoted
+    entries go permanently unchecked."""
+    paths = sorted(glob.glob(os.path.join(REPO_ROOT,
+                                          "CORRECTNESS_r*.json")))
+    if not paths:
+        return
+    with open(paths[-1]) as fh:
+        latest = json.load(fh)
+    fresh = {name for name, row in latest.items()
+             if row.get("hash_match") is True} | ROWS_ONLY_BY_DESIGN
+    stale = [n for n in list(QUERIES)[GATE_WINDOW:] if n not in fresh]
+    assert not stale, (
+        f"tail entries whose last green row is older than the latest "
+        f"round: {stale} — rotate them back into the window"
+    )
+
+
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
