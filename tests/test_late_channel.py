@@ -76,6 +76,74 @@ def test_late_rows_routed_to_side_channel(spark, sf_dir, tmp_path):
     assert key(got) == key(want)
 
 
+def test_late_channel_parquet_sink_matches_harness(spark, sf_dir, tmp_path):
+    """Production path (VERDICT r3 item 7): both legs written to
+    parquet from inside foreachBatch — the routed sets must equal the
+    driver-collect harness's, and the main result recomputed over the
+    on-time parquet must equal the harness result leg."""
+    from flink_user_behavior_analysis_spark.streaming import (
+        run_with_late_channel_to_parquet,
+    )
+
+    stream_dir, first, second = _two_file_replay_dir(spark, sf_dir, tmp_path)
+
+    def raw():
+        return (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+
+    def compute(on_time):
+        return windowed_count(
+            on_time.where(F.col("event_type") == "click"),
+            "ts", ["user_id"], "1 hour", "1 hour",
+        )
+
+    paths = run_with_late_channel_to_parquet(
+        raw(), DELAY_S, str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    legs = run_with_late_channel(raw(), DELAY_S, compute)
+
+    late_pq = spark.read.parquet(paths["late"])
+    on_time_pq = spark.read.parquet(paths["on_time"])
+    assert {r.event_id for r in late_pq.collect()} == {
+        r.event_id for r in legs["late"].collect()}
+    assert late_pq.count() > 0, "vacuous replay: no late rows"
+
+    key = lambda df: sorted(
+        (r.window_end_us, r.user_id, r.cnt) for r in df.collect()
+    )
+    assert key(compute(on_time_pq)) == key(legs["result"])
+
+
+def test_topn_parquet_sink_upserts_per_window(spark, sf_dir, tmp_path):
+    """Production T1/T2 sink: the dynamically-overwritten parquet
+    table holds the final late-update-safe ranking — equal to the
+    batch hot_items query — partitioned one directory per window."""
+    import glob as _glob
+
+    from flink_user_behavior_analysis_spark import queries as Q
+    from flink_user_behavior_analysis_spark.streaming import (
+        hot_items_counts_stream,
+        run_topn_to_parquet,
+    )
+
+    out = run_topn_to_parquet(
+        hot_items_counts_stream(spark, sf_dir), 3,
+        order_cols=[F.col("cnt").desc(), F.col("item_id").asc()],
+        out_dir=str(tmp_path / "topn"),
+        checkpoint_dir=str(tmp_path / "ckpt_topn"))
+    got = spark.read.parquet(out)
+    want = Q.QUERIES["hot_items"](spark, sf_dir)
+    key = lambda df: sorted(
+        (r.window_end_us, r.item_id, r.cnt, int(r.rnk)) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    # keyed layout: one partition directory per window
+    assert _glob.glob(os.path.join(out, "window_end_us=*"))
+
+
 def test_late_channel_empty_when_delay_covers_disorder(spark, sf_dir, tmp_path):
     """With allowed lateness wider than the replay's disorder, nothing
     is late and the result equals the full batch query."""
