@@ -1,5 +1,9 @@
 from .asof import asof_join
-from .cluster import connected_components, dedup_clusters
+from .cluster import (
+    connected_components,
+    connected_components_star,
+    dedup_clusters,
+)
 from .sampling import hash_sample, hash_split, hash_uniform
 from .blacklist import cap_filter_with_warnings
 from .dedup import (
@@ -36,6 +40,7 @@ __all__ = [
     "brute_force_topk_arrow",
     "cap_filter_with_warnings",
     "connected_components",
+    "connected_components_star",
     "dedup_clusters",
     "hash_sample",
     "hash_split",

@@ -33,8 +33,10 @@ should be salted or dropped by a bucket-size cap before the pair join
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,9 +78,15 @@ def sig_hash(col: Column) -> Column:
 # release cannot unpersist frames another session is still computing
 # against (that would only force recompute, not wrong results, but it
 # is a silent performance cliff). Guarded by a lock for concurrent
-# query threads inside one process.
+# query threads inside one process. WeakKeyDictionary (ADVICE r3): a
+# session stopped without release_signature_cache() must not be kept
+# alive (with its DataFrames) for the process lifetime by this
+# registry — when the last outside reference drops, the entry goes
+# with it.
 _CACHE_LOCK = threading.Lock()
-_CACHED_FRAMES: dict[SparkSession, list[DataFrame]] = {}
+_CACHED_FRAMES: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -112,7 +120,17 @@ def release_signature_cache(session: SparkSession | None = None) -> int:
         session = SparkSession.getActiveSession()
     with _CACHE_LOCK:
         if session is None:
-            # no active session (e.g. interpreter teardown): drain all
+            # no active session (e.g. interpreter teardown): drain all.
+            # Log when this fires with live entries — if another
+            # session's frames are in here, this call defeats the
+            # per-session isolation (ADVICE r3) and the caller should
+            # pass its session explicitly.
+            if _CACHED_FRAMES:
+                logging.getLogger(__name__).warning(
+                    "release_signature_cache() called with no active "
+                    "session; draining cached frames of %d session(s)",
+                    len(_CACHED_FRAMES),
+                )
             frames = [f for lst in _CACHED_FRAMES.values() for f in lst]
             _CACHED_FRAMES.clear()
         else:
