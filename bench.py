@@ -59,6 +59,11 @@ HEADLINE = [
     "doc_fingerprints",
     "doc_split",
     "multimodal_decode",
+    # round-4 additions (PERF.md: r3-comparable subtotal excludes these)
+    "bm25_topk",
+    "source_stats",
+    "chunk_containment",
+    "dedup_clusters_star",
 ]
 
 

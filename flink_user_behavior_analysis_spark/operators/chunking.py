@@ -128,3 +128,46 @@ def pack_sequences(
         F.col("seq_id").cast("long").alias("seq_id"),
         "n_seq_tokens", "n_docs", "seq_text",
     )
+
+
+def chunk_containment(docs: DataFrame, chunk_tokens: int = 32,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Partial-duplication detector: per document, the fraction of its
+    (distinct) ``chunk_tokens``-sized chunks whose fingerprint also
+    appears in ANOTHER document — catches embedded/partial copies that
+    whole-document exact dedup misses and near-dup shingling dilutes
+    (a 10%-quoted doc still scores ~0.1 here, not a near-dup at all).
+
+    Output: (doc_id, n_chunks, n_shared, containment) over distinct
+    chunk fingerprints per doc; containment = n_shared / n_chunks
+    rounded to 4 decimals.
+
+    Scale shape (100 TB): chunk fingerprints are md5 strings — one
+    (doc, fp) dedupe shuffle, one fp-keyed count, one join back on
+    fp, one doc-keyed agg; all keys uniform by construction (md5).
+    No pair join anywhere — sharing is counted through the fingerprint
+    groupBy, so a chunk shared by 10^6 docs costs one counter, not
+    10^12 pairs.
+    """
+    fp = (
+        chunk_documents(docs, chunk_tokens, id_col, text_col)
+        .select(F.col(id_col), F.md5("chunk_text").alias("fp"))
+        .distinct()
+    )
+    nd = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("_nd"))
+    return (
+        fp.join(nd, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("_nd") >= 2).cast("long")).cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            F.col(id_col), "n_chunks", "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_chunks"), 4)
+            .alias("containment"),
+        )
+    )

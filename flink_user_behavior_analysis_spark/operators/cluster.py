@@ -210,15 +210,21 @@ def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    cc_fn=None,
 ) -> DataFrame:
     """Cluster assignment per document from near-dup pairs.
 
     Output: (doc_id, cluster_id, cluster_size, is_keeper) — keeper is
     the min-id doc of each cluster (the row a dedup pipeline retains).
+
+    ``cc_fn`` selects the components algorithm: min-label propagation
+    by default (diameter rounds — right for shallow near-dup graphs),
+    or connected_components_star for deep graphs (O(log^2 n) rounds).
+    Both produce identical (id, component) labelings, so the output —
+    and the DuckDB oracle — is algorithm-independent.
     """
-    comp = connected_components(
-        docs.select(id_col), pairs, id_col=id_col
-    )
+    cc = cc_fn or connected_components
+    comp = cc(docs.select(id_col), pairs, id_col=id_col)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

@@ -378,3 +378,118 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
         for i in range(minhash_k)
     ]
     return base.select(F.col(id_col), "fp_md5", *mins)
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text",
+              qid_col: str = "query_id",
+              qtext_col: str = "query_text") -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` documents per query — the
+    text-side counterpart of ANN search for retrieval-style corpus
+    queries (eval-set mining, SEO-spam probes, targeted curation).
+
+    Scoring is the Lucene BM25 form: idf(t) = ln((N - df + 0.5) /
+    (df + 0.5) + 1), tf saturation k1, length normalization b against
+    the mean token count. Per-term scores are folded to FIXED-POINT
+    (1e-6) longs before the per-(query, doc) sum so the total is
+    independent of addition order (same rationale as group_centroids)
+    and bit-reproducible in the DuckDB oracle.
+
+    Scale shape (100 TB): tf and df are the inverted-index artifacts
+    — one token-keyed shuffle each over the corpus, computed once and
+    stored in production; the query side is tiny and broadcasts into
+    the postings join, so a query batch never reshuffles the corpus.
+    Final ranking windows over query_id — as many keys as queries,
+    each with candidate lists bounded by postings intersection.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    consts = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).crossJoin(
+        toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.sum("_d").cast("double").alias("_tot"),
+             F.count(F.lit(1)).cast("double").alias("_nd"))
+        .select((F.col("_tot") / F.col("_nd")).alias("avgdl"))
+    )
+    qt = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(
+            F.split(normalized_text(qtext_col), " "))).alias("token"),
+    ).where(F.col("token") != "")
+    n = F.col("n_docs").cast("double")
+    idf = F.log((n - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    denom = tfd + k1 * (1.0 - b + b * F.col("dl").cast("double")
+                        / F.col("avgdl"))
+    term_score = idf * tfd * (k1 + 1.0) / denom
+    scored = (
+        F.broadcast(qt).join(tf, "token")
+        .join(F.broadcast(dfreq.join(F.broadcast(qt.select("token")
+                                                 .distinct()), "token")),
+              "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts))
+        .select(F.col(qid_col), F.col(id_col),
+                F.round(term_score * 1_000_000, 0).cast("long").alias("_f"))
+    )
+    summed = scored.groupBy(qid_col, id_col).agg(
+        F.sum("_f").alias("_s"), F.count(F.lit(1)).cast("long")
+        .alias("n_terms_hit"))
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("_s").desc(), F.col(id_col).asc())
+    return (
+        summed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col(qid_col), F.col(id_col),
+                F.round(F.col("_s").cast("double") / 1_000_000.0, 4)
+                .alias("bm25"),
+                "n_terms_hit", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def source_stats(docs: DataFrame, quality_threshold: float = 0.6,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-(source, lang) curation telemetry: document counts, token
+    volume, mean quality, and the keep-rate at the curation threshold
+    — the dashboard aggregation a 100 TB ingest monitors per shard.
+
+    Mean quality uses fixed-point (1e-4, matching quality_score's
+    rounding) integer sums so the cross-row average is
+    addition-order-independent and oracle-exact. One groupBy on the
+    uniform (source, lang) composite key; everything else is per-row
+    projection folded map-side.
+    """
+    q = quality_score_col(text_col)
+    cnts = token_counts(text_col)
+    per = docs.select(
+        "source", "lang",
+        cnts["n_tokens_ws"].alias("_nt"),
+        F.round(q * 10_000, 0).cast("long").alias("_qf"),
+        (q >= quality_threshold).cast("long").alias("_keep"),
+    )
+    # mean rounds in the INTEGER 1e-4 domain (round(sum/n) / 1e4, not
+    # round(sum/1e4/n, 4)): a decimal half like 0.62645 is not binary-
+    # representable, and Spark (shortest-decimal HALF_UP) vs DuckDB
+    # (raw binary) round it in opposite directions — whereas integer
+    # halves like 6264.5 are exact in both engines and round away from
+    # zero identically
+    return per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        (F.round(F.sum("_qf").cast("double") / F.count(F.lit(1)), 0)
+         / 10_000.0).alias("mean_quality"),
+        F.round(F.sum("_keep").cast("double") / F.count(F.lit(1)), 4)
+        .alias("keep_rate"),
+    )

@@ -961,6 +961,11 @@ _GATE_HEAD: list[str] = [
     # oracle upgraded this round (r3 row was err: no_oracle) — keep
     # gated so the new rank-error columns earn a hash row
     "corpus_quantiles_approx",
+    # new in round 4 — never driver-gated
+    "bm25_topk",
+    "source_stats",
+    "chunk_containment",
+    "dedup_clusters_star",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -975,6 +980,12 @@ _GATE_TAIL: list[str] = [
     "multimodal_decode",
     "doc_fingerprints",
     "multimodal_meta",
+    # round-4 additions to make room for the 4 new queries (all green
+    # in CORRECTNESS_r03, each sits out exactly one round)
+    "frame_sample",
+    "tx_interval_join",
+    "login_fail_cep",
+    "view_then_purchase",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -1547,6 +1547,153 @@ FROM sliced
 """
 
 
+BM25_K = 5
+# fixed retrieval probes over the synthetic vocabulary (top corpus
+# terms, so every query has real postings); literal here AND in the
+# oracle VALUES clause
+BM25_QUERIES: list[tuple[int, str]] = [
+    (1, "spark window join"),
+    (2, "hash table scan"),
+    (3, "stream batch order"),
+    (4, "vector column filter"),
+    (5, "slow query sort merge"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the documents corpus
+    (operators/text.py:bm25_topk): top-5 docs for each fixed probe."""
+    from .operators.text import bm25_topk
+
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string")
+    return bm25_topk(_docs(spark, sf_dir), qdf, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH {_D_BASE},
+toks AS (
+    SELECT doc_id, unnest(w) AS token FROM tok
+), nonempty AS (
+    SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+    SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+    FROM nonempty GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS dl FROM nonempty GROUP BY 1
+), dfreq AS (
+    SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+), consts AS (
+    SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+           (SELECT sum(dl)::DOUBLE / COUNT(*) FROM dl) AS avgdl
+), q(query_id, query_text) AS (VALUES {vals}),
+qt AS (
+    SELECT DISTINCT query_id, unnest(string_split(trim(regexp_replace(
+        regexp_replace(lower(query_text), '[^a-z0-9 ]', ' ', 'g'),
+        ' +', ' ', 'g')), ' ')) AS token
+    FROM q
+), scored AS (
+    SELECT qt.query_id, tf.doc_id,
+           round(ln((consts.n_docs::DOUBLE - dfreq.df + 0.5)
+                    / (dfreq.df + 0.5) + 1.0)
+                 * tf.tf::DOUBLE * ({1.2} + 1.0)
+                 / (tf.tf::DOUBLE + {1.2} * (1.0 - {0.75}
+                    + {0.75} * dl.dl::DOUBLE / consts.avgdl)) * 1000000,
+                 0)::BIGINT AS f
+    FROM qt
+    JOIN tf USING (token)
+    JOIN dfreq USING (token)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN consts
+    WHERE qt.token <> ''
+), summed AS (
+    SELECT query_id, doc_id, sum(f)::BIGINT AS s,
+           COUNT(*)::BIGINT AS n_terms_hit
+    FROM scored GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+    FROM summed
+)
+SELECT query_id, doc_id, round(s::DOUBLE / 1000000.0, 4) AS bm25,
+       n_terms_hit, rnk::BIGINT AS rnk
+FROM ranked WHERE rnk <= {BM25_K}
+"""
+
+
+SOURCE_QMIN = 0.6
+
+
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) curation telemetry
+    (operators/text.py:source_stats)."""
+    from .operators.text import source_stats
+
+    return source_stats(_docs(spark, sf_dir), SOURCE_QMIN)
+
+
+def _source_stats_sql() -> str:
+    return f"""
+WITH {_D_BASE},
+per AS (
+    SELECT d.source, d.lang, len(t.w)::BIGINT AS nt,
+           round((0.4 * least(len(t.w)::DOUBLE / 100, 1.0)
+                  + 0.3 * (1.0 - (length(d.text) - length(regexp_replace(
+                        d.text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+                        / greatest(length(d.text), 1))
+                  + 0.3 * len(list_distinct(t.w))::DOUBLE
+                        / greatest(len(t.w), 1)), 4) AS q
+    FROM documents d JOIN tok t USING (doc_id)
+)
+SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+       sum(nt)::BIGINT AS total_tokens,
+       round(sum(round(q * 10000, 0)::BIGINT)::DOUBLE / COUNT(*), 0)
+           / 10000.0 AS mean_quality,
+       round(sum((q >= {SOURCE_QMIN})::INT)::DOUBLE / COUNT(*), 4)
+           AS keep_rate
+FROM per GROUP BY 1, 2
+"""
+
+
+def q_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplication containment per document
+    (operators/chunking.py:chunk_containment)."""
+    from .operators.chunking import chunk_containment
+
+    return chunk_containment(_docs(spark, sf_dir), CHUNK_TOKENS)
+
+
+def _chunk_containment_sql() -> str:
+    return f"""
+WITH chunks AS ({CHUNK_SQL}),
+fp AS (
+    SELECT DISTINCT doc_id, md5(chunk_text) AS fp FROM chunks
+), nd AS (
+    SELECT fp, COUNT(*)::BIGINT AS ndocs FROM fp GROUP BY 1
+)
+SELECT fp.doc_id, COUNT(*)::BIGINT AS n_chunks,
+       sum((nd.ndocs >= 2)::INT)::BIGINT AS n_shared,
+       round(sum((nd.ndocs >= 2)::INT)::DOUBLE / COUNT(*), 4)
+           AS containment
+FROM fp JOIN nd USING (fp)
+GROUP BY 1
+"""
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical output contract to dedup_clusters, computed with the
+    alternating large-star/small-star components algorithm
+    (operators/cluster.py:connected_components_star) — shares
+    dedup_clusters' recursive-CTE oracle, which is exactly the claim:
+    the two algorithms agree on real pair graphs."""
+    from .operators.cluster import connected_components_star, dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, JACCARD_T, k=MINHASH_K, bands=LSH_BANDS)
+    return dedup_clusters(docs, pairs, cc_fn=connected_components_star)
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1585,6 +1732,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
+    "bm25_topk": q_bm25_topk,
+    "source_stats": q_source_stats,
+    "chunk_containment": q_chunk_containment,
+    "dedup_clusters_star": q_dedup_clusters_star,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1623,4 +1774,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     # multimodal_decode: mapInPandas fake decode — rows-only
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
+    "bm25_topk": _bm25_sql(),
+    "source_stats": _source_stats_sql(),
+    "chunk_containment": _chunk_containment_sql(),
+    # same recursive-CTE oracle as dedup_clusters: the star algorithm
+    # must reproduce min-label's labeling exactly
+    "dedup_clusters_star": _clusters_sql(),
 }

@@ -486,3 +486,63 @@ def test_group_centroids_match_numpy_mean(spark, sf_dir):
     reparted = group_centroids(embs.repartition(7), labels.repartition(3))
     got2 = {r.lang: list(r.centroid) for r in reparted.collect()}
     assert got2 == {lg: list(c) for lg, (_, c) in got.items()}
+
+
+def test_bm25_ranking_properties(spark, sf_dir):
+    """Scores are non-increasing within a query, every hit contains at
+    least one query term, and a query of one very common term ranks a
+    doc with the highest saturated tf/length tradeoff first."""
+    from flink_user_behavior_analysis_spark.operators.text import bm25_topk
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(1, "spark join"), (2, "window")], "query_id long, query_text string")
+    out = bm25_topk(docs, qdf, k=5).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rnk)
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # every returned doc contains at least one query term
+    hit_ids = [r.doc_id for r in out]
+    toks = {
+        r.doc_id: set(r.ntext.split(" "))
+        for r in docs.where(F.col("doc_id").isin(hit_ids))
+        .select("doc_id", normalized_text("text").alias("ntext")).collect()
+    }
+    terms = {1: {"spark", "join"}, 2: {"window"}}
+    for r in out:
+        assert toks[r.doc_id] & terms[r.query_id], r
+
+
+def test_chunk_containment_bounds_and_exact_dup(spark, sf_dir):
+    """containment in [0,1]; any pair of exact-duplicate documents
+    (same normalized text) must both have containment 1.0."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        chunk_containment,
+    )
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        normalized_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_containment(docs, 32)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows and all(0.0 <= r.containment <= 1.0 for r in rows.values())
+    # force exact duplicates: re-id copies of three docs and re-run —
+    # both halves of each duplicated pair must score containment 1.0
+    base = docs.select("doc_id", "text")
+    copies = (base.orderBy("doc_id").limit(3)
+              .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    out2 = chunk_containment(base.unionByName(copies), 32)
+    rows2 = {r.doc_id: r for r in out2.collect()}
+    orig_ids = [r.doc_id for r in base.orderBy("doc_id").limit(3).collect()]
+    for d in orig_ids:
+        assert rows2[d].containment == 1.0, d
+        assert rows2[d + 1_000_000].containment == 1.0, d
