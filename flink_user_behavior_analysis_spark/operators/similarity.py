@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -324,7 +326,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             lambda x: F.round(x.cast("double") * 1_000_000, 0)
             .cast("long").cast("string"))))
         .withColumn("_h", md5_long(F.col("_key")))
-        .orderBy("_h", "_key", "cent_id")
+        # tiebreak on cent_id, not _key: keeps ~KB strings out of the
+        # TakeOrdered comparator; id-dependence re-enters only on a
+        # 60-bit hash collision (i.e. never in practice)
+        .orderBy("_h", "cent_id")
         .limit(n_centroids)
         .drop("_h", "_key")
         .collect()
@@ -688,4 +693,192 @@ def cosine_pairs_blocked(vecs: DataFrame, threshold: float,
     tagged = as_a.unionByName(as_b)
     return tagged.groupBy("bi", "bj").applyInPandas(
         _make_block_pair_fn(float(threshold)), _PAIR_SCHEMA
+    )
+
+
+def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[list[float]]:
+    """Lloyd's k-means over the embedding corpus — the TRAINED coarse
+    quantizer that drops into ivf_topk's centroid slot (its docstring
+    promises the slot; this fills it). Returns k centroid vectors as
+    plain python lists, sorted by first component for determinism.
+
+    Deterministic by construction: initialization is the same
+    content-hash top-K selection ivf_topk uses (no RNG), the
+    assignment step is an Arrow/BLAS argmax scan (ties -> lowest
+    centroid index), and the update step sums in FIXED-POINT (1e-6)
+    integers on the uniform (centroid, dim) key — so refits on
+    repartitioned data produce bit-identical centroids
+    (the group_centroids rationale). Empty clusters keep their
+    previous centroid.
+
+    Scale shape (100 TB): per iteration, ONE corpus scan (mapInPandas
+    assignment against k broadcast centroids) + ONE shuffle keyed by
+    (centroid, dim) with map-side partial sums; centroids collected
+    to the driver are k rows regardless of corpus size.
+    """
+    import numpy as np
+
+    from .dedup import md5_long
+
+    init_rows = (
+        vecs.select(F.col(vec_col).alias("v"))
+        .withColumn("_key", F.concat_ws(",", F.transform(
+            F.col("v"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0)
+            .cast("long").cast("string"))))
+        .withColumn("_h", md5_long(F.col("_key")))
+        .orderBy("_h", "_key")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    cents = np.array([np.asarray(r[0], dtype=np.float64)
+                      for r in init_rows])
+
+    vec_type = vecs.schema[vec_col].dataType
+    assign_schema = StructType([
+        StructField("cent", IntegerType()),
+        StructField("vec", vec_type),
+    ])
+
+    for _ in range(max(0, iters)):
+        c_mat = cents
+
+        def _assign(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                x = np.array([np.asarray(e, dtype=np.float64)
+                              for e in pdf.iloc[:, 0]])
+                # squared-euclidean argmax via the dot trick; argmax
+                # returns the FIRST max -> lowest centroid index on ties
+                d = x @ c_mat.T - 0.5 * (c_mat * c_mat).sum(axis=1)
+                yield pd.DataFrame({
+                    "cent": d.argmax(axis=1).astype("int32"),
+                    "vec": pdf.iloc[:, 0],
+                })
+
+        assigned = vecs.select(F.col(vec_col)).mapInPandas(
+            _assign, assign_schema)
+        per_dim = (
+            assigned.select(
+                "cent", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cent", "dim")
+            .agg(F.sum(F.round(F.col("x").cast("double") * 1_000_000, 0)
+                       .cast("long")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        counts = {}
+        sums = {}
+        for r in per_dim:
+            sums[(r.cent, r.dim)] = r.s
+            counts[r.cent] = r.n
+        for c in counts:
+            dimvals = [sums[(c, d)] / 1_000_000.0 / counts[c]
+                       for d in range(cents.shape[1])]
+            new[c] = np.array(dimvals)
+        cents = new
+    return sorted(
+        (([float(x) for x in row]) for row in cents),
+        key=lambda row: row,
+    )
+
+
+def ivf_topk_trained(queries: DataFrame, corpus: DataFrame, k: int,
+                     n_centroids: int = 32, nprobe: int = 2,
+                     train_iters: int = 3,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ivf_topk with a TRAINED (k-means) coarse quantizer instead of
+    the content-hash sample quantizer — better-balanced lists, higher
+    recall at the same nprobe. Same probe plan as ivf_topk: Arrow
+    assignment scan for the corpus, broadcast centroid join for the
+    queries, bucket-keyed candidate join.
+
+    No SQL oracle (the trained quantizer is iterative); correctness
+    is pytest-gated: determinism (refit == refit) and recall >= the
+    untrained ivf_topk on the same (queries, k, nprobe).
+    """
+    from pyspark.sql import Window
+
+    cent_vecs = kmeans_fit(corpus, n_centroids, train_iters,
+                           id_col, vec_col)
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cent_vecs)],
+        StructType([
+            StructField("cent_id", LongType()),
+            StructField("cent_vec", ArrayType(DoubleType())),
+        ]),
+    ).select("cent_id", "cent_vec", norm_expr("cent_vec").alias("cent_norm"))
+
+    import numpy as np
+
+    c_mat = np.array(cent_vecs)
+    c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    def assign_arrow(side: DataFrame, prefix: str) -> DataFrame:
+        id_type = side.schema[id_col].dataType
+        out_schema = StructType([
+            StructField(f"{prefix}_id", id_type),
+            StructField(f"{prefix}_vec", side.schema[vec_col].dataType),
+            StructField(f"{prefix}_norm", DoubleType()),
+            StructField("cent_id", LongType()),
+        ])
+
+        def _scan(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                x = np.array([np.asarray(e, dtype=np.float64)
+                              for e in pdf.iloc[:, 1]])
+                norms = np.linalg.norm(x, axis=1)
+                best = np.argmax((x / norms[:, None]) @ c_mat.T, axis=1)
+                yield pd.DataFrame({
+                    f"{prefix}_id": pdf.iloc[:, 0],
+                    f"{prefix}_vec": pdf.iloc[:, 1],
+                    f"{prefix}_norm": norms,
+                    "cent_id": best.astype("int64"),
+                })
+
+        return side.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _scan, out_schema)
+
+    def nearest(side: DataFrame, prefix: str, topn: int) -> DataFrame:
+        s = _normed(side, id_col, vec_col, prefix)
+        cos = (dot_expr(f"{prefix}_vec", "cent_vec")
+               / (F.col(f"{prefix}_norm") * F.col("cent_norm")))
+        scored = s.join(F.broadcast(cents)).select(
+            F.col(f"{prefix}_id"), F.col(f"{prefix}_vec"),
+            F.col(f"{prefix}_norm"), F.col("cent_id"), cos.alias("_ccos"),
+        )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            F.col("_ccos").desc(), F.col("cent_id").asc())
+        return (scored.withColumn("_crnk", F.row_number().over(w))
+                .where(F.col("_crnk") <= topn)
+                .drop("_ccos", "_crnk"))
+
+    corpus_assigned = assign_arrow(corpus, "c")
+    query_probes = nearest(queries, "q", nprobe)
+    cos = (dot_expr("q_vec", "c_vec")
+           / (F.col("q_norm") * F.col("c_norm")))
+    cand = (
+        corpus_assigned.join(query_probes, "cent_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                cos.alias("_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id",
+                F.round("_cos", 4).alias("cosine"),
+                F.col("rnk").cast("long").alias("rnk"))
     )

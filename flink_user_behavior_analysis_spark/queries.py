@@ -966,6 +966,7 @@ _GATE_HEAD: list[str] = [
     "source_stats",
     "chunk_containment",
     "dedup_clusters_star",
+    "ann_topk_ivf_trained",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -986,6 +987,7 @@ _GATE_TAIL: list[str] = [
     "tx_interval_join",
     "login_fail_cep",
     "view_then_purchase",
+    "revenue_rollup",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -713,7 +713,7 @@ cents AS (
            array_to_string(list_transform(
                e, x -> (round(x * 1000000, 0)::BIGINT)::VARCHAR), ',') AS vkey
     FROM n
-    ORDER BY ('0x' || substr(md5(vkey), 1, 15))::BIGINT, vkey, vec_id
+    ORDER BY ('0x' || substr(md5(vkey), 1, 15))::BIGINT, vec_id
     LIMIT {IVF_K}
 ), c_assign AS (
     SELECT * FROM (
@@ -1694,6 +1694,20 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, cc_fn=connected_components_star)
 
 
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans-trained IVF ANN (operators/similarity.py:ivf_topk_trained).
+    rows-only driver check: the trained quantizer is iterative (no SQL
+    oracle); determinism + recall-vs-brute-force are pytest-gated
+    (tests/test_pipeline_ops.py:test_ivf_trained_deterministic_and_recall)."""
+    from .operators.similarity import ivf_topk_trained
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return ivf_topk_trained(queries, embs, ANN_K,
+                            n_centroids=IVF_K, nprobe=IVF_NPROBE,
+                            train_iters=2)
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1736,6 +1750,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "chunk_containment": q_chunk_containment,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

@@ -546,3 +546,35 @@ def test_chunk_containment_bounds_and_exact_dup(spark, sf_dir):
     for d in orig_ids:
         assert rows2[d].containment == 1.0, d
         assert rows2[d + 1_000_000].containment == 1.0, d
+
+
+def test_ivf_trained_deterministic_and_recall(spark, sf_dir):
+    """kmeans-trained IVF: refits are bit-identical (fixed-point
+    update + content-hash init, no RNG), output ranks are valid, and
+    recall vs brute force is at least that of the untrained
+    content-hash quantizer on the same parameters."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_topk_trained,
+        kmeans_fit,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+
+    c1 = kmeans_fit(embs, 8, iters=2)
+    c2 = kmeans_fit(embs.repartition(7), 8, iters=2)
+    assert c1 == c2, "k-means refit must be partition-invariant"
+
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(queries, embs, 5).collect()}
+    trained = {(r.query_id, r.neighbor_id)
+               for r in ivf_topk_trained(queries, embs, 5,
+                                         train_iters=2).collect()}
+    plain = {(r.query_id, r.neighbor_id)
+             for r in ivf_topk(queries, embs, 5).collect()}
+    assert trained
+    r_trained = len(trained & truth) / len(truth)
+    r_plain = len(plain & truth) / len(truth)
+    assert r_trained >= max(0.2, r_plain - 0.05), (r_trained, r_plain)

@@ -18,6 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 ARROW_ALLOWED = {
     "ann_topk",              # BLAS query-matrix scan (mapInPandas)
     "ann_topk_ivf",          # numpy centroid assignment (mapInPandas)
+    "ann_topk_ivf_trained",  # same assignment scan, trained centroids
     "dedup_embedding_cosine",  # blocked GEMM (applyInPandas)
     "dedup_embedding_cosine_lsh",  # per-bucket blocked GEMM (applyInPandas)
     "dedup_embedding_cosine_lsh_mt",  # same, one stage per LSH table

