@@ -64,6 +64,8 @@ HEADLINE = [
     "source_stats",
     "chunk_containment",
     "dedup_clusters_star",
+    "lm_score",
+    "mixture_sample",
 ]
 
 

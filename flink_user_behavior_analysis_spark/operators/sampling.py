@@ -88,3 +88,26 @@ def stratified_sample_k(df: DataFrame, key_cols: Sequence[str], k: int,
         df.withColumn("strat_rank", F.row_number().over(w).cast("long"))
         .where(F.col("strat_rank") <= k)
     )
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   group_col: str = "source",
+                   id_col: str = "doc_id",
+                   seed: str = "mix",
+                   default_rate: float = 0.0) -> DataFrame:
+    """Deterministic data mixing: keep each group at its own sampling
+    rate — how a pre-training run hits a target source mixture (e.g.
+    downweight a crawl, keep all of a curated source). Rows keep or
+    drop by hash(seed, id) < rate[group], so mixtures are REPRODUCIBLE
+    and monotone: raising a group's rate only ADDS documents (the
+    kept set at rate r is a subset of the kept set at r' > r) — the
+    property that lets mixture ablations share a cache.
+
+    Groups absent from ``rates`` get ``default_rate``. Pure scan
+    predicate (one small CASE expression, no join, no shuffle).
+    """
+    u = hash_uniform(id_col, seed)
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return df.where(u < rate)

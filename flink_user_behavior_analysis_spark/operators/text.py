@@ -493,3 +493,60 @@ def source_stats(docs: DataFrame, quality_threshold: float = 0.6,
         F.round(F.sum("_keep").cast("double") / F.count(F.lit(1)), 4)
         .alias("keep_rate"),
     )
+
+
+def lm_score(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality scoring: a bigram language model with
+    add-one smoothing, trained on the corpus itself, scores each
+    document by its mean bigram log-probability — the classic cheap
+    stand-in for a trained-LM perplexity filter (noise, boilerplate
+    and glitch text score far below fluent text; KenLM-style filters
+    are this shape with a bigger n and better smoothing).
+
+    score(d) = avg over bigrams (w1,w2) of ln((C(w1,w2) + 1) /
+    (C(w1) + V)), C counted over the whole corpus, V = vocab size.
+    Per-bigram log-probs fold to FIXED-POINT (1e-6) longs before the
+    per-doc mean so the sum is addition-order-independent and the
+    DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape (100 TB): bigram and unigram counts are corpus
+    artifacts — one shuffle each on uniform token keys, computed once
+    and stored in production (they ARE the LM); scoring is one join
+    of doc bigrams against those counts (bigram-keyed) and one
+    doc-keyed mean. No driver state, no Python.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_t"),
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "zip_with(slice(_t, 1, size(_t) - 1), "
+            "slice(_t, 2, size(_t) - 1), "
+            "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    )
+    big = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    logp = F.log(
+        (F.col("cb").cast("double") + 1.0)
+        / (F.col("cw").cast("double") + F.col("v").cast("double")))
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col),
+                F.round(logp * 1_000_000, 0).cast("long").alias("_f"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("_f").cast("double") / 1_000_000.0
+                / F.count(F.lit(1)), 4).alias("avg_logp"),
+    )

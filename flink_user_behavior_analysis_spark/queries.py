@@ -967,6 +967,8 @@ _GATE_HEAD: list[str] = [
     "chunk_containment",
     "dedup_clusters_star",
     "ann_topk_ivf_trained",
+    "mixture_sample",
+    "lm_score",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -988,6 +990,8 @@ _GATE_TAIL: list[str] = [
     "login_fail_cep",
     "view_then_purchase",
     "revenue_rollup",
+    "hot_items",
+    "hot_pages",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

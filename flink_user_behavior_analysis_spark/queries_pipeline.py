@@ -578,6 +578,72 @@ WHERE {_D_MD5INT.format(x="'" + SAMPLE_SEED + ":' || doc_id::VARCHAR")}
 """
 
 
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.1}
+MIX_DEFAULT, MIX_SEED = 0.25, "mix"
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling
+    (operators/sampling.py:mixture_sample): per-source keep rates with
+    the portable hash; output = kept doc ids + their source so the
+    oracle pins both membership and the achieved mixture."""
+    from .operators.sampling import mixture_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return mixture_sample(docs, MIX_RATES, default_rate=MIX_DEFAULT,
+                          seed=MIX_SEED)
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN {r}" for g, r in sorted(MIX_RATES.items()))
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_D_MD5INT.format(x="'" + MIX_SEED + ":' || doc_id::VARCHAR")}
+      / 1152921504606846976.0
+      < (CASE {cases} ELSE {MIX_DEFAULT} END)
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-proxy scoring
+    (operators/text.py:lm_score)."""
+    from .operators.text import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+def _lm_score_sql() -> str:
+    return f"""
+WITH {_D_BASE},
+idx AS (
+    SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok
+), bi AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx
+), uni AS (
+    SELECT w1 AS w, COUNT(*)::BIGINT AS cw FROM (
+        SELECT doc_id, unnest(w) AS w1 FROM tok
+    ) GROUP BY 1
+), big AS (
+    SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM bi GROUP BY 1, 2
+), vocab AS (
+    SELECT COUNT(*)::BIGINT AS v FROM uni
+), scored AS (
+    SELECT bi.doc_id,
+           round(ln((big.cb::DOUBLE + 1.0) / (uni.cw::DOUBLE + vocab.v::DOUBLE))
+                 * 1000000, 0)::BIGINT AS f
+    FROM bi
+    JOIN big USING (w1, w2)
+    JOIN uni ON uni.w = bi.w1
+    CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       round(sum(f)::DOUBLE / 1000000.0 / COUNT(*), 4) AS avg_logp
+FROM scored GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1751,6 +1817,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_containment": q_chunk_containment,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
+    "mixture_sample": q_mixture_sample,
+    "lm_score": q_lm_score,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1795,4 +1863,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),
+    "mixture_sample": _mixture_sql(),
+    "lm_score": _lm_score_sql(),
 }

@@ -578,3 +578,75 @@ def test_ivf_trained_deterministic_and_recall(spark, sf_dir):
     r_trained = len(trained & truth) / len(truth)
     r_plain = len(plain & truth) / len(truth)
     assert r_trained >= max(0.2, r_plain - 0.05), (r_trained, r_plain)
+
+
+def test_mixture_sample_monotone_and_rates(spark, sf_dir):
+    """Raising a group's rate only ADDS rows (cache-sharing property),
+    and achieved per-source rates track the targets."""
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lo = {"src0": 0.2, "src1": 0.5}
+    hi = {"src0": 0.6, "src1": 0.5}
+    kept_lo = {r.doc_id for r in
+               mixture_sample(docs, lo, default_rate=0.3).collect()}
+    kept_hi = {r.doc_id for r in
+               mixture_sample(docs, hi, default_rate=0.3).collect()}
+    assert kept_lo <= kept_hi
+    assert kept_lo < kept_hi  # src0 rate tripled: strictly more rows
+    # achieved rate per source within a loose binomial band
+    totals = {r.source: r.cnt for r in docs.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    kept_by_src = {}
+    for r in docs.where(F.col("doc_id").isin(list(kept_hi))).collect():
+        kept_by_src[r.source] = kept_by_src.get(r.source, 0) + 1
+    for src, want in [("src0", 0.6), ("src1", 0.5)]:
+        got = kept_by_src.get(src, 0) / totals[src]
+        assert abs(got - want) < 0.25, (src, got, want)
+
+
+def test_lm_score_orders_by_conditional_probability(spark, sf_dir):
+    """Single-bigram probe docs score in the order of their corpus
+    conditional probability (cb+1)/(cw+V) — the max-conditional bigram
+    beats the min-conditional one; n_bigrams = n_tokens - 1."""
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        normalized_text,
+    )
+    from flink_user_behavior_analysis_spark.operators.text import lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+
+    toks = base.select(
+        "doc_id", F.split(normalized_text("text"), " ").alias("t"))
+    bi = toks.select(F.explode(F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
+        "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (toks.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    v = uni.count()
+    stats = (bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+             .join(uni.withColumnRenamed("w", "w1"), "w1")
+             .withColumn("p", (F.col("cb") + 1) / (F.col("cw") + v))
+             .orderBy(F.col("p").asc(), "w1", "w2").collect())
+    worst, best = stats[0], stats[-1]
+    assert best.p > worst.p, "degenerate corpus: all conditionals equal"
+
+    probe = spark.createDataFrame(
+        [(9_000_001, f"{best.w1} {best.w2}"),
+         (9_000_002, f"{worst.w1} {worst.w2}")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_score(base.unionByName(probe)).collect()}
+    assert out[9_000_001].n_bigrams == 1
+    assert out[9_000_002].n_bigrams == 1
+    assert out[9_000_001].avg_logp > out[9_000_002].avg_logp
+    ntok = {r.doc_id: r.n for r in base.select(
+        "doc_id", F.size(F.split(normalized_text("text"), " ")).alias("n")
+    ).collect()}
+    full = lm_score(base).collect()
+    for r in full:
+        assert r.n_bigrams == ntok[r.doc_id] - 1
+        assert r.avg_logp < 0
