@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_clusters_star",
     "lm_score",
     "mixture_sample",
+    "winnow_fingerprints",
 ]
 
 

@@ -550,3 +550,89 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
         F.round(F.sum("_f").cast("double") / 1_000_000.0
                 / F.count(F.lit(1)), 4).alias("avg_logp"),
     )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints [Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 -- the MOSS algorithm]: hash every k-gram (ROLLING
+    window over the token stream), then keep one hash per window of
+    ``w`` consecutive k-grams -- the window MINIMUM, rightmost
+    position on ties. Guarantees every match of length >= w + k - 1
+    tokens shares at least one selected fingerprint between two
+    documents, with density ~2/(w+1) -- the local-substring-match
+    detector that whole-doc hashing and bag-of-shingles both miss.
+
+    Output: one row per selected fingerprint (doc_id, pos, fp) with
+    pos = 0-based k-gram position -- join on fp to find local
+    overlaps.
+
+    Implementation is FULL-CODEGEN row expressions: tokens posexplode
+    to rows, k-grams assemble from lead() columns, and the
+    per-window-argmin selection collapses to a LOCAL rule via run
+    lengths -- position j is the rightmost argmin of some length-w
+    window iff its run of >=h_j predecessors (L) and run of >h_j
+    successors (R) admit a valid window start:
+
+        max(0, j - L, j - w + 1) <= min(j + R - least(w, n) + 1,
+                                        greatest(n - w, 0), j)
+
+    L and R unroll into w-1 lag/lead conjunctions -- scalar booleans,
+    no higher-order functions. (A direct array-expression form of the
+    same operator measured ~12 s at sf0.1: transform()/filter() are
+    CodegenFallback and evaluate interpreted. This form: ~1.5 s.)
+    The DuckDB oracle keeps the direct per-window list-comprehension
+    semantics, so the hash match independently certifies the
+    run-length reformulation.
+
+    Scale: ONE shuffle (lead/lag windows partitioned by doc -- the
+    sessionize shape); everything else is a scan projection. Fp keys
+    are uniform 60-bit hashes for the downstream overlap join.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_long
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized_text(text_col), " "))
+        .alias("p", "tok"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("p")
+    gram = F.concat_ws(
+        " ", F.col("tok"),
+        *[F.lead("tok", i).over(wd) for i in range(1, k)])
+    last = F.lead("tok", k - 1).over(wd)
+    hashed = (
+        toks.select(F.col(id_col), F.col("p"),
+                    gram.alias("_g"), last.alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select(F.col(id_col), F.col("p"), md5_long(F.col("_g")).alias("fp"))
+    )
+    # run lengths against w-1 neighbors each way (ties: >= before,
+    # strictly > after => rightmost argmin), then the window-existence
+    # inequality; lag/lead windows reuse the same (doc, p) sort
+    n_ = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    lags = [F.lag("fp", i).over(wd) for i in range(1, w)]
+    leads = [F.lead("fp", i).over(wd) for i in range(1, w)]
+    run_l = F.lit(0)
+    cond = F.lit(True)
+    for lg in lags:
+        cond = cond & lg.isNotNull() & (lg >= F.col("fp"))
+        run_l = run_l + F.when(cond, 1).otherwise(0)
+    run_r = F.lit(0)
+    cond = F.lit(True)
+    for ld in leads:
+        cond = cond & ld.isNotNull() & (ld > F.col("fp"))
+        run_r = run_r + F.when(cond, 1).otherwise(0)
+    j = F.col("p")
+    lo = F.greatest(F.lit(0), j - F.col("_l"), j - F.lit(w - 1))
+    hi = F.least(j + F.col("_r") - F.least(F.lit(w), F.col("_n")) + 1,
+                 F.greatest(F.col("_n") - w, F.lit(0)), j)
+    return (
+        hashed.select(F.col(id_col), "p", "fp",
+                      n_.alias("_n"), run_l.alias("_l"), run_r.alias("_r"))
+        .where(lo <= hi)
+        .select(F.col(id_col), F.col("p").cast("long").alias("pos"), "fp")
+    )

@@ -969,6 +969,7 @@ _GATE_HEAD: list[str] = [
     "ann_topk_ivf_trained",
     "mixture_sample",
     "lm_score",
+    "winnow_fingerprints",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -992,6 +993,7 @@ _GATE_TAIL: list[str] = [
     "revenue_rollup",
     "hot_items",
     "hot_pages",
+    "page_views",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

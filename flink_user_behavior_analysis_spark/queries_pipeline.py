@@ -644,6 +644,46 @@ FROM scored GROUP BY 1
 """
 
 
+WINNOW_K, WINNOW_W = 4, 5
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints
+    (operators/text.py:winnow_fingerprints)."""
+    from .operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir),
+                               k=WINNOW_K, w=WINNOW_W)
+
+
+def _winnow_sql() -> str:
+    K, W = WINNOW_K, WINNOW_W
+    win = f"hs[s + 1 : s + least({W}, n - s)]"
+    return f"""
+WITH {_D_BASE},
+h AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < {K} THEN []::BIGINT[] ELSE
+             [('0x' || substr(md5(array_to_string(w[i:i+{K}-1], ' ')),
+                              1, 15))::BIGINT
+              for i in range(1, len(w) - {K} + 2)] END AS hs
+    FROM tok
+), nz AS (
+    SELECT doc_id, hs, len(hs) AS n FROM h WHERE len(hs) > 0
+), sel AS (
+    SELECT doc_id,
+           unnest([struct_pack(
+               pos := s + list_max([j for j in range(0, {W})
+                                    if s + j + 1 <= n
+                                    AND hs[s + j + 1] = list_min({win})]),
+               fp := list_min({win}))
+             for s in range(0, greatest(n - {W}, 0) + 1)]) AS f
+    FROM nz
+)
+SELECT DISTINCT doc_id, f.pos::BIGINT AS pos, f.fp AS fp FROM sel
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,6 +1859,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
+    "winnow_fingerprints": q_winnow_fingerprints,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -1865,4 +1906,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_clusters_star": _clusters_sql(),
     "mixture_sample": _mixture_sql(),
     "lm_score": _lm_score_sql(),
+    "winnow_fingerprints": _winnow_sql(),
 }

@@ -650,3 +650,56 @@ def test_lm_score_orders_by_conditional_probability(spark, sf_dir):
     for r in full:
         assert r.n_bigrams == ntok[r.doc_id] - 1
         assert r.avg_logp < 0
+
+
+def test_winnowing_guarantee_and_density(spark, sf_dir):
+    """The MOSS guarantee: two docs sharing a token run of length
+    >= w + k - 1 share at least one selected fingerprint; selection
+    density stays near the theoretical 2/(w+1)."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k, w = 4, 5
+    # plant a shared 16-token run (>= w + k - 1 = 8) inside two new docs
+    run = "alpha beta gamma delta eps zeta eta theta " \
+          "iota kappa lam mu nu xi omi pi"
+    probe = spark.createDataFrame(
+        [(9_100_001, "prefix one two " + run),
+         (9_100_002, run + " suffix three four")],
+        "doc_id long, text string")
+    out = winnow_fingerprints(docs.unionByName(probe), k=k, w=w)
+    fps = {d: set() for d in (9_100_001, 9_100_002)}
+    n_sel = 0
+    for r in out.collect():
+        n_sel += 1
+        if r.doc_id in fps:
+            fps[r.doc_id].add(r.fp)
+    assert fps[9_100_001] & fps[9_100_002], "guarantee violated"
+    # density: selected fingerprints per k-gram in [1/(w+1), 4/(w+1)]
+    n_grams = docs.select(
+        F.greatest(
+            F.size(F.split(
+                F.expr("trim(regexp_replace(regexp_replace(lower(text),"
+                       "'[^a-z0-9 ]', ' '), ' +', ' '))"), " ")) - k + 1,
+            F.lit(0)).alias("g")
+    ).agg(F.sum("g")).first()[0]
+    density = n_sel / n_grams
+    assert 1 / (w + 1) < density < 4 / (w + 1), density
+
+
+def test_fixed_point_ops_are_repartition_invariant(spark, sf_dir):
+    """The fixed-point determinism claims, exercised: lm_score and
+    source_stats produce IDENTICAL rows under a hostile repartition."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        lm_score,
+        source_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shuffled = docs.repartition(13, "lang")
+    for op in (lm_score, source_stats):
+        a = sorted(map(tuple, op(docs).collect()))
+        b = sorted(map(tuple, op(shuffled).collect()))
+        assert a == b, op.__name__

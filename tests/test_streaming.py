@@ -243,6 +243,35 @@ def test_streaming_curation_smoke(spark, sf_dir):
     assert any(s == "kept" for _, s, _ in stream_rows)
 
 
+def test_drop_duplicates_within_watermark_bounded_state(spark, sf_dir):
+    """The production bounded-state form exact_dedup_stream's docstring
+    points to: dropDuplicatesWithinWatermark keeps O(watermark window)
+    state instead of O(distinct keys). On the bounded replay with a
+    watermark covering the full span, it must keep exactly one row per
+    fingerprint — the same distinct set as the batch aggregation."""
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        normalized_text,
+    )
+    from flink_user_behavior_analysis_spark.sources import (
+        file_replay_stream,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import ensure_utc
+
+    ensure_utc(spark)
+    ev = file_replay_stream(spark, sf_dir, "events")
+    dd = (
+        ev.select("ts", "user_id", "event_type")
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    got = run_available_now(dd, output_mode="append")
+    want = (load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type").distinct())
+    assert got.count() == want.count()
+    assert (got.select("user_id", "event_type").distinct().count()
+            == want.count())
+
+
 def test_streaming_registry_names_and_builders(spark, sf_dir):
     """Every STREAMING_QUERIES entry builds an unstarted streaming
     DataFrame (isStreaming, no action run)."""
