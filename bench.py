@@ -67,6 +67,7 @@ HEADLINE = [
     "lm_score",
     "mixture_sample",
     "winnow_fingerprints",
+    "pca_embed",
 ]
 
 

@@ -882,3 +882,121 @@ def ivf_topk_trained(queries: DataFrame, corpus: DataFrame, k: int,
                 F.round("_cos", 4).alias("cosine"),
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def pca_fit(vecs: DataFrame, n_components: int = 8,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> dict:
+    """Distributed PCA fit over the embedding corpus: per-dim mean +
+    top-``n_components`` principal axes — the dimensionality-reduction
+    step an embedding pipeline runs before ANN/clustering to cut
+    storage and distance cost (64 -> 8 dims here).
+
+    Determinism contract (same rationale as kmeans_fit): BOTH passes
+    reduce in FIXED-POINT int64, so results are bit-identical under
+    any partitioning — pass 1 sums 1e-6-scaled components for the
+    mean; pass 2 sums 1e-8-scaled per-row centered outer products
+    (integer addition is associative; float partial sums per
+    partition would not be layout-stable). The (d x d) integer Gram
+    matrix — d^2 numbers regardless of corpus size — is eigensolved
+    on the driver (numpy.linalg.eigh, deterministic), eigenvectors
+    sign-fixed so each axis's largest-|component| entry is positive.
+
+    Scale shape (100 TB): pass 1 is one posexplode + (dim)-keyed agg;
+    pass 2 is ONE mapInPandas scan emitting 32 partial d x d integer
+    frames reduced by a (i, j)-keyed sum — shuffle volume is
+    partitions x d^2 rows, independent of corpus size.
+
+    Returns {"mean": [d], "components": [n_components x d],
+    "explained": [n_components]} (plain python lists).
+    """
+    import numpy as np
+
+    d = len(vecs.select(vec_col).first()[0])
+    mean_rows = (
+        vecs.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.sum(F.round(F.col("x").cast("double") * 1_000_000, 0)
+                   .cast("long")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n_rows = mean_rows[0].n
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r.dim] = r.s / 1_000_000.0 / r.n
+
+    out_schema = StructType([
+        StructField("i", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("s", LongType()),
+    ])
+    mu_local = mu.copy()
+
+    def _partial_gram(batches):
+        import pandas as pd
+
+        acc = np.zeros((d, d), dtype="int64")
+        for pdf in batches:
+            x = np.array([np.asarray(e, dtype=np.float64)
+                          for e in pdf.iloc[:, 0]])
+            xc = x - mu_local
+            # per-row fixed-point outer products, summed as exact ints
+            for row in xc:
+                acc += np.rint(np.outer(row, row) * 1e8).astype("int64")
+        ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+        yield pd.DataFrame({"i": ii.ravel().astype("int32"),
+                            "j": jj.ravel().astype("int32"),
+                            "s": acc.ravel()})
+
+    gram_rows = (
+        vecs.select(F.col(vec_col)).mapInPandas(_partial_gram, out_schema)
+        .groupBy("i", "j").agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    g = np.zeros((d, d))
+    for r in gram_rows:
+        g[r.i, r.j] = r.s / 1e8
+    g /= max(n_rows - 1, 1)
+    vals, vecs_ = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs_[:, order].T
+    # sign convention: largest-|entry| of each axis is positive
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return {
+        "mean": [float(x) for x in mu],
+        "components": [[float(x) for x in c] for c in comps],
+        "explained": [float(vals[o]) for o in order],
+    }
+
+
+def pca_transform(vecs: DataFrame, model: dict,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Project embeddings onto a pca_fit model: (id, pca) with
+    pca = W (x - mu), rounded to 6 decimals. Arrow/BLAS scan — one
+    pass, no shuffle, same batch shape as the ANN scans."""
+    import numpy as np
+
+    mu = np.array(model["mean"])
+    w = np.array(model["components"])
+    id_type = vecs.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("pca", ArrayType(DoubleType())),
+    ])
+
+    def _proj(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array([np.asarray(e, dtype=np.float64)
+                          for e in pdf.iloc[:, 1]])
+            p = np.round((x - mu) @ w.T, 6)
+            yield pd.DataFrame({id_col: pdf.iloc[:, 0],
+                                "pca": list(p)})
+
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _proj, out_schema)

@@ -970,6 +970,7 @@ _GATE_HEAD: list[str] = [
     "mixture_sample",
     "lm_score",
     "winnow_fingerprints",
+    "pca_embed",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -994,6 +995,7 @@ _GATE_TAIL: list[str] = [
     "hot_items",
     "hot_pages",
     "page_views",
+    "unique_visitors",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

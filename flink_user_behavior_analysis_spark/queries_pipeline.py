@@ -684,6 +684,26 @@ SELECT DISTINCT doc_id, f.pos::BIGINT AS pos, f.fp AS fp FROM sel
 """
 
 
+PCA_COMPONENTS = 8
+
+
+def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction over the embedding corpus
+    (operators/similarity.py:pca_fit/pca_transform): fit 8 axes, emit
+    the projection as per-dim rows. rows-only driver check (the
+    eigendecomposition has no SQL oracle); the determinism,
+    orthonormality, and variance-ordering properties are pytest-gated
+    (tests/test_pipeline_ops.py:test_pca_*)."""
+    from .operators.similarity import pca_fit, pca_transform
+
+    embs = _embs(spark, sf_dir)
+    model = pca_fit(embs, PCA_COMPONENTS)
+    proj = pca_transform(embs, model)
+    return proj.select(
+        "vec_id", F.posexplode("pca").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
 # ------------------------------------------------------------- similarity
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,6 +1880,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "pca_embed": q_pca_embed,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {

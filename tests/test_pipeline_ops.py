@@ -703,3 +703,32 @@ def test_fixed_point_ops_are_repartition_invariant(spark, sf_dir):
         a = sorted(map(tuple, op(docs).collect()))
         b = sorted(map(tuple, op(shuffled).collect()))
         assert a == b, op.__name__
+
+
+def test_pca_partition_invariant_orthonormal_ordered(spark, sf_dir):
+    """pca_fit is bit-identical under repartitioning (fixed-point
+    integer reductions), axes are orthonormal, explained variances
+    are sorted descending, and the projection centers near zero."""
+    import numpy as np
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    m1 = pca_fit(embs, 4)
+    m2 = pca_fit(embs.repartition(7), 4)
+    assert m1 == m2, "pca refit must be partition-invariant"
+
+    w = np.array(m1["components"])
+    assert np.allclose(w @ w.T, np.eye(4), atol=1e-9)
+    ev = m1["explained"]
+    assert all(a >= b for a, b in zip(ev, ev[1:])) and ev[0] > 0
+
+    proj = np.array([r.pca for r in pca_transform(embs, m1).collect()])
+    assert proj.shape[1] == 4
+    assert np.abs(proj.mean(axis=0)).max() < 1e-3
+    # variance along axis 0 >= axis 3 in the projected data too
+    var = proj.var(axis=0)
+    assert var[0] >= var[-1]

@@ -28,7 +28,7 @@ GATE_WINDOW = 50
 # Sketch/fake-decode queries with no oracle SQL: their driver row is
 # rows-only and can never be hash-green, so the window gains nothing.
 ROWS_ONLY_BY_DESIGN = {"unique_visitors_approx", "multimodal_decode",
-                       "ann_topk_ivf_trained"}
+                       "ann_topk_ivf_trained", "pca_embed"}
 
 
 def _prior_green() -> set[str]:
