@@ -67,6 +67,7 @@ HEADLINE = [
     "lm_score",
     "mixture_sample",
     "winnow_fingerprints",
+    "winnow_overlap",
     "pca_embed",
 ]
 

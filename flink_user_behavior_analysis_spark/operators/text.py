@@ -636,3 +636,41 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
         .where(lo <= hi)
         .select(F.col(id_col), F.col("p").cast("long").alias("pos"), "fp")
     )
+
+
+def winnow_overlap_pairs(docs: DataFrame, k: int = 4, w: int = 5,
+                         min_shared: int = 2, max_bucket: int = 50,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Local-overlap candidate pairs from winnowing fingerprints: all
+    doc pairs sharing >= ``min_shared`` selected fingerprints, with
+    the shared count — the plagiarism/partial-copy detector layer on
+    top of winnow_fingerprints (pairs surface even when only a
+    paragraph is copied; whole-doc near-dup metrics dilute that).
+
+    Scale shape: the SAME bucketed-pair discipline as MinHash-LSH —
+    one (doc, fp) dedupe, fingerprints occurring in > ``max_bucket``
+    docs are dropped as boilerplate BEFORE the self-join (the
+    degenerate-bucket cap; a fp shared by 10^5 docs is a template,
+    not a copy, and would cost 10^10 pairs), then the pair join runs
+    bucket-keyed on the uniform 60-bit fp with one (id_a, id_b)
+    count aggregation. No all-pairs join anywhere.
+    """
+    fps = (
+        winnow_fingerprints(docs, k, w, id_col, text_col)
+        .select(F.col(id_col), "fp")
+        .distinct()
+    )
+    sizes = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_nd"))
+    usable = sizes.where((F.col("_nd") >= 2) & (F.col("_nd") <= max_bucket))
+    fk = fps.join(usable.select("fp"), "fp")
+    a, b = fk.alias("a"), fk.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

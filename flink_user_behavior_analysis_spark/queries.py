@@ -970,6 +970,7 @@ _GATE_HEAD: list[str] = [
     "mixture_sample",
     "lm_score",
     "winnow_fingerprints",
+    "winnow_overlap",
     "pca_embed",
 ]
 
@@ -996,6 +997,7 @@ _GATE_TAIL: list[str] = [
     "hot_pages",
     "page_views",
     "unique_visitors",
+    "marketing_by_channel",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

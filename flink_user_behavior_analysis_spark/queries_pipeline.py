@@ -656,11 +656,10 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=WINNOW_K, w=WINNOW_W)
 
 
-def _winnow_sql() -> str:
+def _winnow_ctes() -> str:
     K, W = WINNOW_K, WINNOW_W
     win = f"hs[s + 1 : s + least({W}, n - s)]"
-    return f"""
-WITH {_D_BASE},
+    return f"""{_D_BASE},
 h AS (
     SELECT doc_id,
            CASE WHEN len(w) < {K} THEN []::BIGINT[] ELSE
@@ -679,8 +678,15 @@ h AS (
                fp := list_min({win}))
              for s in range(0, greatest(n - {W}, 0) + 1)]) AS f
     FROM nz
-)
-SELECT DISTINCT doc_id, f.pos::BIGINT AS pos, f.fp AS fp FROM sel
+), wf AS (
+    SELECT DISTINCT doc_id, f.pos::BIGINT AS pos, f.fp AS fp FROM sel
+)"""
+
+
+def _winnow_sql() -> str:
+    return f"""
+WITH {_winnow_ctes()}
+SELECT doc_id, pos, fp FROM wf
 """
 
 
@@ -702,6 +708,38 @@ def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.select(
         "vec_id", F.posexplode("pca").alias("dim", "value")
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
+WINNOW_MIN_SHARED, WINNOW_MAX_BUCKET = 2, 50
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-overlap pairs on winnowing fingerprints
+    (operators/text.py:winnow_overlap_pairs)."""
+    from .operators.text import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_docs(spark, sf_dir),
+                                k=WINNOW_K, w=WINNOW_W,
+                                min_shared=WINNOW_MIN_SHARED,
+                                max_bucket=WINNOW_MAX_BUCKET)
+
+
+def _winnow_overlap_sql() -> str:
+    return f"""
+WITH {_winnow_ctes()},
+fps AS (
+    SELECT DISTINCT doc_id, fp FROM wf
+), usable AS (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING COUNT(*) >= 2 AND COUNT(*) <= {WINNOW_MAX_BUCKET}
+), fk AS (
+    SELECT fps.doc_id, fps.fp FROM fps JOIN usable USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*)::BIGINT AS n_shared
+FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
 
 
 # ------------------------------------------------------------- similarity
@@ -1880,6 +1918,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "pca_embed": q_pca_embed,
 }
 
@@ -1928,4 +1967,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "lm_score": _lm_score_sql(),
     "winnow_fingerprints": _winnow_sql(),
+    "winnow_overlap": _winnow_overlap_sql(),
 }

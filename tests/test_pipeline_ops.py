@@ -732,3 +732,23 @@ def test_pca_partition_invariant_orthonormal_ordered(spark, sf_dir):
     # variance along axis 0 >= axis 3 in the projected data too
     var = proj.var(axis=0)
     assert var[0] >= var[-1]
+
+
+def test_winnow_overlap_detects_planted_partial_copy(spark, sf_dir):
+    """A 16-token run planted in two otherwise-different docs must
+    surface as an overlap pair; boilerplate fps (> max_bucket docs)
+    must not explode the pair count."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        winnow_overlap_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    run = ("alpha beta gamma delta eps zeta eta theta "
+           "iota kappa lam mu nu xi omi pi")
+    probe = spark.createDataFrame(
+        [(9_200_001, "prefix one two " + run),
+         (9_200_002, run + " suffix three four")],
+        "doc_id long, text string")
+    pairs = winnow_overlap_pairs(docs.unionByName(probe), min_shared=1)
+    got = {(r.id_a, r.id_b): r.n_shared for r in pairs.collect()}
+    assert (9_200_001, 9_200_002) in got
