@@ -236,3 +236,27 @@ def kafka_source(
             "kafka connector jar (spark-sql-kafka-0-10) not on classpath "
             "in this environment; add it via --packages on a real cluster"
         ) from exc
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 8,
+                   sort_col: str | None = None) -> None:
+    """Materialize a DataFrame as a BUCKETED (and optionally
+    sorted-within-bucket) managed table — the co-located-join
+    preparation step for fact-to-fact joins at 100 TB: two tables
+    bucketed on their join key with the same bucket count hash-agree
+    partition-for-partition, so Catalyst plans their equi-join with
+    ZERO Exchange on either side (verified by
+    tests/test_bucketed_join.py, which asserts the shuffle-free plan
+    and result parity vs the plain join). Sorting within buckets
+    additionally removes the Sort from sort-merge joins.
+
+    Spark bucketing requires saveAsTable (bucket metadata lives in
+    the catalog); the table lands in the session's warehouse dir.
+    """
+    w = df.write.mode("overwrite")
+    if sort_col is not None:
+        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(n_buckets, bucket_col)
+    w.format("parquet").saveAsTable(table)
