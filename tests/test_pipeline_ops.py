@@ -697,12 +697,25 @@ def test_fixed_point_ops_are_repartition_invariant(spark, sf_dir):
         source_stats,
     )
 
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        chunk_containment,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     shuffled = docs.repartition(13, "lang")
-    for op in (lm_score, source_stats):
+    for op in (lm_score, source_stats, chunk_containment):
         a = sorted(map(tuple, op(docs).collect()))
         b = sorted(map(tuple, op(shuffled).collect()))
         assert a == b, op.__name__
+
+    # bm25: fixed-point per-term folds -> identical rankings too
+    from flink_user_behavior_analysis_spark.operators.text import bm25_topk
+
+    qdf = spark.createDataFrame([(1, "spark join window")],
+                                "query_id long, query_text string")
+    a = sorted(map(tuple, bm25_topk(docs, qdf, k=5).collect()))
+    b = sorted(map(tuple, bm25_topk(shuffled, qdf, k=5).collect()))
+    assert a == b
 
 
 def test_pca_partition_invariant_orthonormal_ordered(spark, sf_dir):
