@@ -243,6 +243,39 @@ def test_streaming_curation_smoke(spark, sf_dir):
     assert any(s == "kept" for _, s, _ in stream_rows)
 
 
+def test_stateless_pipeline_ops_compose_on_streams_unchanged(spark, sf_dir):
+    """The DataFrame-unification property: STATELESS pipeline
+    operators (text_stats, language_id, quantize_embeddings) apply to
+    a streaming frame with zero code changes, and the drained result
+    equals the batch run — the reason the batch operator library IS
+    the streaming library for every per-row stage."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from flink_user_behavior_analysis_spark.operators.text import (
+        language_id,
+        text_stats,
+    )
+    from flink_user_behavior_analysis_spark.sources import (
+        file_replay_stream,
+    )
+
+    sdocs = file_replay_stream(spark, sf_dir, "documents")
+    bdocs = load_table(spark, sf_dir, "documents")
+    for op, key in ((text_stats, "quality_score"),
+                    (language_id, "predicted_lang")):
+        got = run_available_now(op(sdocs), output_mode="append")
+        want = op(bdocs)
+        _assert_same(got, want, ["doc_id", key])
+
+    sembs = file_replay_stream(spark, sf_dir, "embeddings")
+    bembs = load_table(spark, sf_dir, "embeddings")
+    got = run_available_now(quantize_embeddings(sembs),
+                            output_mode="append")
+    want = quantize_embeddings(bembs)
+    _assert_same(got, want, ["vec_id", "q_sum", "q_min", "q_max"])
+
+
 def test_drop_duplicates_within_watermark_bounded_state(spark, sf_dir):
     """The production bounded-state form exact_dedup_stream's docstring
     points to: dropDuplicatesWithinWatermark keeps O(watermark window)
