@@ -69,6 +69,7 @@ HEADLINE = [
     "winnow_fingerprints",
     "winnow_overlap",
     "pca_embed",
+    "heavy_hitters",
 ]
 
 

@@ -918,6 +918,29 @@ from .queries_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 # tests/test_registry_gate.py asserts every query lacking a prior green
 # CORRECTNESS row appears within the first 50 entries.
 
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 items by exact count with count-min-sketch certificates
+    (operators/sketches.py:heavy_hitters_cms) — hot-key detection in
+    the reference's HotItem domain; the oracle pins the exact top-10
+    and demands every CMS bound certificate be 1."""
+    from .operators.sketches import heavy_hitters_cms
+
+    ev = _with_item(_events(spark, sf_dir)).where(F.col("item_id").isNotNull())
+    return heavy_hitters_cms(ev, "item_id", k=10)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH c AS (
+    SELECT {DUCK_ITEM} AS item_id, COUNT(*)::BIGINT AS cnt
+    FROM events WHERE {DUCK_ITEM} IS NOT NULL GROUP BY 1
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY cnt DESC, item_id) AS rnk FROM c
+)
+SELECT item_id, cnt, rnk::BIGINT AS rnk, 1::BIGINT AS est_ok
+FROM ranked WHERE rnk <= 10
+"""
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_items": hot_items,
     "hot_pages": hot_pages,
@@ -943,6 +966,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers_per_segment": top_customers_per_segment,
     "revenue_rollup": revenue_rollup,
     "purchase_attribution": purchase_attribution,
+    "heavy_hitters": heavy_hitters,
     **PIPELINE_QUERIES,
 }
 
@@ -972,6 +996,7 @@ _GATE_HEAD: list[str] = [
     "winnow_fingerprints",
     "winnow_overlap",
     "pca_embed",
+    "heavy_hitters",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -998,6 +1023,7 @@ _GATE_TAIL: list[str] = [
     "page_views",
     "unique_visitors",
     "marketing_by_channel",
+    "marketing_total",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1035,5 +1061,6 @@ ORACLES: dict[str, str] = {
     "top_customers_per_segment": TOP_CUSTOMERS_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
+    "heavy_hitters": HEAVY_HITTERS_SQL,
     **PIPELINE_ORACLES,
 }

@@ -765,3 +765,19 @@ def test_winnow_overlap_detects_planted_partial_copy(spark, sf_dir):
     pairs = winnow_overlap_pairs(docs.unionByName(probe), min_shared=1)
     got = {(r.id_a, r.id_b): r.n_shared for r in pairs.collect()}
     assert (9_200_001, 9_200_002) in got
+
+
+def test_heavy_hitters_cms_certificates(spark, sf_dir):
+    """Every CMS estimate satisfies the one-sided bound (est_ok all 1)
+    and the ranking is the exact count order; a tiny eps still
+    certifies because CMS never underestimates."""
+    from flink_user_behavior_analysis_spark.operators.sketches import (
+        heavy_hitters_cms,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    out = heavy_hitters_cms(ev, "user_id", k=8).collect()
+    assert len(out) == 8
+    assert all(r.est_ok == 1 for r in out)
+    cnts = [r.cnt for r in out]
+    assert cnts == sorted(cnts, reverse=True)
