@@ -94,6 +94,41 @@ def test_consecutive_fail_stateful_equals_batch(spark, sf_dir):
     _assert_same(got, want, ["user_id", "first_fail_us", "last_fail_us"])
 
 
+def test_consecutive_fail_transform_with_state_equals_batch(spark, sf_dir):
+    """The Spark-4 transformWithStateInPandas twin must reproduce the
+    applyInPandasWithState operator's exact output (and therefore the
+    batch form's) on the same bounded replay. RocksDB provider is
+    required by the new API; skip cleanly if this build lacks it."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.streaming.stateful import (
+        consecutive_fail_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        ev = stream_events(spark, sf_dir, watermark="0 seconds")
+        try:
+            got = run_available_now(
+                consecutive_fail_tws(ev, n=2, within_seconds=6 * 3600),
+                "append")
+        except Exception as exc:  # pragma: no cover - env-dependent
+            pytest.skip(f"transformWithStateInPandas unavailable: {exc}")
+        want = Q.QUERIES["login_fail"](spark, sf_dir)
+        _assert_same(got, want, ["user_id", "first_fail_us", "last_fail_us"])
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+
 def test_cap_filter_stateful_equals_batch(spark, sf_dir):
     ev = stream_events(spark, sf_dir, watermark="0 seconds").withColumnRenamed(
         "event_type", "behavior"
