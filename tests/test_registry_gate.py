@@ -79,25 +79,30 @@ def test_tail_entries_all_have_prior_green_rows():
     )
 
 
-def test_tail_entries_were_green_in_latest_round():
+def test_tail_entries_were_green_recently():
     """Staleness guard (ADVICE r3): 'prior green' is not 'currently
-    green'.  A query may only be demoted past the window if its green
-    row is at most one round old — i.e. it appeared hash-green (or is
-    rows-only by design) in the LATEST CORRECTNESS file.  This forces
-    the window to rotate every round instead of letting demoted
-    entries go permanently unchecked."""
+    green'.  A query may only sit past the window if it was hash-green
+    (or is rows-only by design) within the LAST TWO correctness
+    rounds.  Two rounds, not one: entries demoted THIS round are by
+    construction green in the previous round's file but cannot have a
+    row in the upcoming one, so a one-round horizon would start every
+    next round red; the two-round horizon still forces rotation
+    (anything left in the tail for two consecutive rounds trips it)
+    without manufacturing failures."""
     paths = sorted(glob.glob(os.path.join(REPO_ROOT,
                                           "CORRECTNESS_r*.json")))
     if not paths:
         return
-    with open(paths[-1]) as fh:
-        latest = json.load(fh)
-    fresh = {name for name, row in latest.items()
-             if row.get("hash_match") is True} | ROWS_ONLY_BY_DESIGN
+    fresh = set(ROWS_ONLY_BY_DESIGN)
+    for path in paths[-2:]:
+        with open(path) as fh:
+            rows = json.load(fh)
+        fresh |= {name for name, row in rows.items()
+                  if row.get("hash_match") is True}
     stale = [n for n in list(QUERIES)[GATE_WINDOW:] if n not in fresh]
     assert not stale, (
-        f"tail entries whose last green row is older than the latest "
-        f"round: {stale} — rotate them back into the window"
+        f"tail entries with no green row in the last two rounds: "
+        f"{stale} — rotate them back into the window"
     )
 
 
