@@ -281,3 +281,43 @@ def test_star_cc_equals_python_union_find(spark, edges):
     got = {r["id"]: r["component"]
            for r in connected_components_star(nodes, e_df).collect()}
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=st.lists(st.sampled_from(["a", "b", "c"]),
+                     min_size=0, max_size=24))
+def test_winnowing_matches_python_reference(spark, toks):
+    """The run-length winnowing reformulation equals a direct python
+    implementation of the per-window rightmost-argmin rule — fuzzed
+    over a 3-letter alphabet so repeated k-grams force hash TIES,
+    the branch the tie-break logic exists for. Covers n < k (no
+    grams), n < w (single short window), and heavy duplication."""
+    import hashlib
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 2, 3
+    text = " ".join(toks)
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    norm = " ".join(text.lower().split())
+    ts = norm.split(" ") if norm else [""]
+    hs = [md5_long(" ".join(ts[i:i + k]))
+          for i in range(len(ts) - k + 1)] if len(ts) >= k else []
+    want = set()
+    if hs:
+        n = len(hs)
+        for s_ in range(0, max(n - w, 0) + 1):
+            win = hs[s_:s_ + min(w, n - s_)]
+            m = min(win)
+            pos = s_ + max(j for j, h in enumerate(win) if h == m)
+            want.add((pos, m))
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {(r.pos, r.fp) for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    assert got == want
