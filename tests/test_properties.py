@@ -321,3 +321,40 @@ def test_winnowing_matches_python_reference(spark, toks):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = {(r.pos, r.fp) for r in winnow_fingerprints(df, k=k, w=w).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+    min_size=1, max_size=6))
+def test_lm_score_matches_python_reference(spark, docs):
+    """lm_score equals a direct python bigram-LM implementation on
+    arbitrary tiny corpora — empty docs, single-token docs, all-same
+    corpora, cross-doc count interactions."""
+    import math
+
+    from flink_user_behavior_analysis_spark.operators.text import lm_score
+
+    texts = [" ".join(d) for d in docs]
+    toks = [(" ".join(t.lower().split())).split(" ") for t in texts]
+    uni: dict = {}
+    big: dict = {}
+    for ts in toks:
+        for w_ in ts:
+            uni[w_] = uni.get(w_, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    want = {}
+    for i, ts in enumerate(toks):
+        fs = [round(math.log((big[(a, b)] + 1) / (uni[a] + v)) * 1_000_000)
+              for a, b in zip(ts, ts[1:])]
+        if fs:
+            want[i] = (len(fs), round(sum(fs) / 1_000_000 / len(fs), 4))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp)
+           for r in lm_score(df).collect()}
+    assert got == want
