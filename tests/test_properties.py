@@ -358,3 +358,57 @@ def test_lm_score_matches_python_reference(spark, docs):
     got = {r.doc_id: (r.n_bigrams, r.avg_logp)
            for r in lm_score(df).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=1, max_size=8),
+    min_size=1, max_size=6),
+    qterms=st.lists(st.sampled_from(["p", "q", "r", "s"]),
+                    min_size=1, max_size=3))
+def test_bm25_matches_python_reference(spark, docs, qterms):
+    """bm25_topk equals a direct python BM25 (Lucene idf, k1=1.2,
+    b=0.75, fixed-point fold) on arbitrary tiny corpora."""
+    import math
+
+    from flink_user_behavior_analysis_spark.operators.text import bm25_topk
+
+    texts = [" ".join(d) for d in docs]
+    toks = [t.split(" ") for t in texts]
+    n_docs = len(toks)
+    tf: dict = {}
+    dl: dict = {}
+    for i, ts in enumerate(toks):
+        dl[i] = len(ts)
+        for w_ in ts:
+            tf[(i, w_)] = tf.get((i, w_), 0) + 1
+    df_: dict = {}
+    for (i, w_), _ in tf.items():
+        df_[w_] = df_.get(w_, 0) + 1
+    avgdl = sum(dl.values()) / n_docs
+    k1, b = 1.2, 0.75
+    scores: dict = {}
+    hits: dict = {}
+    for w_ in set(qterms):
+        for i in range(n_docs):
+            t = tf.get((i, w_))
+            if not t:
+                continue
+            idf = math.log((n_docs - df_[w_] + 0.5) / (df_[w_] + 0.5) + 1.0)
+            s_ = idf * t * (k1 + 1.0) / (
+                t + k1 * (1.0 - b + b * dl[i] / avgdl))
+            f = round(s_ * 1_000_000)
+            scores[i] = scores.get(i, 0) + f
+            hits[i] = hits.get(i, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    want = {(i, round(s_ / 1_000_000, 4), hits[i], rnk + 1)
+            for rnk, (i, s_) in enumerate(ranked)}
+
+    ddf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    qdf = spark.createDataFrame([(1, " ".join(qterms))],
+                                "query_id long, query_text string")
+    got = {(r.doc_id, r.bm25, r.n_terms_hit, r.rnk)
+           for r in bm25_topk(ddf, qdf, k=3).collect()}
+    assert got == want
