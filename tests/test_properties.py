@@ -412,3 +412,39 @@ def test_bm25_matches_python_reference(spark, docs, qterms):
     got = {(r.doc_id, r.bm25, r.n_terms_hit, r.rnk)
            for r in bm25_topk(ddf, qdf, k=3).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["m", "n", "o"]), min_size=0, max_size=12),
+    min_size=1, max_size=6))
+def test_chunk_containment_matches_python_reference(spark, docs):
+    """chunk_containment equals a direct python implementation over
+    tiny corpora — empty docs, sub-chunk docs, and heavy cross-doc
+    chunk sharing from the 3-letter alphabet."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        chunk_containment,
+    )
+
+    C = 4
+    texts = [" ".join(d) for d in docs]
+    chunks: dict = {}
+    for i, t in enumerate(texts):
+        ts = (" ".join(t.lower().split())).split(" ")
+        cs = [" ".join(ts[j:j + C]) for j in range(0, len(ts), C)]
+        chunks[i] = set(cs)
+    ndocs: dict = {}
+    for i, cs in chunks.items():
+        for c in cs:
+            ndocs[c] = ndocs.get(c, 0) + 1
+    want = {}
+    for i, cs in chunks.items():
+        shared = sum(1 for c in cs if ndocs[c] >= 2)
+        want[i] = (len(cs), shared, round(shared / len(cs), 4))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_chunks, r.n_shared, r.containment)
+           for r in chunk_containment(df, C).collect()}
+    assert got == want
