@@ -78,15 +78,47 @@ def sig_hash(col: Column) -> Column:
 # release cannot unpersist frames another session is still computing
 # against (that would only force recompute, not wrong results, but it
 # is a silent performance cliff). Guarded by a lock for concurrent
-# query threads inside one process. WeakKeyDictionary (ADVICE r3): a
-# session stopped without release_signature_cache() must not be kept
-# alive (with its DataFrames) for the process lifetime by this
-# registry — when the last outside reference drops, the entry goes
-# with it.
+# query threads inside one process.
+#
+# Leak contract (ADVICE r3 + r4): a session dropped WITHOUT an
+# explicit release_signature_cache() must not be kept alive for the
+# process lifetime by this registry. The r3 WeakKeyDictionary did not
+# deliver that — its values (DataFrames) strongly reference
+# df.sparkSession, so the weak key could never be collected. The
+# registry therefore now holds NOTHING that references the Python
+# SparkSession wrapper: keys are id(session) (plain ints) and values
+# are the JVM-side Dataset handles (df._jdf, a py4j JavaObject that
+# references the gateway client, not the session wrapper — the same
+# narrow private-access seam operators/sketches.py documents for its
+# JVM shim). A weakref.finalize on the session wrapper unpersists any
+# leftovers and drops the entry once the wrapper is garbage-collected.
 _CACHE_LOCK = threading.Lock()
-_CACHED_FRAMES: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+_CACHED_JDFS: dict[int, list] = {}  # id(session) -> [jdf, ...]
+_CACHE_FINALIZERS: dict[int, "weakref.finalize"] = {}
+
+
+def _drop_cache_entry(key: int) -> int:
+    """Unpersist and forget one session's cached frames (by id).
+
+    Runs from release_signature_cache() or from the session wrapper's
+    GC finalizer. id() reuse after collection is safe: the finalizer
+    removes the entry before the id can be handed to a new session,
+    and the worst pathological outcome would be an early unpersist —
+    a recompute, never a wrong result.
+    """
+    with _CACHE_LOCK:
+        jdfs = _CACHED_JDFS.pop(key, [])
+        fin = _CACHE_FINALIZERS.pop(key, None)
+    if fin is not None:
+        fin.detach()  # no-op if this call IS the finalizer
+    n = 0
+    for jdf in jdfs:
+        try:
+            jdf.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # JVM session already stopped — nothing to release
+    return n
 
 
 def _tracked_persist(df: DataFrame) -> DataFrame:
@@ -100,8 +132,14 @@ def _tracked_persist(df: DataFrame) -> DataFrame:
     each result; otherwise Spark's LRU eviction reclaims the blocks.
     """
     df = df.persist()
+    sess = df.sparkSession
+    key = id(sess)
     with _CACHE_LOCK:
-        _CACHED_FRAMES.setdefault(df.sparkSession, []).append(df)
+        if key not in _CACHED_JDFS:
+            _CACHED_JDFS[key] = []
+            _CACHE_FINALIZERS[key] = weakref.finalize(
+                sess, _drop_cache_entry, key)
+        _CACHED_JDFS[key].append(df._jdf)
     return df
 
 
@@ -118,31 +156,22 @@ def release_signature_cache(session: SparkSession | None = None) -> int:
     """
     if session is None:
         session = SparkSession.getActiveSession()
-    with _CACHE_LOCK:
-        if session is None:
-            # no active session (e.g. interpreter teardown): drain all.
-            # Log when this fires with live entries — if another
-            # session's frames are in here, this call defeats the
-            # per-session isolation (ADVICE r3) and the caller should
-            # pass its session explicitly.
-            if _CACHED_FRAMES:
-                logging.getLogger(__name__).warning(
-                    "release_signature_cache() called with no active "
-                    "session; draining cached frames of %d session(s)",
-                    len(_CACHED_FRAMES),
-                )
-            frames = [f for lst in _CACHED_FRAMES.values() for f in lst]
-            _CACHED_FRAMES.clear()
-        else:
-            frames = _CACHED_FRAMES.pop(session, [])
-    n = 0
-    for df in frames:
-        try:
-            df.unpersist()
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
-    return n
+    if session is None:
+        # no active session (e.g. interpreter teardown): drain all.
+        # Log when this fires with live entries — if another
+        # session's frames are in here, this call defeats the
+        # per-session isolation (ADVICE r3) and the caller should
+        # pass its session explicitly.
+        with _CACHE_LOCK:
+            keys = list(_CACHED_JDFS)
+        if keys:
+            logging.getLogger(__name__).warning(
+                "release_signature_cache() called with no active "
+                "session; draining cached frames of %d session(s)",
+                len(keys),
+            )
+        return sum(_drop_cache_entry(k) for k in keys)
+    return _drop_cache_entry(id(session))
 
 
 def normalized_text(col: str = "text") -> Column:

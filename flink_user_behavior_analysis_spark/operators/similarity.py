@@ -698,11 +698,20 @@ def cosine_pairs_blocked(vecs: DataFrame, threshold: float,
 
 def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> list[list[float]]:
+               vec_col: str = "embedding",
+               metric: str = "cosine") -> list[list[float]]:
     """Lloyd's k-means over the embedding corpus — the TRAINED coarse
     quantizer that drops into ivf_topk's centroid slot (its docstring
     promises the slot; this fills it). Returns k centroid vectors as
     plain python lists, sorted by first component for determinism.
+
+    metric='cosine' (default) runs SPHERICAL k-means (ADVICE r4:
+    ivf_topk_trained assigns and probes by cosine, so the quantizer
+    must train in the same geometry or its Voronoi cells don't match
+    the probe's): vectors are unit-normalized before training,
+    assignment is argmax dot against re-normalized centroids, and
+    zero vectors are dropped. metric='euclid' keeps plain Lloyd's on
+    the raw vectors.
 
     Deterministic by construction: initialization is the same
     content-hash top-K selection ivf_topk uses (no RNG), the
@@ -721,6 +730,16 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
     import numpy as np
 
     from .dedup import md5_long
+
+    if metric not in ("cosine", "euclid"):
+        raise ValueError(f"unknown metric {metric!r}; "
+                         "use 'cosine' or 'euclid'")
+    if metric == "cosine":
+        nrm = norm_expr(vec_col)
+        vecs = vecs.where(nrm > 0).select(
+            F.transform(
+                F.col(vec_col), lambda x: x.cast("double") / nrm
+            ).alias(vec_col))
 
     init_rows = (
         vecs.select(F.col(vec_col).alias("v"))
@@ -744,7 +763,17 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
     ])
 
     for _ in range(max(0, iters)):
-        c_mat = cents
+        if metric == "cosine":
+            # spherical assignment: data is unit-normalized, so argmax
+            # dot against re-normalized centroids IS argmax cosine —
+            # the exact cell geometry ivf_topk_trained probes with
+            c_norms = np.linalg.norm(cents, axis=1, keepdims=True)
+            c_norms[c_norms == 0] = 1.0
+            c_mat = cents / c_norms
+            half_sq = np.zeros(cents.shape[0])
+        else:
+            c_mat = cents
+            half_sq = 0.5 * (c_mat * c_mat).sum(axis=1)
 
         def _assign(batches):
             import pandas as pd
@@ -752,9 +781,10 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
             for pdf in batches:
                 x = np.array([np.asarray(e, dtype=np.float64)
                               for e in pdf.iloc[:, 0]])
-                # squared-euclidean argmax via the dot trick; argmax
-                # returns the FIRST max -> lowest centroid index on ties
-                d = x @ c_mat.T - 0.5 * (c_mat * c_mat).sum(axis=1)
+                # (squared-euclidean via the dot trick, or plain dot on
+                # the unit sphere); argmax returns the FIRST max ->
+                # lowest centroid index on ties
+                d = x @ c_mat.T - half_sq
                 yield pd.DataFrame({
                     "cent": d.argmax(axis=1).astype("int32"),
                     "vec": pdf.iloc[:, 0],
@@ -793,15 +823,25 @@ def ivf_topk_trained(queries: DataFrame, corpus: DataFrame, k: int,
                      train_iters: int = 3,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
-    """ivf_topk with a TRAINED (k-means) coarse quantizer instead of
-    the content-hash sample quantizer — better-balanced lists, higher
-    recall at the same nprobe. Same probe plan as ivf_topk: Arrow
-    assignment scan for the corpus, broadcast centroid join for the
-    queries, bucket-keyed candidate join.
+    """ivf_topk with a TRAINED (spherical k-means) coarse quantizer
+    instead of the content-hash sample quantizer. What training buys
+    (and what the gate asserts) is BALANCED inverted lists — a lower
+    max cell size, which at 100 TB bounds the candidate-join fan-out
+    of the hottest bucket. Recall at equal nprobe is comparable but
+    NOT strictly higher (ADVICE r4): balanced cells carry fewer
+    candidates per probe, so on small corpora the unbalanced sample
+    quantizer can edge it by a few points. Training is
+    cosine-consistent — kmeans_fit(metric='cosine') normalizes, so
+    the trained cells are the same geometry this function probes.
+    Same probe plan as ivf_topk: Arrow assignment scan for the
+    corpus, broadcast centroid join for the queries, bucket-keyed
+    candidate join.
 
     No SQL oracle (the trained quantizer is iterative); correctness
-    is pytest-gated: determinism (refit == refit) and recall >= the
-    untrained ivf_topk on the same (queries, k, nprobe).
+    is pytest-gated: determinism (refit == refit), recall within a
+    0.05 band of the untrained ivf_topk on the same
+    (queries, k, nprobe), and max-cell-size <= the untrained
+    quantizer's.
     """
     from pyspark.sql import Window
 

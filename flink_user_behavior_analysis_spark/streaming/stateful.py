@@ -47,6 +47,13 @@ from pyspark.sql.types import (
 
 US = 1_000_000
 
+# Ordering note (ADVICE r4): a key's rows can span several Arrow
+# chunks, and sorting each chunk independently is only globally
+# ordered while the group fits one chunk. Every state machine below
+# therefore buffers ALL chunks for the key and sorts ONCE before
+# iterating. Inlined per closure (not a shared helper) to keep the
+# self-contained-closure contract above.
+
 
 def consecutive_fail_stateful(
     events: DataFrame,
@@ -76,7 +83,10 @@ def consecutive_fail_stateful(
             (packed,) = state.get
             buf = [int(x) for x in packed.split(",") if x]
         out = []
-        for pdf in pdfs:
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0] if chunks else None)
+        if pdf is not None:
             pdf = pdf.sort_values(["__ts_us", "__ord"])
             for ts_us, is_fail in zip(pdf["__ts_us"], pdf["__is_fail"]):
                 if is_fail:
@@ -127,7 +137,10 @@ def cap_filter_stateful(
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         cnt = state.get[0] if state.exists else 0
         out = []
-        for pdf in pdfs:
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0] if chunks else None)
+        if pdf is not None:
             pdf = pdf.sort_values(["__ts_us", "__ord"])
             for _ in range(len(pdf)):
                 cnt += 1
@@ -213,7 +226,10 @@ def reconcile_stateful(
             p_packed, r_packed = state.get
             pays, receipts = _unpack(p_packed), _unpack(r_packed)
         out = []
-        for pdf in pdfs:
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0] if chunks else None)
+        if pdf is not None:
             pdf = pdf.sort_values(["__ts_us", "__ord"])
             for ts_us, etype in zip(pdf["__ts_us"], pdf["__etype"]):
                 ts_us = int(ts_us)
@@ -331,7 +347,10 @@ def order_timeout_stateful(
         create_us, pre_pay = state.get if state.exists else (None, None)
         out = []
         done = False
-        for pdf in pdfs:
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0] if chunks else None)
+        if pdf is not None:
             pdf = pdf.sort_values(["__ts_us"])
             for ts_us, etype in zip(pdf["__ts_us"], pdf["__etype"]):
                 if done:
@@ -426,7 +445,14 @@ def consecutive_fail_tws(
                 (packed,) = self._buf.get()
                 buf = [int(x) for x in packed.split(",") if x]
             out = []
-            for pdf in rows:
+            # A key's rows may span several Arrow chunks; sorting each
+            # chunk independently would let the fail-run state machine
+            # see events out of global (ts, order) order, so buffer the
+            # whole group and sort ONCE (ADVICE r4).
+            chunks = [pdf for pdf in rows]
+            if chunks:
+                pdf = (chunks[0] if len(chunks) == 1
+                       else pd.concat(chunks, ignore_index=True))
                 pdf = pdf.sort_values(["__ts_us", "__ord"])
                 for ts_us, is_fail in zip(pdf["__ts_us"], pdf["__is_fail"]):
                     if is_fail:

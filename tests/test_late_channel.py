@@ -117,6 +117,53 @@ def test_late_channel_parquet_sink_matches_harness(spark, sf_dir, tmp_path):
     assert key(compute(on_time_pq)) == key(legs["result"])
 
 
+def test_late_channel_parquet_sink_replay_is_idempotent(spark, sf_dir,
+                                                        tmp_path):
+    """ADVICE r4: a full replay into the same sink (fresh checkpoint,
+    same batch ids — the restart-after-crash shape) must not duplicate
+    rows: each leg partitions by batch id and dynamically overwrites
+    its own partitions, and the watermark is rebuilt from the sink, so
+    after the rerun the two legs still hold the input exactly once."""
+    from flink_user_behavior_analysis_spark.streaming import (
+        run_with_late_channel_to_parquet,
+    )
+
+    stream_dir, first, second = _two_file_replay_dir(spark, sf_dir, tmp_path)
+
+    def raw():
+        return (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+
+    sink = str(tmp_path / "sink_replay")
+    paths = run_with_late_channel_to_parquet(
+        raw(), DELAY_S, sink, checkpoint_dir=str(tmp_path / "ckpt_a"))
+    first_run = {
+        leg: sorted(r.event_id for r in
+                    spark.read.parquet(p).collect())
+        for leg, p in paths.items()
+    }
+    all_ids = sorted(first_run["on_time"] + first_run["late"])
+    want_ids = sorted(
+        r.event_id for r in first.unionByName(second).collect())
+    assert all_ids == want_ids  # exactly once, no dups, nothing lost
+
+    # crash-replay: same sink, FRESH checkpoint -> batches re-run with
+    # the same ids; the watermark starts from the sink's max ts
+    paths2 = run_with_late_channel_to_parquet(
+        raw(), DELAY_S, sink, checkpoint_dir=str(tmp_path / "ckpt_b"))
+    rerun_ids = sorted(
+        [r.event_id for r in spark.read.parquet(paths2["on_time"]).collect()]
+        + [r.event_id for r in spark.read.parquet(paths2["late"]).collect()])
+    assert rerun_ids == want_ids, "replay duplicated or dropped rows"
+    # recovered watermark >= original: late leg can only grow
+    assert (len([r for r in
+                 spark.read.parquet(paths2["late"]).collect()])
+            >= len(first_run["late"]))
+
+
 def test_topn_parquet_sink_upserts_per_window(spark, sf_dir, tmp_path):
     """Production T1/T2 sink: the dynamically-overwritten parquet
     table holds the final late-update-safe ranking — equal to the

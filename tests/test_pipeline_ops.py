@@ -550,9 +550,14 @@ def test_chunk_containment_bounds_and_exact_dup(spark, sf_dir):
 
 def test_ivf_trained_deterministic_and_recall(spark, sf_dir):
     """kmeans-trained IVF: refits are bit-identical (fixed-point
-    update + content-hash init, no RNG), output ranks are valid, and
-    recall vs brute force is at least that of the untrained
-    content-hash quantizer on the same parameters."""
+    update + content-hash init, no RNG), recall vs brute force stays
+    within a 0.05 band of the untrained content-hash quantizer on the
+    same parameters, and — the thing training actually PROMISES
+    (ADVICE r4) — the trained cells are better balanced: max cell
+    size <= the untrained quantizer's (at 100 TB that bounds the
+    hottest bucket's candidate-join fan-out)."""
+    import numpy as np
+
     from flink_user_behavior_analysis_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -578,6 +583,22 @@ def test_ivf_trained_deterministic_and_recall(spark, sf_dir):
     r_trained = len(trained & truth) / len(truth)
     r_plain = len(plain & truth) / len(truth)
     assert r_trained >= max(0.2, r_plain - 0.05), (r_trained, r_plain)
+
+    # balance dominance: spherical assignment of the full corpus to
+    # trained (iters=2) vs untrained (iters=0 == content-hash init)
+    # centroids — training must not worsen the hottest cell
+    x = np.array([r.embedding for r in embs.collect()], dtype=float)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def max_cell(cents):
+        c = np.array(cents)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        return int(np.bincount((x @ c.T).argmax(axis=1),
+                               minlength=len(cents)).max())
+
+    trained_max = max_cell(kmeans_fit(embs, 32, iters=2))
+    untrained_max = max_cell(kmeans_fit(embs, 32, iters=0))
+    assert trained_max <= untrained_max, (trained_max, untrained_max)
 
 
 def test_mixture_sample_monotone_and_rates(spark, sf_dir):

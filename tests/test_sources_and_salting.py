@@ -149,7 +149,8 @@ def test_signature_cache_is_per_session(spark):
     """release_signature_cache drains only the requested session's
     frames and reports the count (ADVICE r2)."""
     from flink_user_behavior_analysis_spark.operators.dedup import (
-        _CACHED_FRAMES,
+        _CACHE_FINALIZERS,
+        _CACHED_JDFS,
         _tracked_persist,
         release_signature_cache,
     )
@@ -157,7 +158,41 @@ def test_signature_cache_is_per_session(spark):
     release_signature_cache(spark)  # clean slate
     df = _tracked_persist(spark.range(10))
     df.count()
-    assert spark in _CACHED_FRAMES and len(_CACHED_FRAMES[spark]) == 1
+    key = id(spark)
+    assert key in _CACHED_JDFS and len(_CACHED_JDFS[key]) == 1
+    assert key in _CACHE_FINALIZERS and _CACHE_FINALIZERS[key].alive
     assert release_signature_cache(spark) == 1
-    assert spark not in _CACHED_FRAMES
+    assert key not in _CACHED_JDFS and key not in _CACHE_FINALIZERS
     assert release_signature_cache(spark) == 0
+
+
+def test_signature_cache_holds_no_session_reference(spark):
+    """ADVICE r4: the registry must not keep the Python SparkSession
+    wrapper (or anything referencing it, like a DataFrame) alive —
+    keys are plain ints, values are JVM-side handles only, so the
+    session's GC finalizer can actually fire."""
+    import gc
+
+    from pyspark.sql import DataFrame, SparkSession
+
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        _CACHED_JDFS,
+        _tracked_persist,
+        release_signature_cache,
+    )
+
+    release_signature_cache(spark)
+    df = _tracked_persist(spark.range(10))
+    df.count()
+    try:
+        for lst in _CACHED_JDFS.values():
+            for handle in lst:
+                # JVM-side handles only (py4j proxies answer hasattr
+                # for anything, so assert on the python type itself)
+                assert not isinstance(handle, (DataFrame, SparkSession))
+                assert type(handle).__name__ == "JavaObject", type(handle)
+        # the registry dict must not be a referrer of the session
+        assert not any(ref is _CACHED_JDFS or ref is list(_CACHED_JDFS)
+                       for ref in gc.get_referrers(spark))
+    finally:
+        assert release_signature_cache(spark) == 1
