@@ -31,7 +31,7 @@ from .similarity import (
 )
 from .text import doc_fingerprints, language_id, text_stats
 from .topn import top_n_per_window
-from .uv import unique_visitors
+from .uv import unique_visitors, unique_visitors_certified
 from .windows import windowed_agg, windowed_count, windowed_global_count
 
 __all__ = [
@@ -71,6 +71,7 @@ __all__ = [
     "text_stats",
     "top_n_per_window",
     "unique_visitors",
+    "unique_visitors_certified",
     "windowed_agg",
     "windowed_count",
     "windowed_global_count",

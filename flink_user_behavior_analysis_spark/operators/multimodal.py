@@ -72,6 +72,74 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# --- pure-python PPM (P6) codec -------------------------------------
+# A real, if minimal, image format both engines can certify: binary
+# PPM is `P6\n{w} {h}\n{maxval}\n` followed by w*h*3 raw RGB bytes —
+# no compression, no library needed (VERDICT r4 next-round #4). The
+# decode features are chosen to be EXACT in float32 (integers and
+# 32nds), so the DuckDB oracle reproduces them bit-for-bit from the
+# payload's hex.
+
+PPM_W, PPM_H = 8, 4  # 32 pixels, 96 RGB bytes
+
+
+def documents_as_ppm(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Wrap documents as a media table whose payloads are REAL binary
+    PPM images: header + the first PPM_W*PPM_H*3 text bytes as RGB
+    samples (zero-padded). All JVM-side column expressions (encode /
+    binary substring / rpad / concat) — shuffle-free scan."""
+    n_px_bytes = PPM_W * PPM_H * 3
+    payload = F.concat(
+        F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode()),
+        F.expr(f"rpad(substring(encode({text_col}, 'UTF-8'), 1, "
+               f"{n_px_bytes}), {n_px_bytes}, X'00')"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("ppm").alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.hex(payload), 256).alias("content_sha256"),
+    )
+
+
+def ppm_decode(payload: bytes) -> list[float]:
+    """Reference P6 parser (mirrored verbatim inside the decode_media
+    closure): validates the magic, reads the header, and derives 8
+    features from the pixel data — [w, h, mean_r, mean_g, mean_b,
+    min_byte, max_byte, n_pixels]. Means are 1/n_pixels-ths and the
+    rest are small integers, so every feature is exactly
+    representable in float32 (no rounding seam for the oracle)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: three whitespace-separated ints after the magic
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = payload[i:i + w * h * 3]
+    if len(px) != w * h * 3:
+        raise ValueError("truncated pixel data")
+    n = w * h
+    chans = [px[c::3] for c in range(3)]
+    return [
+        float(w), float(h),
+        *(sum(ch) / n for ch in chans),
+        float(min(px)), float(max(px)), float(n),
+    ]
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: 8 features derived
     from content bytes (length buckets + leading-byte statistics)."""
@@ -93,9 +161,12 @@ def decode_media(media: DataFrame, decoder: str = "fake",
                  batch_size_hint: int = 256) -> DataFrame:
     """Decode payloads to fixed-width feature vectors via mapInPandas.
 
-    decoder='fake' uses the deterministic content-hash fake (tests,
-    this container). decoder='real' marks where PIL/librosa/ffmpeg
-    integration goes and raises NotImplementedError.
+    decoder='ppm' parses REAL binary PPM (P6) payloads with the
+    pure-python codec (ppm_decode) — deterministic, library-free, and
+    oracle-certifiable. decoder='fake' uses the deterministic
+    content-hash fake (format-agnostic plumbing tests). decoder='real'
+    marks where PIL/librosa/ffmpeg integration goes and raises
+    NotImplementedError.
 
     The Arrow batch iterator preserves partitioning — no shuffle; at
     scale, repartition upstream by size (``n_bytes`` ranges) so decode
@@ -106,6 +177,48 @@ def decode_media(media: DataFrame, decoder: str = "fake",
             "real media decode needs PIL/librosa/ffmpeg, not present in "
             "this container; wire the library call inside _decode_batches"
         )
+    if decoder == "ppm":
+        # parser mirrored from ppm_decode, inlined so cloudpickle
+        # ships it by value (same rationale as the fake closure)
+        def _ppm_batches(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            def dec(payload: bytes) -> list[float]:
+                if payload[:2] != b"P6":
+                    raise ValueError("not a P6 PPM payload")
+                parts, i, tok = [], 2, b""
+                while len(parts) < 3 and i < len(payload):
+                    c = payload[i:i + 1]
+                    if c.isspace():
+                        if tok:
+                            parts.append(int(tok))
+                            tok = b""
+                    else:
+                        tok += c
+                    i += 1
+                w, h, maxval = parts
+                if maxval != 255:
+                    raise ValueError(f"unsupported maxval {maxval}")
+                px = payload[i:i + w * h * 3]
+                if len(px) != w * h * 3:
+                    raise ValueError("truncated pixel data")
+                n = w * h
+                chans = [px[c::3] for c in range(3)]
+                return [
+                    float(w), float(h),
+                    *(sum(ch) / n for ch in chans),
+                    float(min(px)), float(max(px)), float(n),
+                ]
+
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [dec(bytes(p)) for p in pdf["payload"]],
+                })
+
+        return media.mapInPandas(_ppm_batches, schema=FEATURE_SCHEMA)
     if decoder != "fake":
         raise ValueError(f"unknown decoder: {decoder!r}")
 

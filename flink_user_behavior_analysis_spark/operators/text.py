@@ -13,7 +13,7 @@ at parquet scan speed with column pruning (only ``text`` is read).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import md5_long, normalized_text, shingle_array
@@ -402,17 +402,35 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
     the postings join, so a query batch never reshuffles the corpus.
     Final ranking windows over query_id — as many keys as queries,
     each with candidate lists bounded by postings intersection.
+    This inline form builds the index per call; the PRODUCTION shape
+    is bm25_store_index once + bm25_topk_from_index per query batch
+    (probe-only ≡ inline, test-asserted).
     """
-    from pyspark.sql import Window
+    return bm25_topk_from_index(
+        bm25_index(docs, id_col=id_col, text_col=text_col),
+        queries, k=k, k1=k1, b=b,
+        id_col=id_col, qid_col=qid_col, qtext_col=qtext_col)
 
+
+def bm25_index(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> dict[str, DataFrame]:
+    """The BM25 inverted-index ARTIFACTS as four frames — pure counts,
+    independent of the scoring constants (k1/b bind at probe time):
+      tf:     (id, token, tf)   term frequency postings
+      dl:     (id, dl)          document lengths
+      df:     (token, df)       document frequencies
+      consts: (n_docs, avgdl)   corpus constants (1 row)
+    In production these are computed once per corpus version and
+    stored (bm25_store_index); every query batch is then probe-only.
+    """
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalized_text(text_col), " ")).alias("token"),
     ).where(F.col("token") != "")
     # tf feeds both the df aggregation and the postings join; measured
     # persisting it here LOSES ~10% at sf0.1 (the 800k-row materialize
-    # outweighs recomputing the cheap tokenize+count) — in production
-    # tf/df are stored index artifacts and this tradeoff disappears
+    # outweighs recomputing the cheap tokenize+count) — in the stored
+    # path tf/df are parquet artifacts and this tradeoff disappears
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
@@ -426,6 +444,49 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
              F.count(F.lit(1)).cast("double").alias("_nd"))
         .select((F.col("_tot") / F.col("_nd")).alias("avgdl"))
     )
+    return {"tf": tf, "dl": dl, "df": dfreq, "consts": consts}
+
+
+def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> list[str]:
+    """Materialize the BM25 index as catalog tables (VERDICT r4
+    next-round #5): tf and dl land BUCKETED on the doc id with the
+    same bucket count (sources/readers.py:write_bucketed), so the
+    probe's tf-to-dl join needs no exchange on either stored side;
+    df/consts are small dimension tables the probe broadcasts anyway.
+    Returns the table names written."""
+    from ..sources.readers import write_bucketed
+
+    idx = bm25_index(docs, id_col=id_col, text_col=text_col)
+    write_bucketed(idx["tf"], f"{prefix}_tf", id_col, n_buckets)
+    write_bucketed(idx["dl"], f"{prefix}_dl", id_col, n_buckets)
+    idx["df"].write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_df")
+    idx["consts"].write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_consts")
+    return [f"{prefix}_{s}" for s in ("tf", "dl", "df", "consts")]
+
+
+def bm25_read_index(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:
+    return {s: spark.table(f"{prefix}_{s}")
+            for s in ("tf", "dl", "df", "consts")}
+
+
+def bm25_topk_from_index(index: dict[str, DataFrame], queries: DataFrame,
+                         k: int = 5, k1: float = 1.2, b: float = 0.75,
+                         id_col: str = "doc_id",
+                         qid_col: str = "query_id",
+                         qtext_col: str = "query_text") -> DataFrame:
+    """Probe-only BM25 scoring against a (built or stored) index —
+    the per-query-batch work at 100 TB: broadcast the tokenized
+    queries into the postings, join dl (exchange-free when tf/dl are
+    bucket-stored), rank. Identical output to bm25_topk on the same
+    corpus (test-asserted)."""
+    from pyspark.sql import Window
+
+    tf, dl, dfreq, consts = (index["tf"], index["dl"],
+                             index["df"], index["consts"])
     qt = queries.select(
         F.col(qid_col),
         F.explode(F.array_distinct(
@@ -546,6 +607,98 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
     big = bi.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cb"))
     vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    logp = F.log(
+        (F.col("cb").cast("double") + 1.0)
+        / (F.col("cw").cast("double") + F.col("v").cast("double")))
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col),
+                F.round(logp * 1_000_000, 0).cast("long").alias("_f"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("_f").cast("double") / 1_000_000.0
+                / F.count(F.lit(1)), 4).alias("avg_logp"),
+    )
+
+
+def lm_model(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> dict[str, DataFrame]:
+    """The bigram-LM ARTIFACTS as three frames — these counts ARE the
+    stored LM at scale (lm_score's docstring promise):
+      uni:   (w, cw)        unigram counts
+      big:   (w1, w2, cb)   bigram counts
+      vocab: (v,)           vocabulary size (1 row)
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_t"),
+    )
+    bi = toks.select(
+        F.explode(F.expr(
+            "zip_with(slice(_t, 1, size(_t) - 1), "
+            "slice(_t, 2, size(_t) - 1), "
+            "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg"),
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    )
+    big = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb"))
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    return {"uni": uni, "big": big, "vocab": vocab}
+
+
+def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> list[str]:
+    """Materialize the bigram LM as catalog tables (VERDICT r4
+    next-round #5): big bucketed+sorted on w1 (the probe join's
+    leading key), uni bucketed on w; vocab is one row. Returns the
+    table names written."""
+    from ..sources.readers import write_bucketed
+
+    m = lm_model(docs, id_col=id_col, text_col=text_col)
+    write_bucketed(m["big"], f"{prefix}_big", "w1", n_buckets,
+                   sort_col="w1")
+    write_bucketed(m["uni"], f"{prefix}_uni", "w", n_buckets)
+    m["vocab"].write.mode("overwrite").format("parquet").saveAsTable(
+        f"{prefix}_vocab")
+    return [f"{prefix}_{s}" for s in ("big", "uni", "vocab")]
+
+
+def lm_read_model(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:
+    return {s: spark.table(f"{prefix}_{s}")
+            for s in ("big", "uni", "vocab")}
+
+
+def lm_score_from_model(model: dict[str, DataFrame], docs: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Probe-only scoring against a (built or stored) LM — the
+    per-batch production shape: tokenize only the docs being scored,
+    join their bigrams against the stored counts. Identical output to
+    lm_score when scoring the training corpus (test-asserted; both
+    use inner joins, so the corpus-trained property that every scored
+    bigram exists in the model holds by construction there — scoring
+    OUT-of-corpus docs drops unseen bigrams from the mean, matching
+    the inline form's semantics)."""
+    uni, big, vocab = model["uni"], model["big"], model["vocab"]
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_t"),
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "zip_with(slice(_t, 1, size(_t) - 1), "
+            "slice(_t, 2, size(_t) - 1), "
+            "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
     logp = F.log(
         (F.col("cb").cast("double") + 1.0)
         / (F.col("cw").cast("double") + F.col("v").cast("double")))

@@ -192,13 +192,32 @@ FROM events GROUP BY 1
 
 # =====================================================================
 # A8 — approximate UV (HLL++ replaces the reference's Redis bloom
-# filter, UniqueVisitorWithBloomFilter.java:50-171). No SQL oracle:
-# sketch internals are engine-specific -> driver rows-only check.
+# filter, UniqueVisitorWithBloomFilter.java:50-171). Registered as the
+# SELF-CERTIFYING twin (operators/uv.py:unique_visitors_certified):
+# the oracle pins the exact per-window uv AND demands the HLL++
+# estimate's |approx-exact|/exact <= 3*rsd certificate be 1 — the
+# sketch is hash-gated without exposing engine-specific internals.
+# The production operator stays unique_visitors(mode='approx').
 # =====================================================================
 
+UV_APPROX_RSD, UV_APPROX_SIGMA = 0.02, 3.0
+
+
 def unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import unique_visitors_certified
+
     ev = _events(spark, sf_dir)
-    return unique_visitors(ev, "ts", "user_id", "1 day", mode="approx", rsd=0.02)
+    return unique_visitors_certified(ev, "ts", "user_id", "1 day",
+                                     rsd=UV_APPROX_RSD,
+                                     sigma=UV_APPROX_SIGMA)
+
+
+UNIQUE_VISITORS_APPROX_SQL = f"""
+SELECT {_duck_tumbling_end(24 * HOUR_US)} AS window_end_us,
+       COUNT(DISTINCT user_id)::BIGINT AS uv_exact,
+       1::BIGINT AS within_bound
+FROM events GROUP BY 1
+"""
 
 
 # =====================================================================
@@ -971,48 +990,17 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _GATE_HEAD: list[str] = [
-    # round-4 rotation (VERDICT r3 item 3): the 9 queries demoted past
-    # the r3 window come back to the front for fresh driver rows
-    "doc_split",
-    "sample_docs",
-    "quantize_embeddings",
-    "sessionize_users_native",
-    "unique_visitors_approx",
-    "ann_topk_lsh_mp",
-    "dedup_embedding_cosine_lsh_mt",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    # oracle upgraded this round (r3 row was err: no_oracle) — keep
-    # gated so the new rank-error columns earn a hash row
-    "corpus_quantiles_approx",
-    # new in round 4 — never driver-gated
-    "bm25_topk",
-    "source_stats",
-    "chunk_containment",
-    "dedup_clusters_star",
-    "ann_topk_ivf_trained",
-    "mixture_sample",
-    "lm_score",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "pca_embed",
-    "heavy_hitters",
-]
-
-_GATE_TAIL: list[str] = [
-    # all hash-green (or rows-only by design) in CORRECTNESS_r03 —
-    # each can afford to sit out exactly one round
+    # round-5 rotation (VERDICT r4 item 2): the 19 queries demoted
+    # past the r4 window (green in r3, two rounds stale after this
+    # round) come back to the front for fresh driver rows
     "lang_centroids",
     "curation_pipeline",
     "chunk_docs",
     "pack_sequences",
     "stratified_sample",
     "media_resize",
-    "multimodal_decode",
     "doc_fingerprints",
     "multimodal_meta",
-    # round-4 additions to make room for the 4 new queries (all green
-    # in CORRECTNESS_r03, each sits out exactly one round)
     "frame_sample",
     "tx_interval_join",
     "login_fail_cep",
@@ -1024,6 +1012,43 @@ _GATE_TAIL: list[str] = [
     "unique_visitors",
     "marketing_by_channel",
     "marketing_total",
+    # never hash-green before r5: oracles upgraded this round
+    # (VERDICT r4 item 1 — self-certifying forms; item 4 — PPM codec)
+    "multimodal_decode",
+    "unique_visitors_approx",
+    "ann_topk_ivf_trained",
+    "pca_embed",
+    # new in round 5 — stored-artifact probe paths, never gated
+    "bm25_topk_stored",
+    "lm_score_stored",
+]
+
+_GATE_TAIL: list[str] = [
+    # all hash-green in CORRECTNESS_r04 — each can afford to sit out
+    # exactly one round (the two-round staleness test forces them
+    # back by r6)
+    "doc_split",
+    "sample_docs",
+    "quantize_embeddings",
+    "sessionize_users_native",
+    "ann_topk_lsh_mp",
+    "dedup_embedding_cosine_lsh_mt",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "corpus_quantiles_approx",
+    "bm25_topk",
+    "source_stats",
+    "chunk_containment",
+    "dedup_clusters_star",
+    "mixture_sample",
+    "lm_score",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "heavy_hitters",
+    "ad_stats_by_province",
+    "login_fail",
+    "blacklist_warnings",
+    "blacklist_filtered",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1041,7 +1066,7 @@ ORACLES: dict[str, str] = {
     "hot_pages": HOT_PAGES_SQL,
     "page_views": PAGE_VIEWS_SQL,
     "unique_visitors": UNIQUE_VISITORS_SQL,
-    # unique_visitors_approx: HLL++ sketch — no SQL oracle (rows-only)
+    "unique_visitors_approx": UNIQUE_VISITORS_APPROX_SQL,
     "marketing_by_channel": MARKETING_BY_CHANNEL_SQL,
     "marketing_total": MARKETING_TOTAL_SQL,
     "ad_stats_by_province": AD_STATS_SQL,

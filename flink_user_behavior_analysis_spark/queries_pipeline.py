@@ -614,6 +614,51 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir))
 
 
+def _artifact_tag(sf_dir: str) -> str:
+    """Catalog-safe tag for per-sf stored artifacts (sf0.01 -> sf0_01)."""
+    import os as _os
+
+    return _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+
+
+def q_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION BM25 shape (VERDICT r4 next-round #5): the inverted
+    index is a STORED artifact — built once per (corpus, sf) into
+    bucketed catalog tables, then every query batch is probe-only
+    (operators/text.py:bm25_store_index/bm25_topk_from_index).
+    Same oracle as bm25_topk: probe-only ≡ inline-build is exactly
+    the claim. First call per corpus pays the build; bench's
+    min-of-2 timing therefore reports the steady-state probe wall,
+    which is the number that matters at 100 TB."""
+    from .operators.text import (
+        bm25_read_index,
+        bm25_store_index,
+        bm25_topk_from_index,
+    )
+
+    prefix = f"bm25_{_artifact_tag(sf_dir)}"
+    if not spark.catalog.tableExists(f"{prefix}_consts"):
+        bm25_store_index(_docs(spark, sf_dir), prefix)
+    qdf = spark.createDataFrame(BM25_QUERIES,
+                                "query_id long, query_text string")
+    return bm25_topk_from_index(bm25_read_index(spark, prefix), qdf,
+                                k=BM25_K)
+
+
+def q_lm_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION bigram-LM shape: counts stored once as bucketed
+    catalog tables (they ARE the LM), scoring is probe-only
+    (operators/text.py:lm_store_model/lm_score_from_model). Same
+    oracle as lm_score — probe ≡ inline is the claim."""
+    from .operators.text import lm_read_model, lm_score_from_model, lm_store_model
+
+    prefix = f"lm_{_artifact_tag(sf_dir)}"
+    if not spark.catalog.tableExists(f"{prefix}_vocab"):
+        lm_store_model(_docs(spark, sf_dir), prefix)
+    return lm_score_from_model(lm_read_model(spark, prefix),
+                               _docs(spark, sf_dir))
+
+
 def _lm_score_sql() -> str:
     return f"""
 WITH {_D_BASE},
@@ -691,23 +736,74 @@ SELECT doc_id, pos, fp FROM wf
 
 
 PCA_COMPONENTS = 8
+# certificate tolerances: measured worst-case on the driver tables is
+# ~4e-7 for projected-variance-vs-eigenvalue (fixed-point 1e-8 Gram +
+# 1e-6 projection rounding) and ~2e-15 for orthonormality
+PCA_VAR_TOL, PCA_ORTHO_TOL = 1e-5, 1e-9
 
 
 def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA dimensionality reduction over the embedding corpus
-    (operators/similarity.py:pca_fit/pca_transform): fit 8 axes, emit
-    the projection as per-dim rows. rows-only driver check (the
-    eigendecomposition has no SQL oracle); the determinism,
-    orthonormality, and variance-ordering properties are pytest-gated
+    """PCA over the embedding corpus, registered as its SELF-CERTIFYING
+    form (VERDICT r4 next-round #1; the heavy_hitters/
+    corpus_quantiles_approx certificate pattern): the
+    eigendecomposition itself has no SQL oracle, so the query emits
+    one row per principal axis carrying certificates the oracle pins
+    to 1 —
+      norm_ok:    |  ||w_axis|| - 1 | < 1e-9
+      ortho_ok:   max_{j != axis} |w_axis . w_j| < 1e-9
+      order_ok:   explained[axis] >= explained[axis + 1]
+      projvar_ok: sample variance of the axis's projection over the
+                  WHOLE corpus (a distributed sum/sumsq aggregate over
+                  pca_transform's output) matches the model's
+                  eigenvalue within 1e-5 relative — the certificate
+                  that ties the driver-side eigensolve back to the
+                  data
+    plus n_rows (corpus count), which the oracle computes exactly.
+    The raw projection remains available via pca_fit/pca_transform;
+    determinism/orthonormality/variance-ordering stay pytest-gated
     (tests/test_pipeline_ops.py:test_pca_*)."""
+    import numpy as np
+
     from .operators.similarity import pca_fit, pca_transform
 
     embs = _embs(spark, sf_dir)
     model = pca_fit(embs, PCA_COMPONENTS)
     proj = pca_transform(embs, model)
-    return proj.select(
-        "vec_id", F.posexplode("pca").alias("dim", "value")
-    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+    stats = (
+        proj.select(F.posexplode("pca").alias("axis", "v"))
+        .groupBy("axis")
+        .agg(F.sum("v").alias("s"),
+             F.sum(F.col("v") * F.col("v")).alias("ss"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    comps = np.array(model["components"])
+    expl = model["explained"]
+    gram = comps @ comps.T
+    rows = []
+    for r in sorted(stats, key=lambda r: r.axis):
+        a = r.axis
+        var = (r.ss - r.s * r.s / r.n) / (r.n - 1)
+        off = max(abs(gram[a, j]) for j in range(len(expl)) if j != a)
+        rows.append((
+            int(a), int(r.n),
+            int(abs(gram[a, a] - 1.0) < PCA_ORTHO_TOL),
+            int(off < PCA_ORTHO_TOL),
+            int(a == len(expl) - 1 or expl[a] >= expl[a + 1]),
+            int(abs(var - expl[a]) / expl[a] < PCA_VAR_TOL),
+        ))
+    return spark.createDataFrame(
+        rows, "axis BIGINT, n_rows BIGINT, norm_ok BIGINT, "
+              "ortho_ok BIGINT, order_ok BIGINT, projvar_ok BIGINT")
+
+
+PCA_EMBED_SQL = f"""
+SELECT unnest(generate_series(0, {PCA_COMPONENTS - 1}))::BIGINT AS axis,
+       (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_rows,
+       1::BIGINT AS norm_ok, 1::BIGINT AS ortho_ok,
+       1::BIGINT AS order_ok, 1::BIGINT AS projvar_ok
+"""
 
 
 WINNOW_MIN_SHARED, WINNOW_MAX_BUCKET = 2, 50
@@ -1645,16 +1741,59 @@ FROM documents
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas fake-decode path — rows-only check (Arrow batch
-    plumbing is engine-specific; correctness of the fake features is
-    pytest-verified against a pandas reimplementation)."""
-    media = documents_as_media(_docs(spark, sf_dir))
-    feats = decode_media(media, decoder="fake")
-    return feats.select(
-        "media_id", "media_type", "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
-        F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
-    )
+    """Arrow decode path over REAL binary PPM payloads (VERDICT r4
+    next-round #4): documents_as_ppm builds P6 images JVM-side, the
+    pure-python codec parses header + pixels inside mapInPandas, and
+    every emitted feature (dims, per-channel means, min/max byte) is
+    exact in float32 — so the DuckDB oracle recomputes them
+    bit-for-bit from hex(encode(text)). The fake-codec plumbing path
+    (decode_media(decoder='fake')) and the decoder='real' stub for
+    true codecs both remain."""
+    from .operators.multimodal import documents_as_ppm
+
+    media = documents_as_ppm(_docs(spark, sf_dir))
+    feats = decode_media(media, decoder="ppm")
+    sel = [F.element_at("feature", i + 1).cast("double").alias(a)
+           for i, a in enumerate(
+               ["w", "h", "mean_r", "mean_g", "mean_b",
+                "min_byte", "max_byte", "n_pixels"])]
+    return feats.select("media_id", F.col("n_bytes").cast("long").alias("n_bytes"), *sel)
+
+
+# oracle: rebuild the padded pixel block as hex (2 chars per byte),
+# then fold the channel-strided byte lists; list_* run per row — no
+# join, no explosion
+_PPM_W, _PPM_H = 8, 4
+_PPM_NPX = _PPM_W * _PPM_H
+_PPM_NBYTES = _PPM_NPX * 3
+_PPM_HDR_LEN = len(f"P6\n{_PPM_W} {_PPM_H}\n255\n")
+
+MULTIMODAL_DECODE_SQL = f"""
+WITH b AS (
+    SELECT doc_id AS media_id,
+           rpad(substr(hex(encode(text)), 1, {_PPM_NBYTES * 2}),
+                {_PPM_NBYTES * 2}, '0') AS hxp
+    FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(range(0, {_PPM_NBYTES}),
+               i -> ('0x' || substr(hxp, i * 2 + 1, 2))::BIGINT) AS bytes
+    FROM b
+)
+SELECT media_id,
+       {_PPM_HDR_LEN + _PPM_NBYTES}::BIGINT AS n_bytes,
+       {_PPM_W}::DOUBLE AS w, {_PPM_H}::DOUBLE AS h,
+       list_sum(list_transform(range(0, {_PPM_NPX}),
+           i -> bytes[3 * i + 1])) / {_PPM_NPX}.0 AS mean_r,
+       list_sum(list_transform(range(0, {_PPM_NPX}),
+           i -> bytes[3 * i + 2])) / {_PPM_NPX}.0 AS mean_g,
+       list_sum(list_transform(range(0, {_PPM_NPX}),
+           i -> bytes[3 * i + 3])) / {_PPM_NPX}.0 AS mean_b,
+       list_min(bytes)::DOUBLE AS min_byte,
+       list_max(bytes)::DOUBLE AS max_byte,
+       {_PPM_NPX}::DOUBLE AS n_pixels
+FROM px
+"""
 
 
 RESIZE_MAX_BYTES = 128
@@ -1858,18 +1997,62 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, cc_fn=connected_components_star)
 
 
+# recall certificate floor: ivf_topk_trained is fully deterministic
+# (content-hash init, fixed-point updates), so recall at a given table
+# is a constant; measured 0.35 / 0.2625 / 0.3125 at sf0.001/0.01/0.1
+IVF_TRAINED_RECALL_FLOOR = 0.2
+
+
 def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kmeans-trained IVF ANN (operators/similarity.py:ivf_topk_trained).
-    rows-only driver check: the trained quantizer is iterative (no SQL
-    oracle); determinism + recall-vs-brute-force are pytest-gated
-    (tests/test_pipeline_ops.py:test_ivf_trained_deterministic_and_recall)."""
-    from .operators.similarity import ivf_topk_trained
+    """kmeans-trained IVF ANN (operators/similarity.py:ivf_topk_trained),
+    registered as its SELF-CERTIFYING form (VERDICT r4 next-round #1):
+    the trained quantizer is iterative (no SQL oracle), so the query
+    emits ONE row of certificates the oracle pins —
+      n_queries:  number of query vectors (oracle computes exactly)
+      k:          requested neighbors per query
+      recall_ok:  recall@k against the BRUTE-FORCE top-k (computed
+                  in-query with brute_force_topk_arrow over the same
+                  corpus) >= {floor} — deterministic, so this is a
+                  stable bound, not a flaky statistical gate
+      ranks_ok:   every query's ranks are contiguous 1..n
+    Raw neighbor rows remain available via ivf_topk_trained;
+    determinism + cell balance stay pytest-gated
+    (tests/test_pipeline_ops.py:test_ivf_trained_deterministic_and_recall).
+    """
+    from .operators.similarity import brute_force_topk_arrow, ivf_topk_trained
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    return ivf_topk_trained(queries, embs, ANN_K,
-                            n_centroids=IVF_K, nprobe=IVF_NPROBE,
-                            train_iters=2)
+    trained = ivf_topk_trained(queries, embs, ANN_K,
+                               n_centroids=IVF_K, nprobe=IVF_NPROBE,
+                               train_iters=2)
+    truth = brute_force_topk_arrow(queries, embs, ANN_K)
+
+    n_truth = truth.count()
+    n_hit = trained.join(
+        truth.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"]).count()
+    bad_ranks = (
+        trained.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
+        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
+        .count()
+    )
+    n_queries = queries.count()
+    return spark.createDataFrame(
+        [(int(n_queries), ANN_K,
+          int(n_hit / n_truth >= IVF_TRAINED_RECALL_FLOOR),
+          int(bad_ranks == 0))],
+        "n_queries BIGINT, k BIGINT, recall_ok BIGINT, ranks_ok BIGINT")
+
+
+ANN_TOPK_IVF_TRAINED_SQL = f"""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
+       {ANN_K}::BIGINT AS k,
+       1::BIGINT AS recall_ok, 1::BIGINT AS ranks_ok
+"""
 
 
 # --------------------------------------------------------------- registry
@@ -1917,6 +2100,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
+    "bm25_topk_stored": q_bm25_topk_stored,
+    "lm_score_stored": q_lm_score_stored,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "pca_embed": q_pca_embed,
@@ -1955,7 +2140,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "curation_pipeline": _curation_sql(),
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
-    # multimodal_decode: mapInPandas fake decode — rows-only
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "bm25_topk": _bm25_sql(),
@@ -1968,4 +2153,12 @@ PIPELINE_ORACLES: dict[str, str] = {
     "lm_score": _lm_score_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "winnow_overlap": _winnow_overlap_sql(),
+    # self-certifying forms (r5): the oracle pins the SQL-computable
+    # facts (query/corpus counts) and demands every certificate be 1
+    "ann_topk_ivf_trained": ANN_TOPK_IVF_TRAINED_SQL,
+    "pca_embed": PCA_EMBED_SQL,
+    # stored-artifact probe paths (r5): same oracles as the inline
+    # builds — probe-only ≡ inline-build is exactly the claim
+    "bm25_topk_stored": _bm25_sql(),
+    "lm_score_stored": _lm_score_sql(),
 }

@@ -12,7 +12,7 @@ def test_engine_query_and_sql(spark, sf_dir):
     assert eng.query("hot_items").count() > 0
     assert eng.sql("SELECT count(*) AS n FROM events").collect()[0].n > 0
     assert eng.oracle_sql("hot_items") is not None
-    assert eng.oracle_sql("unique_visitors_approx") is None
+    assert eng.oracle_sql("unique_visitors_approx") is not None
     with pytest.raises(KeyError, match="unknown query"):
         eng.query("nope")
 

@@ -2,6 +2,7 @@
 hash-vs-oracle comparison can't express: LSH recall vs the exact
 formulation, decode determinism, plumbing shapes."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_user_behavior_analysis_spark.operators import (
@@ -108,6 +109,48 @@ def test_frame_sample_byte_windows_non_ascii(spark):
     got = sorted((r.media_id, r.frame_idx, r.frame_len, r.frame_sha256)
                  for r in rows)
     assert got == exp
+
+
+def test_ppm_decode_matches_reference(spark):
+    """PPM path: payloads built JVM-side are valid P6 images, the
+    Arrow decode equals the host-side reference parser EXACTLY (every
+    feature is float32-exact by construction), and non-ASCII /
+    empty / longer-than-window texts all round-trip."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        documents_as_ppm,
+        ppm_decode,
+    )
+
+    texts = ["héllo wörld " * 30, "", "short", "x" * 96, "\x00\xff mixed"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    media = documents_as_ppm(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    rows = {r.media_id: r
+            for r in decode_media(media, decoder="ppm").collect()}
+    assert len(rows) == len(texts)
+    for mid, payload in payloads.items():
+        assert payload.startswith(f"P6\n{PPM_W} {PPM_H}\n255\n".encode())
+        expected = ppm_decode(payload)
+        got = [float(x) for x in rows[mid].feature]
+        assert got == expected, (mid, got, expected)
+        assert got[0] == PPM_W and got[1] == PPM_H
+        assert got[7] == PPM_W * PPM_H
+
+
+def test_ppm_codec_rejects_malformed_payloads():
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        ppm_decode,
+    )
+
+    with pytest.raises(ValueError, match="P6"):
+        ppm_decode(b"P5\n2 2\n255\n" + b"\x00" * 12)
+    with pytest.raises(ValueError, match="truncated"):
+        ppm_decode(b"P6\n2 2\n255\n" + b"\x00" * 5)
+    with pytest.raises(ValueError, match="maxval"):
+        ppm_decode(b"P6\n1 1\n127\n" + b"\x00" * 3)
 
 
 def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
@@ -599,6 +642,66 @@ def test_ivf_trained_deterministic_and_recall(spark, sf_dir):
     trained_max = max_cell(kmeans_fit(embs, 32, iters=2))
     untrained_max = max_cell(kmeans_fit(embs, 32, iters=0))
     assert trained_max <= untrained_max, (trained_max, untrained_max)
+
+
+def test_bm25_stored_index_probe_equals_inline(spark, sf_dir, tmp_path):
+    """VERDICT r4 #5: write the inverted index to bucketed catalog
+    tables, read it back, probe — results must equal the inline build
+    exactly (the fixed-point fold makes both bit-stable)."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        bm25_read_index,
+        bm25_store_index,
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(1, "spark window join"), (2, "hash table scan")],
+        "query_id long, query_text string")
+    tables = bm25_store_index(docs, "t_bm25_idx")
+    try:
+        probe = bm25_topk_from_index(
+            bm25_read_index(spark, "t_bm25_idx"), qdf, k=5)
+        inline = bm25_topk(docs, qdf, k=5)
+        assert (sorted(map(tuple, probe.collect()))
+                == sorted(map(tuple, inline.collect())))
+        # stored tf/dl are bucketed on the doc id: their equi-join
+        # must need no SHUFFLE Exchange on either stored scan (force
+        # SMJ — at this size the planner would rightly broadcast,
+        # which hides whether bucketing lines up)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            idx = bm25_read_index(spark, "t_bm25_idx")
+            plan = (idx["tf"].join(idx["dl"], "doc_id")
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "Exchange hashpartitioning" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_lm_stored_model_probe_equals_inline(spark, sf_dir):
+    from flink_user_behavior_analysis_spark.operators.text import (
+        lm_read_model,
+        lm_score,
+        lm_score_from_model,
+        lm_store_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tables = lm_store_model(docs, "t_lm_model")
+    try:
+        probe = lm_score_from_model(lm_read_model(spark, "t_lm_model"), docs)
+        inline = lm_score(docs)
+        assert (sorted(map(tuple, probe.collect()))
+                == sorted(map(tuple, inline.collect())))
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_mixture_sample_monotone_and_rates(spark, sf_dir):

@@ -25,10 +25,13 @@ from flink_user_behavior_analysis_spark.queries import (
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE_WINDOW = 50
 
-# Sketch/fake-decode queries with no oracle SQL: their driver row is
-# rows-only and can never be hash-green, so the window gains nothing.
-ROWS_ONLY_BY_DESIGN = {"unique_visitors_approx", "multimodal_decode",
-                       "ann_topk_ivf_trained", "pca_embed"}
+# Queries with no oracle SQL: their driver row is rows-only and can
+# never be hash-green, so the window gains nothing. Empty since r5 —
+# the sketch members (unique_visitors_approx, ann_topk_ivf_trained,
+# pca_embed) graduated to self-certifying hash oracles and
+# multimodal_decode got a deterministic pure-python PPM codec both
+# engines can reproduce.
+ROWS_ONLY_BY_DESIGN = set()
 
 
 def _prior_green() -> set[str]:
