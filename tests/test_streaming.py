@@ -349,3 +349,43 @@ def test_streaming_registry_names_and_builders(spark, sf_dir):
     for name, fn in STREAMING_QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.isStreaming, name
+
+
+def test_cms_stream_accumulation_matches_batch(spark, sf_dir, tmp_path):
+    """VERDICT r4 #6: the streaming count-min sketch (per micro-batch
+    aggregate + mergeInPlace) must be equivalent to the single batch
+    sketch over the same data — CMS cell updates commute and the hash
+    functions are seed-determined, so estimates agree exactly and the
+    assembled heavy-hitters frame equals heavy_hitters_cms."""
+    from flink_user_behavior_analysis_spark.operators.sketches import (
+        cms_merge_stream,
+        heavy_hitters_cms,
+        heavy_hitters_from_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "item_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long"),
+    ).where(F.col("item_id").isNotNull()).select("item_id")
+
+    # 3-file replay -> 3 micro-batches, so the merge path is exercised
+    replay = str(tmp_path / "cms_replay")
+    ev.repartition(3).write.parquet(replay)
+    sdf = (spark.readStream.schema(ev.schema)
+           .option("maxFilesPerTrigger", "1").parquet(replay))
+
+    cms, n = cms_merge_stream(sdf, "item_id")
+    assert n == ev.count()
+
+    batch = heavy_hitters_cms(ev, "item_id", k=10)
+    exact_top = (
+        ev.groupBy("item_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("item_id").asc())
+        .limit(10)
+    )
+    streamed = heavy_hitters_from_sketch(spark, cms, n, exact_top,
+                                         "item_id")
+    cols = ["item_id", "cnt", "rnk", "est_ok"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert all(r.est_ok == 1 for r in streamed.collect())
