@@ -78,6 +78,16 @@ HEADLINE = [
     "lm_score_stored",
 ]
 
+# Queries whose signature hashing routes through operators.dedup.sig_hash
+# — the only code the SPARK_GRAFT_FAST_HASH knob changes. Timed a second
+# time with the knob on; reported under "fast_hash" in the JSON line.
+FAST_HASH_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_incremental",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +153,41 @@ def main() -> None:
         per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
 
+    # Production-hash column (VERDICT r4 item 8): re-time the queries
+    # whose signatures route through the sig_hash seam with
+    # SPARK_GRAFT_FAST_HASH=1 (xxhash64 instead of oracle-portable
+    # md5), so the production speedup is tracked per-round instead of
+    # as a one-off PERF.md note. Same warm+min-of-2 protocol; the
+    # xxhash64 plans are distinct codegen classes, so they get their
+    # own sf0.001 warmup pass.
+    fast_hash: dict[str, float] = {}
+    os.environ["SPARK_GRAFT_FAST_HASH"] = "1"
+    try:
+        for name in FAST_HASH_QUERIES:
+            fn = Q.QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
+                fn(spark, warm_dir).count()
+                release_signature_cache()
+            except Exception as exc:  # pragma: no cover
+                print(f"# fast-hash warmup {name} failed: {exc}",
+                      file=sys.stderr)
+                continue
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                release_signature_cache()
+            fast_hash[name] = round(best, 3)
+            print(f"# fast_hash {name}: {fast_hash[name]:.3f}s "
+                  f"(md5 {per_query.get(name, float('nan')):.3f}s)",
+                  file=sys.stderr)
+    finally:
+        os.environ.pop("SPARK_GRAFT_FAST_HASH", None)
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -151,6 +196,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "fast_hash": fast_hash,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -456,15 +456,15 @@ def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
     probe's tf-to-dl join needs no exchange on either stored side;
     df/consts are small dimension tables the probe broadcasts anyway.
     Returns the table names written."""
-    from ..sources.readers import write_bucketed
+    from ..sources.readers import save_as_table, write_bucketed
 
     idx = bm25_index(docs, id_col=id_col, text_col=text_col)
     write_bucketed(idx["tf"], f"{prefix}_tf", id_col, n_buckets)
     write_bucketed(idx["dl"], f"{prefix}_dl", id_col, n_buckets)
-    idx["df"].write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_df")
-    idx["consts"].write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_consts")
+    save_as_table(idx["df"].write.mode("overwrite").format("parquet"),
+                  f"{prefix}_df")
+    save_as_table(idx["consts"].write.mode("overwrite").format("parquet"),
+                  f"{prefix}_consts")
     return [f"{prefix}_{s}" for s in ("tf", "dl", "df", "consts")]
 
 
@@ -659,14 +659,14 @@ def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
     next-round #5): big bucketed+sorted on w1 (the probe join's
     leading key), uni bucketed on w; vocab is one row. Returns the
     table names written."""
-    from ..sources.readers import write_bucketed
+    from ..sources.readers import save_as_table, write_bucketed
 
     m = lm_model(docs, id_col=id_col, text_col=text_col)
     write_bucketed(m["big"], f"{prefix}_big", "w1", n_buckets,
                    sort_col="w1")
     write_bucketed(m["uni"], f"{prefix}_uni", "w", n_buckets)
-    m["vocab"].write.mode("overwrite").format("parquet").saveAsTable(
-        f"{prefix}_vocab")
+    save_as_table(m["vocab"].write.mode("overwrite").format("parquet"),
+                  f"{prefix}_vocab")
     return [f"{prefix}_{s}" for s in ("big", "uni", "vocab")]
 
 

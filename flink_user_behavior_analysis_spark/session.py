@@ -16,6 +16,7 @@ single JVM); the same builder works unchanged on a real cluster where
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,20 @@ def get_spark(
         .config(
             "spark.driver.memory",
             driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        # per-process warehouse: managed tables (stored BM25/LM
+        # artifacts, bucketed-join tables) pair a catalog entry with a
+        # directory. The catalog is in-memory per process, so a shared
+        # on-disk warehouse leaves ORPHAN directories that make the
+        # next process's saveAsTable fail with
+        # LOCATION_ALREADY_EXISTS. A fresh tmp dir per process keeps
+        # catalog and disk in lockstep; point SPARK_GRAFT_WAREHOUSE at
+        # a persistent path (with a persistent metastore) on a real
+        # cluster, where artifacts genuinely outlive the session.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE")
+            or tempfile.mkdtemp(prefix="fuba-warehouse-"),
         )
     )
     for k, v in (extra_conf or {}).items():

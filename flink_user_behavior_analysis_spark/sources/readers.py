@@ -259,4 +259,29 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
         w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
     else:
         w = w.bucketBy(n_buckets, bucket_col)
-    w.format("parquet").saveAsTable(table)
+    save_as_table(w.format("parquet"), table)
+
+
+def save_as_table(writer, table: str) -> None:
+    """``saveAsTable`` that survives an orphaned warehouse location.
+
+    mode("overwrite") only overwrites tables the CATALOG knows about;
+    when a previous process wrote the table and this process's
+    in-memory catalog starts empty, the on-disk directory is an
+    orphan and Spark refuses to create a managed table over it
+    (LOCATION_ALREADY_EXISTS). Under overwrite semantics that orphan
+    is garbage by definition — remove it and retry once. Anything
+    else re-raises.
+    """
+    import re
+    import shutil
+
+    try:
+        writer.saveAsTable(table)
+    except Exception as exc:  # noqa: BLE001 — filtered by error class below
+        msg = str(exc)
+        m = re.search(r"location 'file:([^']+)' already exists", msg)
+        if "LOCATION_ALREADY_EXISTS" not in msg or m is None:
+            raise
+        shutil.rmtree(m.group(1), ignore_errors=True)
+        writer.saveAsTable(table)

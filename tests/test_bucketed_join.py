@@ -48,3 +48,32 @@ def test_bucketed_fact_join_is_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_save_as_table_survives_orphaned_location(spark):
+    """A table directory left by a PREVIOUS process (whose in-memory
+    catalog died with it) must not wedge saveAsTable: overwrite
+    semantics make the orphan garbage, so save_as_table clears it and
+    retries (this is exactly what a restarted driver hits when
+    SPARK_GRAFT_WAREHOUSE points at a persistent dir)."""
+    import os
+
+    from flink_user_behavior_analysis_spark.sources.readers import (
+        save_as_table,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:")
+    orphan = os.path.join(warehouse, "t_orphan")
+    spark.sql("DROP TABLE IF EXISTS t_orphan")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-stale.parquet"), "wb") as f:
+        f.write(b"stale")
+    try:
+        df = spark.range(5).withColumnRenamed("id", "k")
+        save_as_table(df.write.mode("overwrite").format("parquet"),
+                      "t_orphan")
+        assert spark.table("t_orphan").count() == 5
+        assert not os.path.exists(os.path.join(orphan, "part-stale.parquet"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orphan")
