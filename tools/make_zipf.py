@@ -71,7 +71,9 @@ def write_events(rng: np.random.Generator, skewed: bool) -> str:
             "behavior": behavior,
             "channel": channels[rng.integers(0, len(channels), N_EVENTS)],
             "province": provinces[rng.integers(0, len(provinces), N_EVENTS)],
-            "ts": pa.array(ts, pa.timestamp("us")),
+            # tz-aware so Spark reads TIMESTAMP (unix_micros-compatible),
+            # not TIMESTAMP_NTZ
+            "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
         }
     )
     path = f"{OUT}/events_{name}.parquet"
@@ -118,6 +120,38 @@ def write_docs(rng: np.random.Generator, skewed: bool) -> None:
           f"hottest token share {top:.1%}")
 
 
+def write_docs_boiler(rng: np.random.Generator) -> None:
+    """Boilerplate corpus — the degenerate-LSH-bucket case max_bucket
+    exists for: 10 templates x 400 near-copies (3 of 200 tokens
+    mutated per copy, jaccard ~0.95+) on top of 30k unique docs.
+    Every copy of a template lands in the same LSH buckets, so the
+    uncapped pair join faces C(400,2) x bands candidates per
+    template."""
+    words = np.array([f"w{i:04d}" for i in range(VOCAB)])
+    n_unique, n_templates, n_copies = 30_000, 10, 400
+    rows = []
+    uniq = words[rng.integers(0, VOCAB, (n_unique, DOC_LEN))]
+    rows.extend(" ".join(r) for r in uniq)
+    for t in range(n_templates):
+        template = words[rng.integers(0, VOCAB, DOC_LEN)]
+        for _ in range(n_copies):
+            copy = template.copy()
+            pos = rng.integers(0, DOC_LEN, 3)
+            copy[pos] = words[rng.integers(0, VOCAB, 3)]
+            rows.append(" ".join(copy))
+    n = len(rows)
+    tbl = pa.table(
+        {
+            "doc_id": np.array([f"b{i:06d}" for i in range(n)]),
+            "source": np.array([f"src_{i % 8}" for i in range(n)]),
+            "text": rows,
+        }
+    )
+    pq.write_table(tbl, f"{OUT}/docs_boiler.parquet")
+    print(f"{OUT}/docs_boiler.parquet: {n} docs "
+          f"({n_templates} templates x {n_copies} near-copies)")
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = np.random.default_rng(SEED)
@@ -126,6 +160,7 @@ def main() -> None:
     write_dim()
     write_docs(rng, skewed=True)
     write_docs(rng, skewed=False)
+    write_docs_boiler(rng)
 
 
 if __name__ == "__main__":
