@@ -76,6 +76,7 @@ HEADLINE = [
     # (compare with the inline bm25_topk / lm_score entries above)
     "bm25_topk_stored",
     "lm_score_stored",
+    "duplicated_spans",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

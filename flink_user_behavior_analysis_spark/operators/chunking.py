@@ -171,3 +171,84 @@ def chunk_containment(docs: DataFrame, chunk_tokens: int = 32,
             .alias("containment"),
         )
     )
+
+
+def duplicated_spans(docs: DataFrame, span_tokens: int = 16,
+                     min_occurrences: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact duplicated-substring detection at span granularity — the
+    distributed re-expression of suffix-array substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): every OVERLAPPING ``span_tokens``-token window (stride
+    1) is fingerprinted, and a span instance is duplicated when its
+    fingerprint occurs >= ``min_occurrences`` times corpus-wide
+    (within- and cross-document occurrences both count, as in the
+    paper). Stride-1 windows catch misaligned duplication that
+    chunk_containment's disjoint chunks miss: a copied paragraph
+    starting mid-chunk shifts every chunk fingerprint but leaves all
+    its interior spans intact.
+
+    Output per document: (doc_id, n_tokens, n_spans, n_dup_spans,
+    covered_tokens, dup_coverage) where covered_tokens is the length
+    of the UNION of the duplicated spans' [pos, pos+k) intervals —
+    computed with a lead() window (each span contributes
+    min(next_pos - pos, k)), not by materializing per-token rows —
+    and dup_coverage = covered_tokens / n_tokens. Docs shorter than
+    ``span_tokens`` have zero spans and coverage 0.
+
+    Scale shape (100 TB): ~n_tokens fingerprint rows per doc (the
+    honest cost of stride-1 exactness; 16-byte md5 keys, uniform by
+    construction) -> one fp-keyed count, one fp join back, one
+    doc-keyed window+agg. NO pair join, NO suffix array: a span
+    shared by 10^6 docs costs one counter. The window partition is a
+    single document's duplicated spans — bounded by doc length.
+    """
+    from pyspark.sql import Window
+
+    k = int(span_tokens)
+    sized = with_tokens(docs, id_col, text_col).select(
+        F.col(id_col), F.col("tokens"),
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+    span_fps = F.expr(
+        f"transform(sequence(1, size(tokens) - {k} + 1), "
+        f"i -> md5(concat_ws(' ', slice(tokens, i, {k}))))"
+    )
+    # posexplode_outer, not posexplode: inner explode makes Catalyst
+    # push a size>0 filter below the exchange that re-evaluates the
+    # whole transform() twice per row (see with_tokens docstring)
+    spans = sized.where(F.col("n_tokens") >= k).select(
+        F.col(id_col),
+        F.posexplode_outer(span_fps).alias("pos0", "fp"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"),
+             "fp")
+    occ = spans.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"))
+    dup = spans.join(occ.where(F.col("n_occ") >= int(min_occurrences)),
+                     "fp").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (
+        dup.withColumn(
+            "contrib",
+            F.least(F.coalesce(F.lead("pos").over(w) - F.col("pos"),
+                               F.lit(k)), F.lit(k)))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+             F.sum("contrib").cast("long").alias("covered_tokens"))
+    )
+    return (
+        sized.drop("tokens")
+        .join(cov, id_col, "left")
+        .select(
+            F.col(id_col), "n_tokens",
+            F.greatest(F.col("n_tokens") - k + 1, F.lit(0)).cast("long")
+            .alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+            .alias("n_dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long")
+            .alias("covered_tokens"),
+            F.round(F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"), 4).alias("dup_coverage"),
+        )
+    )

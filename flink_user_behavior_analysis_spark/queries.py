@@ -1021,6 +1021,8 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — stored-artifact probe paths, never gated
     "bm25_topk_stored",
     "lm_score_stored",
+    # new in round 5 — stride-1 exact-substring span dedup
+    "duplicated_spans",
 ]
 
 _GATE_TAIL: list[str] = [

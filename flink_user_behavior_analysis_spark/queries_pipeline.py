@@ -1984,6 +1984,55 @@ GROUP BY 1
 """
 
 
+SPAN_TOKENS = 16
+
+
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 duplicated-span coverage per document
+    (operators/chunking.py:duplicated_spans) — the distributed form
+    of exact-substring dedup (Lee et al. 2021)."""
+    from .operators.chunking import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), SPAN_TOKENS)
+
+
+def _duplicated_spans_sql() -> str:
+    k = SPAN_TOKENS
+    return f"""
+WITH {_D_BASE},
+sized AS (
+    SELECT doc_id, w, len(w)::BIGINT AS n_tokens FROM tok
+), spans AS (
+    SELECT doc_id, i::BIGINT AS pos,
+           md5(array_to_string(w[i:i + {k - 1}], ' ')) AS fp
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - {k} + 2)) AS i
+          FROM sized WHERE n_tokens >= {k})
+), occ AS (
+    SELECT fp, COUNT(*)::BIGINT AS n_occ FROM spans GROUP BY 1
+), dup AS (
+    SELECT s.doc_id, s.pos FROM spans s JOIN occ USING (fp)
+    WHERE occ.n_occ >= 2
+), contrib AS (
+    SELECT doc_id,
+           LEAST(COALESCE(lead(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) - pos,
+                          {k}), {k}) AS c
+    FROM dup
+), cov AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_dup_spans,
+           SUM(c)::BIGINT AS covered_tokens
+    FROM contrib GROUP BY 1
+)
+SELECT s.doc_id, s.n_tokens,
+       GREATEST(s.n_tokens - {k} + 1, 0)::BIGINT AS n_spans,
+       COALESCE(c.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+       round(COALESCE(c.covered_tokens, 0)::DOUBLE / s.n_tokens, 4)
+           AS dup_coverage
+FROM sized s LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical output contract to dedup_clusters, computed with the
     alternating large-star/small-star components algorithm
@@ -2096,6 +2145,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "source_stats": q_source_stats,
     "chunk_containment": q_chunk_containment,
+    "duplicated_spans": q_duplicated_spans,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "mixture_sample": q_mixture_sample,
@@ -2146,6 +2196,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "bm25_topk": _bm25_sql(),
     "source_stats": _source_stats_sql(),
     "chunk_containment": _chunk_containment_sql(),
+    "duplicated_spans": _duplicated_spans_sql(),
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),

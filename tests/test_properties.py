@@ -448,3 +448,46 @@ def test_chunk_containment_matches_python_reference(spark, docs):
     got = {r.doc_id: (r.n_chunks, r.n_shared, r.containment)
            for r in chunk_containment(df, C).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["p", "q", "r"]), min_size=0, max_size=14),
+    min_size=1, max_size=6))
+def test_duplicated_spans_matches_python_reference(spark, docs):
+    """duplicated_spans equals a direct python implementation over
+    tiny corpora — the 3-letter alphabet forces heavy within- and
+    cross-doc span repetition, exercising the interval-union coverage
+    (overlapping and adjacent duplicated spans must not double-count
+    tokens) and the sub-span-length edge (coverage 0)."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        duplicated_spans,
+    )
+
+    K = 3
+    texts = [" ".join(d) for d in docs]
+    toks = {i: (" ".join(t.lower().split())).split(" ")
+            for i, t in enumerate(texts)}
+    occ: dict = {}
+    for ts in toks.values():
+        for j in range(len(ts) - K + 1):
+            s = " ".join(ts[j:j + K])
+            occ[s] = occ.get(s, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        n = len(ts)
+        dup_pos = [j for j in range(n - K + 1)
+                   if occ[" ".join(ts[j:j + K])] >= 2]
+        covered: set = set()
+        for j in dup_pos:
+            covered.update(range(j, j + K))
+        want[i] = (n, max(n - K + 1, 0), len(dup_pos), len(covered),
+                   round(len(covered) / n, 4))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_spans, r.n_dup_spans,
+                      r.covered_tokens, r.dup_coverage)
+           for r in duplicated_spans(df, K).collect()}
+    assert got == want
