@@ -77,6 +77,7 @@ HEADLINE = [
     "bm25_topk_stored",
     "lm_score_stored",
     "duplicated_spans",
+    "gopher_quality",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -838,3 +838,84 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 4, w: int = 5,
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, min_words: int = 50,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1): per document, the five
+    core repetition-free document rules as explicit boolean columns
+    plus the conjunction ``keep`` —
+      r_word_count:    min_words <= #words <= max_words
+      r_mean_word_len: mean word length in [min, max]
+      r_symbol_ratio:  ('#' chars + '...' occurrences) / #words <= max
+      r_alpha_words:   fraction of words containing an alphabetic
+                       char >= min_alpha_frac
+      r_stop_words:    >= min_stop_hits DISTINCT stop words present
+    (Gopher's line-shape rules — bullet/ellipsis line fractions — are
+    newline-dependent; the repetition rules live in repetition_stats.)
+
+    Words are the RAW text split on collapsed whitespace (quality
+    rules must see punctuation/casing, unlike the dedup tokenizer).
+    Pure per-row projection: shuffle-free, runs at parquet scan speed
+    with only the text column read; filters composed on ``keep``
+    push down to the scan.
+    """
+    raw_words = F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                                "\\s+", " ")), " ")
+    n_words = F.size(raw_words).cast("long")
+    n_den = F.greatest(n_words, F.lit(1))
+    mean_wl = (
+        F.aggregate(raw_words, F.lit(0).cast("double"),
+                    lambda acc, w: acc + F.length(w))
+        / n_den
+    )
+    n_hash = (F.length(F.col(text_col))
+              - F.length(F.regexp_replace(F.col(text_col), "#", "")))
+    n_ellipsis = (
+        (F.length(F.col(text_col))
+         - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit(""))))
+        / F.lit(3)
+    ).cast("long")
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_den
+    alpha_frac = (
+        F.size(F.filter(raw_words, lambda w: w.rlike("[a-zA-Z]")))
+        .cast("double") / n_den
+    )
+    lower_words = F.transform(raw_words, F.lower)
+    stop_hits = sum(
+        (F.array_contains(lower_words, s).cast("long")
+         for s in GOPHER_STOPWORDS),
+        F.lit(0).cast("long"),
+    )
+    r_wc = (n_words >= min_words) & (n_words <= max_words)
+    r_mwl = ((mean_wl >= min_mean_word_len)
+             & (mean_wl <= max_mean_word_len))
+    r_sym = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_stop = stop_hits >= min_stop_hits
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("n_stop_hits"),
+        r_wc.cast("long").alias("r_word_count"),
+        r_mwl.cast("long").alias("r_mean_word_len"),
+        r_sym.cast("long").alias("r_symbol_ratio"),
+        r_alpha.cast("long").alias("r_alpha_words"),
+        r_stop.cast("long").alias("r_stop_words"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).cast("long")
+        .alias("keep"),
+    )

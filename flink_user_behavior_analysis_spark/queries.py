@@ -1021,8 +1021,9 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — stored-artifact probe paths, never gated
     "bm25_topk_stored",
     "lm_score_stored",
-    # new in round 5 — stride-1 exact-substring span dedup
+    # new in round 5 — stride-1 exact-substring span dedup + Gopher gate
     "duplicated_spans",
+    "gopher_quality",
 ]
 
 _GATE_TAIL: list[str] = [

@@ -1984,6 +1984,68 @@ GROUP BY 1
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (operators/text.py:gopher_rules).
+
+    min_stop_hits=1 here (operator default is the paper's 2): the
+    synthetic corpus is topic-word soup where English function words
+    are rare, and 2 would zero out `keep` — making the conjunction
+    column vacuously un-tested. At 1, every rule column carries
+    signal on this corpus."""
+    from .operators.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_stop_hits=1)
+
+
+def _gopher_sql() -> str:
+    from .operators.text import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"list_contains(lw, '{s}')::INT" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH words AS (
+    SELECT doc_id, text,
+           string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+               AS w
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(w)::BIGINT AS n_words,
+           greatest(len(w), 1) AS den,
+           list_transform(w, x -> lower(x)) AS lw,
+           list_sum(list_transform(w, x -> length(x)))::DOUBLE
+               / greatest(len(w), 1) AS mwl,
+           ((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3
+           )::DOUBLE / greatest(len(w), 1) AS sym,
+           len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+               / greatest(len(w), 1) AS alpha
+    FROM words
+), r AS (
+    SELECT doc_id, n_words, mwl, sym, alpha,
+           ({stop_sum})::BIGINT AS n_stop_hits,
+           (n_words >= 50 AND n_words <= 100000)::INT AS r_wc,
+           (mwl >= 3.0 AND mwl <= 10.0)::INT AS r_mwl,
+           (sym <= 0.1)::INT AS r_sym,
+           (alpha >= 0.8)::INT AS r_alpha
+    FROM m
+)
+SELECT doc_id, n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(sym, 4) AS symbol_ratio,
+       round(alpha, 4) AS alpha_word_frac,
+       n_stop_hits,
+       r_wc::BIGINT AS r_word_count,
+       r_mwl::BIGINT AS r_mean_word_len,
+       r_sym::BIGINT AS r_symbol_ratio,
+       r_alpha::BIGINT AS r_alpha_words,
+       (n_stop_hits >= 1)::BIGINT AS r_stop_words,
+       (r_wc = 1 AND r_mwl = 1 AND r_sym = 1 AND r_alpha = 1
+        AND n_stop_hits >= 1)::BIGINT AS keep
+FROM r
+"""
+
+
 SPAN_TOKENS = 16
 
 
@@ -2146,6 +2208,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "chunk_containment": q_chunk_containment,
     "duplicated_spans": q_duplicated_spans,
+    "gopher_quality": q_gopher_quality,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "mixture_sample": q_mixture_sample,
@@ -2197,6 +2260,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_stats": _source_stats_sql(),
     "chunk_containment": _chunk_containment_sql(),
     "duplicated_spans": _duplicated_spans_sql(),
+    "gopher_quality": _gopher_sql(),
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),

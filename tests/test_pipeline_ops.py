@@ -905,3 +905,32 @@ def test_heavy_hitters_cms_certificates(spark, sf_dir):
     assert all(r.est_ok == 1 for r in out)
     cnts = [r.cnt for r in out]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_gopher_rules_edge_cases(spark):
+    """Hand-computed Gopher rule outcomes: each crafted doc fails
+    exactly one rule (or none), pinning thresholds and boundary
+    inclusivity at the paper's defaults."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        gopher_rules,
+    )
+
+    good = ("the quick brown fox jumps with vigor over the lazy dog and "
+            "then naps " * 5).strip()          # 65 words, all rules pass
+    short = "the dog sat with me"              # fails word count only
+    symbols = ("the data #### with #### tags ## and #### more #### "
+               "hash #### noise ## here " * 5).strip()  # symbol ratio
+    numeric = ("the 123 456 789 000 111 with 222 333 444 555 666 777 "
+               "888 999 000 111 222 " * 4).strip()      # alpha frac
+    nostop = ("lorem ipsum dolor sit amet consectetur adipiscing elit "
+              "sed eiusmod tempor " * 6).strip()        # stop words
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, numeric), (5, nostop)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert (rows[1].r_word_count, rows[1].keep) == (1, 1)
+    assert (rows[2].r_word_count, rows[2].keep) == (0, 0)
+    assert rows[2].r_stop_words == 1        # 'the'+'with' = 2 distinct
+    assert (rows[3].r_symbol_ratio, rows[3].keep) == (0, 0)
+    assert (rows[4].r_alpha_words, rows[4].keep) == (0, 0)
+    assert (rows[5].r_stop_words, rows[5].keep) == (0, 0)
