@@ -78,6 +78,7 @@ HEADLINE = [
     "lm_score_stored",
     "duplicated_spans",
     "gopher_quality",
+    "ann_topk_pq",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

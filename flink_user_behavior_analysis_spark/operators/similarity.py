@@ -1040,3 +1040,262 @@ def pca_transform(vecs: DataFrame, model: dict,
 
     return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         _proj, out_schema)
+
+
+# ------------------------------------------------- product quantization
+
+def pq_fit(vecs: DataFrame, m: int = 8, codes: int = 16,
+           iters: int = 3, vec_col: str = "embedding") -> dict:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` contiguous subspaces and each subspace gets its
+    own ``codes``-centroid k-means codebook, so a d-dim float vector
+    compresses to m small codes (here m bytes at codes<=256) while
+    distances remain computable from per-subspace lookup tables — the
+    memory side of the IVFADC scale recipe (ivf_topk_trained is the
+    routing side).
+
+    Vectors are unit-normalized first (cosine-family geometry, like
+    every ANN operator here); training is per-subspace Lloyd's with
+    the same determinism contract as kmeans_fit: content-hash init
+    (no RNG), first-max argmin ties, FIXED-POINT (1e-6) integer sums
+    on the uniform (subspace, centroid, dim) key — refits on
+    repartitioned data are bit-identical. Empty cells keep their
+    previous centroid.
+
+    Scale shape (100 TB): per iteration ONE corpus scan assigns all m
+    subspaces at once (mapInPandas against m broadcast codebooks) +
+    ONE shuffle keyed by (subspace, centroid, dim) with map-side
+    partial sums; the driver ever holds only m x codes x (d/m)
+    numbers. At real scale the fit runs on a sample and the codebook
+    is a stored artifact, like the BM25 index.
+
+    Returns {"m", "sub", "codebooks"} with codebooks[j] a
+    codes x (d/m) nested list.
+    """
+    import numpy as np
+
+    from .dedup import md5_long
+
+    d = vecs.select(F.size(vec_col)).first()[0]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    nrm = norm_expr(vec_col)
+    unit = vecs.where(nrm > 0).select(
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") / nrm).alias(vec_col))
+
+    # all m subspace inits in ONE corpus scan: explode each vector
+    # into its m sub-vectors and take the content-hash top-`codes` per
+    # subspace with a rank window — Spark executes the rank<=codes
+    # filter as WindowGroupLimit (per-partition partial top-N before
+    # the final per-subspace sort), so this stays scan-bound instead
+    # of m separate orderBy+limit jobs
+    from pyspark.sql import Window
+
+    sub_structs = F.array(*[
+        F.struct(F.lit(j).alias("sub"),
+                 F.slice(F.col(vec_col), j * sub + 1, sub).alias("v"))
+        for j in range(m)
+    ])
+    exploded = unit.select(F.explode(sub_structs).alias("e")).select(
+        F.col("e.sub").alias("_sub"), F.col("e.v").alias("v"))
+    keyed = exploded.withColumn("_key", F.concat_ws(",", F.transform(
+        F.col("v"),
+        lambda x: F.round(x.cast("double") * 1_000_000, 0)
+        .cast("long").cast("string")))
+    ).withColumn("_h", md5_long(F.col("_key")))
+    rnk_w = Window.partitionBy("_sub").orderBy("_h", "_key")
+    init_rows = (
+        keyed.withColumn("_r", F.row_number().over(rnk_w))
+        .where(F.col("_r") <= codes)
+        .select("_sub", "_r", "v")
+        .collect()
+    )
+    books = []
+    for j in range(m):
+        rows = sorted((r for r in init_rows if r._sub == j),
+                      key=lambda r: r._r)
+        books.append(np.array([np.asarray(r.v, dtype=np.float64)
+                               for r in rows]))
+
+    assign_schema = StructType([
+        StructField("sub", IntegerType()),
+        StructField("cent", IntegerType()),
+        StructField("dim", IntegerType()),
+        StructField("s", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    for _ in range(max(0, iters)):
+        bks = [b.copy() for b in books]
+
+        def _assign_partials(batches):
+            import pandas as pd
+
+            # per-partition pre-aggregation: emit (sub, cent, dim)
+            # fixed-point partial sums instead of per-row rows, so the
+            # shuffle moves m*codes*sub rows per task, not the corpus
+            for pdf in batches:
+                x = np.array([np.asarray(e, dtype=np.float64)
+                              for e in pdf.iloc[:, 0]])
+                recs = []
+                for jj in range(m):
+                    xj = x[:, jj * sub:(jj + 1) * sub]
+                    c = bks[jj]
+                    d2 = xj @ c.T - 0.5 * (c * c).sum(axis=1)
+                    cent = d2.argmax(axis=1)
+                    fx = np.round(xj * 1_000_000).astype("int64")
+                    for ci in np.unique(cent):
+                        sel = fx[cent == ci]
+                        sums = sel.sum(axis=0)
+                        for di in range(sub):
+                            recs.append((jj, int(ci), di,
+                                         int(sums[di]), sel.shape[0]))
+                yield pd.DataFrame(
+                    recs, columns=["sub", "cent", "dim", "s", "n"])
+
+        per_dim = (
+            unit.mapInPandas(_assign_partials, assign_schema)
+            .groupBy("sub", "cent", "dim")
+            .agg(F.sum("s").alias("s"),
+                 F.sum("n").cast("long").alias("n"))
+            .collect()
+        )
+        counts: dict = {}
+        for r in per_dim:
+            counts[(r.sub, r.cent)] = r.n
+        new = [b.copy() for b in books]
+        for r in per_dim:
+            new[r.sub][r.cent, r.dim] = (
+                r.s / 1_000_000.0 / counts[(r.sub, r.cent)])
+        books = new
+    return {
+        "m": m, "sub": sub,
+        "codebooks": [[[float(x) for x in row] for row in b]
+                      for b in books],
+    }
+
+
+def pq_encode(vecs: DataFrame, model: dict, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>): each unit-normalized vector's nearest
+    codebook entry per subspace — the m-byte compressed corpus
+    representation that pq_topk scans. One shuffle-free Arrow pass."""
+    import numpy as np
+
+    m, sub = model["m"], model["sub"]
+    books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ])
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
+            x = np.array([np.asarray(e, dtype=np.float64)
+                          for e in pdf.iloc[:, 1]])
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            x = x / nrm
+            cs = np.empty((x.shape[0], m), dtype="int32")
+            for j in range(m):
+                xj = x[:, j * sub:(j + 1) * sub]
+                c = books[j]
+                d2 = xj @ c.T - 0.5 * (c * c).sum(axis=1)
+                cs[:, j] = d2.argmax(axis=1)
+            yield pd.DataFrame({"vec_id": ids, "codes": list(cs)})
+
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _enc, out_schema)
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
+            model: dict | None = None, m: int = 8, codes: int = 16,
+            train_iters: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over the
+    PQ-encoded corpus: per query, an m x codes table of exact
+    subspace distances to every codebook entry is precomputed, and
+    each encoded vector's approximate distance is m table lookups —
+    no float vector is ever touched at scan time. This is the
+    memory-bound regime of billion-scale ANN: the scan reads m bytes
+    per vector instead of 4d.
+
+    Same contracts as brute_force_topk_arrow: queries are broadcast
+    state (guarded at 4096), one corpus scan with per-batch local
+    top-k, final rank shuffles #partitions x k rows per query. Self
+    excluded; ties broken by neighbor_id. Output: (query_id,
+    neighbor_id, approx_d2, rnk) with approx_d2 the PQ estimate of
+    squared euclidean distance on the unit sphere (= 2 - 2 cos).
+    """
+    import numpy as np
+
+    if model is None:
+        model = pq_fit(corpus, m=m, codes=codes, iters=train_iters,
+                       vec_col=vec_col)
+    m, sub = model["m"], model["sub"]
+    books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    if len(q_rows) > 4096:
+        raise ValueError(
+            f"{len(q_rows)} query vectors; pq_topk broadcasts the "
+            "per-query distance tables — block the queries for more")
+    q_ids = np.asarray([int(r[0]) for r in q_rows], dtype="int64")
+    q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # tables[q, j, c] = ||q_j - books[j][c]||^2  (exact on the query side)
+    tables = np.stack([
+        ((q_mat[:, j * sub:(j + 1) * sub, None]
+          - books[j].T[None, :, :]) ** 2).sum(axis=1)
+        for j in range(m)
+    ], axis=1)
+    k_ = int(k)
+
+    enc = pq_encode(corpus, model, id_col, vec_col)
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("_d2", DoubleType()),
+    ])
+
+    def _scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.sort_values(pdf.columns[0])
+            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
+            cs = np.array([np.asarray(c, dtype="int64")
+                           for c in pdf["codes"]])
+            # ADC: d2[q, v] = sum_j tables[q, j, cs[v, j]]
+            d2 = np.zeros((q_ids.size, ids.size))
+            for j in range(m):
+                d2 += tables[:, j, :][:, cs[:, j]]
+            d2 = np.where(q_ids[:, None] == ids[None, :], np.inf, d2)
+            take = min(k_, d2.shape[1])
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
+            out = pd.DataFrame({
+                "query_id": np.repeat(q_ids, take),
+                "neighbor_id": ids[idx.ravel()],
+                "_d2": np.take_along_axis(d2, idx, axis=1).ravel(),
+            })
+            yield out[out["_d2"] != np.inf]
+
+    scored = enc.mapInPandas(_scan, out_schema)
+    from pyspark.sql import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k_)
+        .select("query_id", "neighbor_id",
+                F.round("_d2", 4).alias("approx_d2"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -1024,6 +1024,8 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — stride-1 exact-substring span dedup + Gopher gate
     "duplicated_spans",
     "gopher_quality",
+    # new in round 5 — product-quantization ADC (certificate form)
+    "ann_topk_pq",
 ]
 
 _GATE_TAIL: list[str] = [

@@ -2166,6 +2166,57 @@ SELECT (SELECT COUNT(*) FROM embeddings
 """
 
 
+# recall floor for the PQ certificate: deterministic per table
+# (content-hash init, fixed-point Lloyd); measured recall@5-domain
+# values 0.27 / 0.284 / 0.165 at sf0.001/0.01/0.1 with k=10 —
+# floor set safely below the deterministic minimum
+PQ_RECALL_FLOOR = 0.1
+PQ_M, PQ_CODES = 8, 16
+
+
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (operators/similarity.py:pq_fit/
+    pq_topk), registered as its SELF-CERTIFYING form like
+    ann_topk_ivf_trained: the codebooks are iterative (no SQL
+    oracle), so the query emits ONE certificate row the oracle pins —
+    n_queries / k exactly, recall@k vs in-query brute force >= floor,
+    ranks contiguous 1..n per query. Raw neighbor rows via pq_topk;
+    determinism + code validity stay pytest-gated."""
+    from .operators.similarity import brute_force_topk_arrow, pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = pq_topk(queries, embs, ANN_K, m=PQ_M, codes=PQ_CODES,
+                     train_iters=2)
+    truth = brute_force_topk_arrow(queries, embs, ANN_K)
+
+    n_truth = truth.count()
+    n_hit = approx.join(
+        truth.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"]).count()
+    bad_ranks = (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
+        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
+        .count()
+    )
+    n_queries = queries.count()
+    return spark.createDataFrame(
+        [(int(n_queries), ANN_K,
+          int(n_hit / n_truth >= PQ_RECALL_FLOOR),
+          int(bad_ranks == 0))],
+        "n_queries BIGINT, k BIGINT, recall_ok BIGINT, ranks_ok BIGINT")
+
+
+ANN_TOPK_PQ_SQL = f"""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
+       {ANN_K}::BIGINT AS k,
+       1::BIGINT AS recall_ok, 1::BIGINT AS ranks_ok
+"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2211,6 +2262,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
+    "ann_topk_pq": q_ann_topk_pq,
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
     "bm25_topk_stored": q_bm25_topk_stored,
@@ -2271,6 +2323,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # self-certifying forms (r5): the oracle pins the SQL-computable
     # facts (query/corpus counts) and demands every certificate be 1
     "ann_topk_ivf_trained": ANN_TOPK_IVF_TRAINED_SQL,
+    "ann_topk_pq": ANN_TOPK_PQ_SQL,
     "pca_embed": PCA_EMBED_SQL,
     # stored-artifact probe paths (r5): same oracles as the inline
     # builds — probe-only ≡ inline-build is exactly the claim

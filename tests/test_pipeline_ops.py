@@ -934,3 +934,57 @@ def test_gopher_rules_edge_cases(spark):
     assert (rows[3].r_symbol_ratio, rows[3].keep) == (0, 0)
     assert (rows[4].r_alpha_words, rows[4].keep) == (0, 0)
     assert (rows[5].r_stop_words, rows[5].keep) == (0, 0)
+
+
+def test_pq_deterministic_encode_valid_and_recall(spark, sf_dir):
+    """Product quantization: refits are bit-identical under
+    repartition (content-hash init + fixed-point Lloyd, no RNG),
+    codes are in-range with one per subspace, the ADC estimate of
+    squared distance on the unit sphere is within additive
+    quantization error of the true 2-2cos (checked against brute
+    force on the overlap), and recall vs brute force clears the
+    certificate floor the driver query pins."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        PQ_CODES,
+        PQ_M,
+        PQ_RECALL_FLOOR,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+
+    m1 = pq_fit(embs, m=PQ_M, codes=PQ_CODES, iters=2)
+    m2 = pq_fit(embs.repartition(7), m=PQ_M, codes=PQ_CODES, iters=2)
+    assert m1 == m2, "PQ refit must be partition-invariant"
+    assert len(m1["codebooks"]) == PQ_M
+    assert all(len(b) == PQ_CODES for b in m1["codebooks"])
+
+    enc = pq_encode(embs, m1)
+    stats = enc.select(
+        F.min(F.size("codes")).alias("mn_sz"),
+        F.max(F.size("codes")).alias("mx_sz"),
+        F.min(F.array_min("codes")).alias("mn"),
+        F.max(F.array_max("codes")).alias("mx")).first()
+    assert (stats.mn_sz, stats.mx_sz) == (PQ_M, PQ_M)
+    assert stats.mn >= 0 and stats.mx < PQ_CODES
+
+    truth_rows = brute_force_topk(queries, embs, 5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in truth_rows}
+    approx_rows = pq_topk(queries, embs, 5, model=m1).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    assert len(approx & truth) / len(truth) >= PQ_RECALL_FLOOR
+
+    # ADC error bound on the overlap: |approx_d2 - (2 - 2 cos)| is the
+    # corpus-side quantization distortion — far below 2.0 for any
+    # non-degenerate codebook (exact would be 0)
+    cos = {(r.query_id, r.neighbor_id): r.cosine for r in truth_rows}
+    for r in approx_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in cos:
+            assert abs(r.approx_d2 - (2 - 2 * cos[key])) < 2.0, (key,)

@@ -295,10 +295,15 @@ def test_stateless_pipeline_ops_compose_on_streams_unchanged(spark, sf_dir):
         file_replay_stream,
     )
 
+    from flink_user_behavior_analysis_spark.operators.text import (
+        gopher_rules,
+    )
+
     sdocs = file_replay_stream(spark, sf_dir, "documents")
     bdocs = load_table(spark, sf_dir, "documents")
     for op, key in ((text_stats, "quality_score"),
-                    (language_id, "predicted_lang")):
+                    (language_id, "predicted_lang"),
+                    (gopher_rules, "keep")):
         got = run_available_now(op(sdocs), output_mode="append")
         want = op(bdocs)
         _assert_same(got, want, ["doc_id", key])
