@@ -79,6 +79,7 @@ HEADLINE = [
     "duplicated_spans",
     "gopher_quality",
     "ann_topk_pq",
+    "hybrid_retrieval",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -919,3 +919,92 @@ def gopher_rules(docs: DataFrame, min_words: int = 50,
         (r_wc & r_mwl & r_sym & r_alpha & r_stop).cast("long")
         .alias("keep"),
     )
+
+
+def overlap_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "doc_id",
+                 text_col: str = "text",
+                 qid_col: str = "query_id",
+                 qtext_col: str = "query_text") -> DataFrame:
+    """Boolean-overlap retrieval: rank documents by how many DISTINCT
+    query tokens they contain (the unweighted baseline BM25 improves
+    on — and the cheap second signal hybrid fusion wants). Output
+    (query_id, doc_id, n_overlap, rnk), ties by doc_id asc.
+
+    Scale shape: distinct (doc, token) posting list (one shuffle,
+    shared with the BM25 index at scale), broadcast query tokens,
+    per-query top-k via WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.split(normalized_text(text_col), " "))).alias("token"),
+    ).where(F.col("token") != "")
+    qt = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(
+            F.split(normalized_text(qtext_col), " "))).alias("token"),
+    ).where(F.col("token") != "")
+    scored = (
+        F.broadcast(qt).join(toks, "token")
+        .groupBy(qid_col, id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("n_overlap").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col(qid_col), F.col(id_col), "n_overlap",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def rrf_fuse(ranked: list[DataFrame], k_rrf: int = 60, topk: int = 5,
+             qid_col: str = "query_id",
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): fuse any number
+    of per-query rankings — each input needs (query_id, doc_id, rnk)
+    — by score(d) = sum over lists of 1/(k_rrf + rank_list(d)).
+    The standard way to combine lexical and dense retrieval without
+    score calibration, since only RANKS enter the sum.
+
+    Each reciprocal is floored to a 1e-9 fixed-point long before
+    summing (floor(1e9/(k+rnk))), so the fused score is an integer
+    both engines compute bit-identically, in any input order. Output:
+    (query_id, doc_id, rrf_score, n_lists, rnk), ties by doc_id.
+
+    Scale shape: inputs are already tiny (n_queries x k rows each);
+    one union + one groupBy + one WindowGroupLimit rank."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        df.select(F.col(qid_col), F.col(id_col), F.col("rnk"))
+        for df in ranked
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    term = F.floor(F.lit(1_000_000_000).cast("double")
+                   / (F.lit(int(k_rrf)) + F.col("rnk"))).cast("long")
+    fused = (
+        u.select(qid_col, id_col, term.alias("_t"))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_t").cast("long").alias("_s"),
+             F.count(F.lit(1)).cast("long").alias("n_lists"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("_s").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= topk)
+        .select(
+            F.col(qid_col), F.col(id_col),
+            F.round(F.col("_s").cast("double") / 1_000_000_000.0, 6)
+            .alias("rrf_score"),
+            "n_lists", F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

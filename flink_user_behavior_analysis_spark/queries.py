@@ -1026,6 +1026,8 @@ _GATE_HEAD: list[str] = [
     "gopher_quality",
     # new in round 5 — product-quantization ADC (certificate form)
     "ann_topk_pq",
+    # new in round 5 — RRF hybrid retrieval
+    "hybrid_retrieval",
 ]
 
 _GATE_TAIL: list[str] = [

@@ -1872,7 +1872,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), qdf, k=BM25_K)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(k: int = BM25_K) -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
     return f"""
 WITH {_D_BASE},
@@ -1921,7 +1921,79 @@ qt AS (
 )
 SELECT query_id, doc_id, round(s::DOUBLE / 1000000.0, 4) AS bm25,
        n_terms_hit, rnk::BIGINT AS rnk
-FROM ranked WHERE rnk <= {BM25_K}
+FROM ranked WHERE rnk <= {k}
+"""
+
+
+RRF_K, RRF_TOPK, RRF_DEPTH = 60, 5, 20
+
+
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 and
+    boolean-overlap rankings for the same probes
+    (operators/text.py:bm25_topk + overlap_topk -> rrf_fuse).
+    Input lists go RRF_DEPTH deep (standard practice: fuse deeper
+    than you emit, so both signals actually intersect), fused top-5
+    out."""
+    from .operators.text import bm25_topk, overlap_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(BM25_QUERIES,
+                                "query_id long, query_text string")
+    bm = bm25_topk(docs, qdf, k=RRF_DEPTH)
+    ov = overlap_topk(docs, qdf, k=RRF_DEPTH)
+    return rrf_fuse([bm, ov], k_rrf=RRF_K, topk=RRF_TOPK)
+
+
+def _hybrid_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
+    return f"""
+WITH bm AS (
+    SELECT * FROM ({_bm25_sql(RRF_DEPTH)}) _bm
+), ov AS (
+    SELECT * FROM (
+        WITH {_D_BASE},
+        q(query_id, query_text) AS (VALUES {vals}),
+        qt AS (
+            SELECT DISTINCT query_id, unnest(string_split(trim(
+                regexp_replace(regexp_replace(lower(query_text),
+                    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+                AS token
+            FROM q
+        ), dt AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(w) AS token FROM tok
+            ) WHERE token <> ''
+        ), sc AS (
+            SELECT qt.query_id, dt.doc_id,
+                   COUNT(*)::BIGINT AS n_overlap
+            FROM qt JOIN dt USING (token)
+            WHERE qt.token <> ''
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id, n_overlap,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_overlap DESC, doc_id)
+                   AS rnk
+        FROM sc
+        QUALIFY rnk <= {RRF_DEPTH}
+    ) _ov
+), u AS (
+    SELECT query_id, doc_id, rnk FROM bm
+    UNION ALL
+    SELECT query_id, doc_id, rnk FROM ov
+), f AS (
+    SELECT query_id, doc_id,
+           SUM(1000000000 // ({RRF_K} + rnk))::BIGINT AS s,
+           COUNT(*)::BIGINT AS n_lists
+    FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id,
+       round(s::DOUBLE / 1000000000, 6) AS rrf_score, n_lists,
+       (row_number() OVER (PARTITION BY query_id
+                           ORDER BY s DESC, doc_id))::BIGINT AS rnk
+FROM f
+QUALIFY rnk <= {RRF_TOPK}
 """
 
 
@@ -2260,6 +2332,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_containment": q_chunk_containment,
     "duplicated_spans": q_duplicated_spans,
     "gopher_quality": q_gopher_quality,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "ann_topk_pq": q_ann_topk_pq,
@@ -2313,6 +2386,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "chunk_containment": _chunk_containment_sql(),
     "duplicated_spans": _duplicated_spans_sql(),
     "gopher_quality": _gopher_sql(),
+    "hybrid_retrieval": _hybrid_sql(),
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),

@@ -988,3 +988,35 @@ def test_pq_deterministic_encode_valid_and_recall(spark, sf_dir):
         key = (r.query_id, r.neighbor_id)
         if key in cos:
             assert abs(r.approx_d2 - (2 - 2 * cos[key])) < 2.0, (key,)
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny rankings, checked against hand-computed
+    fixed-point scores: a doc ranked 2nd in both lists must beat a
+    doc ranked 1st in only one (the calibration-free property RRF
+    exists for), and the emitted score equals the exact fixed-point
+    sum."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rnk long")
+    b = spark.createDataFrame(
+        [(1, 40, 1), (1, 20, 2), (1, 10, 3)],
+        "query_id long, doc_id long, rnk long")
+    out = {r.doc_id: r for r in
+           rrf_fuse([a, b], k_rrf=60, topk=4).collect()}
+
+    def f(r):
+        return 1_000_000_000 // (60 + r)
+
+    exact = {10: f(1) + f(3), 20: f(2) + f(2), 30: f(3), 40: f(1)}
+    want_order = sorted(exact, key=lambda d: (-exact[d], d))
+    got_order = [d for d, _ in sorted(
+        ((r.doc_id, r.rnk) for r in out.values()), key=lambda t: t[1])]
+    assert got_order == want_order == [10, 20, 40, 30]
+    assert out[20].n_lists == 2 and out[40].n_lists == 1
+    assert out[20].rnk < out[40].rnk      # 2nd+2nd beats a lone 1st
+    for d, r in out.items():
+        assert r.rrf_score == round(exact[d] / 1e9, 6)
