@@ -80,6 +80,8 @@ HEADLINE = [
     "gopher_quality",
     "ann_topk_pq",
     "hybrid_retrieval",
+    "source_quantiles",
+    "ann_topk_ivfpq",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

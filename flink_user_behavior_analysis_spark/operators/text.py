@@ -1008,3 +1008,30 @@ def rrf_fuse(ranked: list[DataFrame], k_rrf: int = 60, topk: int = 5,
             "n_lists", F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+def group_quantiles(docs: DataFrame, group_col: str = "source",
+                    text_col: str = "text",
+                    probs: tuple[float, ...] = QUANTILE_PROBS) -> DataFrame:
+    """corpus_quantiles PER GROUP: exact interpolated length quantiles
+    keyed by a grouping column (source, lang, split...) — the
+    per-bucket telemetry a mixture pipeline thresholds against
+    (per-source truncation lengths, per-source short-doc floors).
+
+    Same engine-parity contract as corpus_quantiles (Spark
+    ``percentile`` == DuckDB ``quantile_cont``), now with one
+    shuffle on the group key and map-side partial aggregation; output
+    is one row per group. At 100 TB: groups are few (sources), so the
+    reduce side is tiny; swap in approx_percentile for the mergeable
+    sketch form exactly as corpus_quantiles documents.
+    """
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_ws = F.size(F.split(normalized_text(text_col), " ")).cast("double")
+    measured = docs.select(
+        F.col(group_col), n_chars.alias("_nc"), n_ws.alias("_nt"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for p in probs:
+        tag = str(int(p * 100))
+        aggs.append(F.round(F.percentile("_nc", p), 4).alias(f"chars_p{tag}"))
+        aggs.append(F.round(F.percentile("_nt", p), 4).alias(f"tokens_p{tag}"))
+    return measured.groupBy(group_col).agg(*aggs)

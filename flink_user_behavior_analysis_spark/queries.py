@@ -1026,8 +1026,11 @@ _GATE_HEAD: list[str] = [
     "gopher_quality",
     # new in round 5 — product-quantization ADC (certificate form)
     "ann_topk_pq",
-    # new in round 5 — RRF hybrid retrieval
+    # new in round 5 — RRF hybrid retrieval + per-source quantiles
     "hybrid_retrieval",
+    "source_quantiles",
+    # new in round 5 — combined IVF+PQ (certificate form)
+    "ann_topk_ivfpq",
 ]
 
 _GATE_TAIL: list[str] = [

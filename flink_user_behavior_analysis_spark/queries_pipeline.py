@@ -1263,6 +1263,34 @@ FROM m
 """
 
 
+def q_source_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact length quantiles
+    (operators/text.py:group_quantiles)."""
+    from .operators.text import group_quantiles
+
+    return group_quantiles(_docs(spark, sf_dir), "source")
+
+
+def _source_quantiles_sql() -> str:
+    from .operators.text import QUANTILE_PROBS
+
+    cols = []
+    for p in QUANTILE_PROBS:
+        tag = str(int(p * 100))
+        cols.append(f"round(quantile_cont(nc, {p}), 4) AS chars_p{tag}")
+        cols.append(f"round(quantile_cont(nt, {p}), 4) AS tokens_p{tag}")
+    return f"""
+WITH {_D_BASE},
+m AS (
+    SELECT d.source, length(d.text)::DOUBLE AS nc, len(t.w)::DOUBLE AS nt
+    FROM documents d JOIN tok t ON d.doc_id = t.doc_id
+)
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       {', '.join(cols)}
+FROM m GROUP BY 1
+"""
+
+
 VOCAB_TOP_N = 100
 
 
@@ -2289,6 +2317,51 @@ SELECT (SELECT COUNT(*) FROM embeddings
 """
 
 
+# deterministic recalls (content-hash init, fixed-point updates):
+# 0.275 / 0.2875 / 0.125 at sf0.001/0.01/0.1 (k=5, nprobe=8/32 cells)
+IVFPQ_RECALL_FLOOR = 0.1
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined IVF+PQ ANN (operators/similarity.py:ivfpq_topk) in
+    the self-certifying form: certificates for exact n_queries/k,
+    recall@k vs in-query brute force >= floor, contiguous ranks.
+    (That routing actually prunes is pytest-gated: the probed
+    candidate set must be a strict subset of the corpus.)"""
+    from .operators.similarity import brute_force_topk_arrow, ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = ivfpq_topk(queries, embs, ANN_K)
+    truth = brute_force_topk_arrow(queries, embs, ANN_K)
+
+    n_truth = truth.count()
+    n_hit = approx.join(
+        truth.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"]).count()
+    bad_ranks = (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
+        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
+        .count()
+    )
+    n_queries = queries.count()
+    return spark.createDataFrame(
+        [(int(n_queries), ANN_K,
+          int(n_hit / n_truth >= IVFPQ_RECALL_FLOOR),
+          int(bad_ranks == 0))],
+        "n_queries BIGINT, k BIGINT, recall_ok BIGINT, ranks_ok BIGINT")
+
+
+ANN_TOPK_IVFPQ_SQL = f"""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
+       {ANN_K}::BIGINT AS k,
+       1::BIGINT AS recall_ok, 1::BIGINT AS ranks_ok
+"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2333,6 +2406,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "gopher_quality": q_gopher_quality,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "source_quantiles": q_source_quantiles,
+    "ann_topk_ivfpq": q_ann_topk_ivfpq,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "ann_topk_pq": q_ann_topk_pq,
@@ -2387,6 +2462,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "duplicated_spans": _duplicated_spans_sql(),
     "gopher_quality": _gopher_sql(),
     "hybrid_retrieval": _hybrid_sql(),
+    "source_quantiles": _source_quantiles_sql(),
+    "ann_topk_ivfpq": ANN_TOPK_IVFPQ_SQL,
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),

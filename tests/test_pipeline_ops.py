@@ -1020,3 +1020,39 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[20].rnk < out[40].rnk      # 2nd+2nd beats a lone 1st
     for d, r in out.items():
         assert r.rrf_score == round(exact[d] / 1e9, 6)
+
+
+def test_ivfpq_deterministic_recall_and_pruning(spark, sf_dir):
+    """Combined IVF+PQ: repartition-invariant output (both quantizers
+    are deterministic), recall clears the certificate floor, and —
+    what composing IVF actually adds over plain PQ — routing PRUNES:
+    some corpus vector outside the probed cells never appears in any
+    candidate list, while plain pq_topk (no routing) ranks every
+    vector somewhere at full depth."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        IVFPQ_RECALL_FLOOR,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+    n_corpus = embs.count()
+
+    r1 = ivfpq_topk(queries, embs, 5).collect()
+    r2 = ivfpq_topk(queries, embs.repartition(7), 5).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    truth = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(queries, embs, 5).collect()}
+    got = {(r.query_id, r.neighbor_id) for r in r1}
+    assert len(got & truth) / len(truth) >= IVFPQ_RECALL_FLOOR
+
+    # pruning: at full depth the routed scan must surface FEWER
+    # distinct candidates than an unrouted ADC scan over everything
+    routed = ivfpq_topk(queries, embs, n_corpus)
+    unrouted = pq_topk(queries, embs, n_corpus)
+    assert routed.count() < unrouted.count()
