@@ -82,6 +82,8 @@ HEADLINE = [
     "hybrid_retrieval",
     "source_quantiles",
     "ann_topk_ivfpq",
+    "funnel_conversion",
+    "retention_weekly",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

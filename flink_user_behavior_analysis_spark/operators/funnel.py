@@ -1,0 +1,132 @@
+"""Funnel conversion and cohort retention — the two classic
+user-behavior rollups the reference's domain implies but never ships
+(its CEP operators detect per-user sequences; these AGGREGATE them:
+LoginFailWithCEP.java:62-74 shapes the per-user step matching,
+AppMarketingStatistics.java:49-59 the conversion-counting).
+
+Both are pure DataFrame compositions — per-user min-aggregations and
+integer week arithmetic — so they hold at 100 TB: every stage is a
+user-keyed groupBy/join (uniform key, map-side partials) and the
+outputs are step- or week-sized, never user-sized.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(events: DataFrame, steps: Sequence[str], within: str,
+           ts_col: str = "ts", user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """First-touch funnel: users completing each prefix of ``steps``
+    IN ORDER, with every later step inside ``within`` (an INTERVAL
+    string) of the user's FIRST occurrence of step 1.
+
+    Semantics are greedy-earliest (first-touch): step i+1 matches the
+    user's earliest step-(i+1) event at-or-after their matched step-i
+    time and inside the window anchored at t1. Deterministic and
+    SQL-expressible; NOT maximal matching — a user who only converts
+    via a later step-1 occurrence does not count, the standard
+    product-analytics convention.
+
+    Output: k rows (step_idx, step, n_users, conversion), conversion
+    = n_users / step-1 users rounded to 4 decimals (0.0 throughout
+    when no user reaches step 1).
+
+    Scale shape: one filtered scan per step, each a user-keyed
+    min-agg joined to the survivors so far — k-1 shuffles on the
+    uniform user key for a k-step funnel. The whole funnel is ONE
+    lazy plan (per-step counts union into the result; the step-1
+    count rides along as a broadcast 1-row aggregate), no driver
+    actions; output is k rows.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    iv = F.expr(f"INTERVAL {within}")
+    ev = events.select(F.col(user_col).alias("_u"),
+                       F.col(type_col).alias("_t"),
+                       F.col(ts_col).alias("_ts"))
+    cur = (ev.where(F.col("_t") == steps[0])
+           .groupBy("_u").agg(F.min("_ts").alias("_t1")))
+    cur = cur.withColumn("_prev", F.col("_t1"))
+    stages = [cur]
+    for st in steps[1:]:
+        cur = (
+            ev.where(F.col("_t") == st)
+            .join(cur.select("_u", "_t1", "_prev"), "_u")
+            .where((F.col("_ts") >= F.col("_prev"))
+                   & (F.col("_ts") <= F.col("_t1") + iv))
+            .groupBy("_u", "_t1")
+            .agg(F.min("_ts").alias("_prev"))
+        )
+        stages.append(cur)
+    from functools import reduce
+
+    counted = [
+        s.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            "n_users",
+        )
+        for i, s in enumerate(stages)
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), counted)
+    base = counted[0].select(F.col("n_users").alias("_base"))
+    return (
+        u.crossJoin(F.broadcast(base))
+        .select(
+            "step_idx", "step", "n_users",
+            F.when(F.col("_base") > 0,
+                   F.round(F.col("n_users").cast("double")
+                           / F.col("_base"), 4))
+            .otherwise(F.lit(0.0)).alias("conversion"),
+        )
+    )
+
+
+def retention_cohorts(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      max_weeks: int = 8) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the epoch-week of
+    their FIRST event; for each (cohort, week offset) the count and
+    fraction of the cohort active that week.
+
+    Weeks are floor(epoch_days / 7) — plain integer arithmetic, no
+    calendar/timezone semantics to disagree across engines. Offset 0
+    is the cohort week itself (retention 1.0 by construction — kept
+    as the sanity row).
+
+    Output: (cohort_week, week_offset, n_active, cohort_size,
+    retention), offsets 0..max_weeks.
+
+    Scale shape: one user-keyed min-agg (first event), one distinct
+    (user, week) dedupe, one join back on user, one (cohort, offset)
+    count — all uniform keys; output is #cohorts x max_weeks rows.
+    """
+    week = (F.floor(F.unix_micros(F.col(ts_col))
+                    / F.lit(7 * 86400 * 10**6))).cast("long")
+    ev = events.select(F.col(user_col).alias("_u"), week.alias("_w"))
+    first = ev.groupBy("_u").agg(F.min("_w").alias("_cohort"))
+    sizes = first.groupBy("_cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    active = (
+        ev.distinct()
+        .join(first, "_u")
+        .select("_cohort", (F.col("_w") - F.col("_cohort")).alias("_off"))
+        .where((F.col("_off") >= 0) & (F.col("_off") <= max_weeks))
+        .groupBy("_cohort", "_off")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        active.join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            F.col("_off").cast("long").alias("week_offset"),
+            "n_active", "cohort_size",
+            F.round(F.col("n_active").cast("double")
+                    / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )

@@ -960,6 +960,91 @@ FROM ranked WHERE rnk <= 10
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WITHIN = "1 DAY"
+RETENTION_MAX_WEEKS = 8
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel over the behavior stream
+    (operators/funnel.py:funnel): view -> click -> purchase in order
+    within 1 day of the user's first view — the aggregate the
+    reference's per-user CEP sequences feed in a product-analytics
+    stack."""
+    from .operators.funnel import funnel
+
+    return funnel(_events(spark, sf_dir), list(FUNNEL_STEPS),
+                  FUNNEL_WITHIN)
+
+
+FUNNEL_SQL = f"""
+WITH ev AS (
+    SELECT user_id AS u, event_type AS t, ts FROM events
+), s1 AS (
+    SELECT u, min(ts) AS t1 FROM ev WHERE t = '{FUNNEL_STEPS[0]}'
+    GROUP BY 1
+), s2 AS (
+    SELECT e.u, s1.t1, min(e.ts) AS prev
+    FROM ev e JOIN s1 ON e.u = s1.u
+    WHERE e.t = '{FUNNEL_STEPS[1]}' AND e.ts >= s1.t1
+      AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WITHIN}
+    GROUP BY 1, 2
+), s3 AS (
+    SELECT e.u, s2.t1, min(e.ts) AS prev
+    FROM ev e JOIN s2 ON e.u = s2.u
+    WHERE e.t = '{FUNNEL_STEPS[2]}' AND e.ts >= s2.prev
+      AND e.ts <= s2.t1 + INTERVAL {FUNNEL_WITHIN}
+    GROUP BY 1, 2
+), c AS (
+    SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+           (SELECT COUNT(*) FROM s1)::BIGINT AS n_users
+    UNION ALL
+    SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT COUNT(*) FROM s2)::BIGINT
+    UNION ALL
+    SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT COUNT(*) FROM s3)::BIGINT
+)
+SELECT step_idx::BIGINT AS step_idx, step, n_users,
+       CASE WHEN (SELECT COUNT(*) FROM s1) > 0
+            THEN round(n_users::DOUBLE / (SELECT COUNT(*) FROM s1), 4)
+            ELSE 0.0 END AS conversion
+FROM c
+"""
+
+
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the behavior stream
+    (operators/funnel.py:retention_cohorts)."""
+    from .operators.funnel import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir),
+                             max_weeks=RETENTION_MAX_WEEKS)
+
+
+RETENTION_SQL = f"""
+WITH ev AS (
+    SELECT user_id AS u,
+           (epoch_us(ts) // {7 * 86400 * 10**6})::BIGINT AS w
+    FROM events
+), first AS (
+    SELECT u, min(w) AS cohort FROM ev GROUP BY 1
+), sizes AS (
+    SELECT cohort, COUNT(*)::BIGINT AS cohort_size FROM first GROUP BY 1
+), act AS (
+    SELECT DISTINCT u, w FROM ev
+), j AS (
+    SELECT f.cohort, a.w - f.cohort AS off
+    FROM act a JOIN first f USING (u)
+    WHERE a.w - f.cohort BETWEEN 0 AND {RETENTION_MAX_WEEKS}
+), n AS (
+    SELECT cohort, off, COUNT(*)::BIGINT AS n_active FROM j GROUP BY 1, 2
+)
+SELECT n.cohort AS cohort_week, n.off::BIGINT AS week_offset,
+       n.n_active, s.cohort_size,
+       round(n.n_active::DOUBLE / s.cohort_size, 4) AS retention
+FROM n JOIN sizes s USING (cohort)
+"""
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_items": hot_items,
     "hot_pages": hot_pages,
@@ -986,6 +1071,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_rollup": revenue_rollup,
     "purchase_attribution": purchase_attribution,
     "heavy_hitters": heavy_hitters,
+    "funnel_conversion": funnel_conversion,
+    "retention_weekly": retention_weekly,
     **PIPELINE_QUERIES,
 }
 
@@ -1031,6 +1118,9 @@ _GATE_HEAD: list[str] = [
     "source_quantiles",
     # new in round 5 — combined IVF+PQ (certificate form)
     "ann_topk_ivfpq",
+    # new in round 5 — product-analytics rollups over the event stream
+    "funnel_conversion",
+    "retention_weekly",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -1097,5 +1187,7 @@ ORACLES: dict[str, str] = {
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "purchase_attribution": PURCHASE_ATTRIBUTION_SQL,
     "heavy_hitters": HEAVY_HITTERS_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "retention_weekly": RETENTION_SQL,
     **PIPELINE_ORACLES,
 }

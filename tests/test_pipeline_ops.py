@@ -1056,3 +1056,64 @@ def test_ivfpq_deterministic_recall_and_pruning(spark, sf_dir):
     routed = ivfpq_topk(queries, embs, n_corpus)
     unrouted = pq_topk(queries, embs, n_corpus)
     assert routed.count() < unrouted.count()
+
+
+def test_funnel_hand_computed_semantics(spark):
+    """First-touch funnel edges pinned by hand: out-of-order steps
+    don't count, the window anchors at the FIRST step-1 event,
+    same-instant steps match (inclusive bounds), and a missing middle
+    step blocks the tail."""
+    from datetime import datetime, timedelta
+
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        funnel,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    h = timedelta(hours=1)
+    rows = [
+        (1, "view", t0), (1, "click", t0 + h), (1, "purchase", t0 + 2 * h),
+        (2, "click", t0), (2, "view", t0 + h), (2, "purchase", t0 + 2 * h),
+        # user 2 HAS a purchase after view but no click after view ->
+        # the ordered prefix stops at step 1
+        (3, "view", t0), (3, "click", t0 + h),
+        (3, "purchase", t0 + timedelta(hours=26)),   # outside 1 day
+        (4, "view", t0), (4, "purchase", t0 + h),    # no click at all
+        (5, "view", t0), (5, "click", t0), (5, "purchase", t0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step: (r.n_users, r.conversion) for r in funnel(
+        ev, ["view", "click", "purchase"], "1 DAY").collect()}
+    assert out["view"] == (5, 1.0)
+    assert out["click"] == (3, 0.6)        # users 1, 3, 5
+    assert out["purchase"] == (2, 0.4)     # users 1, 5
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Cohort bucketing and offsets by hand: two users starting the
+    same epoch week, one active the next week — retention 1.0 then
+    0.5; a later-starting user forms their own cohort."""
+    from datetime import datetime, timedelta
+
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    base = datetime(2024, 1, 4)            # mid-week, any weekday works
+    d = timedelta(days=1)
+    rows = [
+        (1, base), (1, base + 7 * d),      # cohort W, active W and W+1
+        (2, base + d),                     # cohort W, active W only
+        (3, base + 21 * d),                # own cohort W+3
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_week, r.week_offset):
+           (r.n_active, r.cohort_size, r.retention)
+           for r in retention_cohorts(ev).collect()}
+    weeks = sorted({w for w, _ in out})
+    w0 = weeks[0]
+    assert out[(w0, 0)] == (2, 2, 1.0)
+    assert out[(w0, 1)] == (1, 2, 0.5)
+    assert out[(w0 + 3, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
