@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "funnel_conversion",
     "retention_weekly",
+    "ann_topk_pq_stored",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

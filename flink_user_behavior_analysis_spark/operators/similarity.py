@@ -1217,7 +1217,8 @@ def pq_encode(vecs: DataFrame, model: dict, id_col: str = "vec_id",
 def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
             model: dict | None = None, m: int = 8, codes: int = 16,
             train_iters: int = 2, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
+            vec_col: str = "embedding",
+            encoded: DataFrame | None = None) -> DataFrame:
     """Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over the
     PQ-encoded corpus: per query, an m x codes table of exact
     subspace distances to every codebook entry is precomputed, and
@@ -1259,7 +1260,11 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
     ], axis=1)
     k_ = int(k)
 
-    enc = pq_encode(corpus, model, id_col, vec_col)
+    # `encoded` is the stored-artifact seam: pass the materialized
+    # (id, codes) table (pq_store_index) and the corpus float vectors
+    # are never read at query time — the production serving shape
+    enc = (encoded if encoded is not None
+           else pq_encode(corpus, model, id_col, vec_col))
     out_schema = StructType([
         StructField("query_id", LongType()),
         StructField("neighbor_id", LongType()),
@@ -1427,3 +1432,48 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 F.round("_d2", 4).alias("approx_d2"),
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
+                   codes: int = 16, iters: int = 2, n_buckets: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[str]:
+    """Materialize the PQ serving artifacts as catalog tables: the
+    codebooks as (sub, cent, dim, val) rows (m x codes x d/m doubles
+    — tiny, exact) and the ENCODED corpus bucketed on the id (m
+    small ints per vector — the only thing a query-time scan reads).
+    The stored-artifact counterpart to bm25_store_index: fit once per
+    corpus version, then every query batch is probe-only."""
+    from ..sources.readers import save_as_table, write_bucketed
+
+    model = pq_fit(corpus, m=m, codes=codes, iters=iters,
+                   vec_col=vec_col)
+    spark = corpus.sparkSession
+    rows = [
+        (j, c, d, model["codebooks"][j][c][d])
+        for j in range(model["m"])
+        for c in range(len(model["codebooks"][j]))
+        for d in range(model["sub"])
+    ]
+    cb = spark.createDataFrame(
+        rows, "sub INT, cent INT, dim INT, val DOUBLE")
+    save_as_table(cb.write.mode("overwrite").format("parquet"),
+                  f"{prefix}_codebook")
+    enc = pq_encode(corpus, model, id_col, vec_col)
+    write_bucketed(enc, f"{prefix}_codes", id_col, n_buckets)
+    return [f"{prefix}_codebook", f"{prefix}_codes"]
+
+
+def pq_read_index(spark, prefix: str) -> tuple[dict, DataFrame]:
+    """Rebuild (model, encoded corpus) from pq_store_index tables.
+    Parquet stores the codebook doubles losslessly, so the rebuilt
+    model scores bit-identically to the in-memory fit."""
+    rows = spark.table(f"{prefix}_codebook").collect()
+    m = max(r.sub for r in rows) + 1
+    sub = max(r.dim for r in rows) + 1
+    n_codes = max(r.cent for r in rows) + 1
+    books = [[[0.0] * sub for _ in range(n_codes)] for _ in range(m)]
+    for r in rows:
+        books[r.sub][r.cent][r.dim] = r.val
+    model = {"m": m, "sub": sub, "codebooks": books}
+    return model, spark.table(f"{prefix}_codes")

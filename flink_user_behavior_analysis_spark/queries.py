@@ -1121,6 +1121,8 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — product-analytics rollups over the event stream
     "funnel_conversion",
     "retention_weekly",
+    # new in round 5 — stored-artifact PQ probe path
+    "ann_topk_pq_stored",
 ]
 
 _GATE_TAIL: list[str] = [

@@ -2362,6 +2362,51 @@ SELECT (SELECT COUNT(*) FROM embeddings
 """
 
 
+def q_ann_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION PQ shape: codebooks + encoded corpus are STORED
+    artifacts (operators/similarity.py:pq_store_index) — built once
+    per (corpus, sf), then every query batch is an ADC probe over the
+    m-codes table; the float corpus is never read at query time.
+    probe ≡ inline-fit is pytest-asserted (the bm25_topk_stored
+    pattern); the driver row certifies the oracle-computable shape —
+    exact n_queries/k/row-count and contiguous ranks. bench's
+    min-of-2 therefore times the steady-state probe wall."""
+    from .operators.similarity import pq_read_index, pq_topk
+
+    prefix = f"pq_{_artifact_tag(sf_dir)}"
+    if not spark.catalog.tableExists(f"{prefix}_codebook"):
+        from .operators.similarity import pq_store_index
+
+        pq_store_index(_embs(spark, sf_dir), prefix,
+                       m=PQ_M, codes=PQ_CODES, iters=2)
+    model, enc = pq_read_index(spark, prefix)
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = pq_topk(queries, embs, ANN_K, model=model, encoded=enc)
+    bad_ranks = (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
+        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
+        .count()
+    )
+    n_rows = approx.count()
+    n_queries = queries.count()
+    return spark.createDataFrame(
+        [(int(n_queries), ANN_K, int(n_rows), int(bad_ranks == 0))],
+        "n_queries BIGINT, k BIGINT, n_rows BIGINT, ranks_ok BIGINT")
+
+
+ANN_TOPK_PQ_STORED_SQL = f"""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
+       {ANN_K}::BIGINT AS k,
+       ((SELECT COUNT(*) FROM embeddings
+         WHERE vec_id < {ANN_QUERY_MAX_ID}) * {ANN_K})::BIGINT AS n_rows,
+       1::BIGINT AS ranks_ok
+"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2408,6 +2453,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_retrieval": q_hybrid_retrieval,
     "source_quantiles": q_source_quantiles,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_pq_stored": q_ann_topk_pq_stored,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "ann_topk_pq": q_ann_topk_pq,
@@ -2464,6 +2510,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "hybrid_retrieval": _hybrid_sql(),
     "source_quantiles": _source_quantiles_sql(),
     "ann_topk_ivfpq": ANN_TOPK_IVFPQ_SQL,
+    "ann_topk_pq_stored": ANN_TOPK_PQ_STORED_SQL,
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),

@@ -1117,3 +1117,32 @@ def test_retention_cohorts_hand_computed(spark):
     assert out[(w0, 1)] == (1, 2, 0.5)
     assert out[(w0 + 3, 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+def test_pq_stored_probe_equals_inline(spark, sf_dir):
+    """pq_store_index / pq_read_index round-trip: the ADC probe over
+    the STORED codebook + encoded-corpus tables returns exactly the
+    inline-fit pq_topk rows (parquet stores the codebook doubles
+    losslessly) — the stored-artifact claim, asserted."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        pq_fit,
+        pq_read_index,
+        pq_store_index,
+        pq_topk,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+    try:
+        pq_store_index(embs, "t_pq_test", m=8, codes=16, iters=2)
+        model, enc = pq_read_index(spark, "t_pq_test")
+        inline_model = pq_fit(embs, m=8, codes=16, iters=2)
+        assert model == inline_model
+        stored = pq_topk(queries, embs, 5, model=model,
+                         encoded=enc).collect()
+        inline = pq_topk(queries, embs, 5,
+                         model=inline_model).collect()
+        assert sorted(map(tuple, stored)) == sorted(map(tuple, inline))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pq_test_codebook")
+        spark.sql("DROP TABLE IF EXISTS t_pq_test_codes")
