@@ -85,6 +85,7 @@ HEADLINE = [
     "funnel_conversion",
     "retention_weekly",
     "ann_topk_pq_stored",
+    "duplicated_spans_inc",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -204,13 +204,26 @@ def duplicated_spans(docs: DataFrame, span_tokens: int = 16,
     shared by 10^6 docs costs one counter. The window partition is a
     single document's duplicated spans — bounded by doc length.
     """
-    from pyspark.sql import Window
-
     k = int(span_tokens)
-    sized = with_tokens(docs, id_col, text_col).select(
+    sized = _sized_tokens(docs, id_col, text_col)
+    spans = _span_instances(sized, k, id_col)
+    occ = spans.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"))
+    dup = spans.join(occ.where(F.col("n_occ") >= int(min_occurrences)),
+                     "fp").select(F.col(id_col), "pos")
+    return _span_coverage(sized, dup, k, id_col)
+
+
+def _sized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return with_tokens(docs, id_col, text_col).select(
         F.col(id_col), F.col("tokens"),
         F.size("tokens").cast("long").alias("n_tokens"),
     )
+
+
+def _span_instances(sized: DataFrame, k: int, id_col: str) -> DataFrame:
+    """(id, pos, fp) for every stride-1 k-token span of docs with
+    >= k tokens (1-based positions)."""
     span_fps = F.expr(
         f"transform(sequence(1, size(tokens) - {k} + 1), "
         f"i -> md5(concat_ws(' ', slice(tokens, i, {k}))))"
@@ -218,15 +231,19 @@ def duplicated_spans(docs: DataFrame, span_tokens: int = 16,
     # posexplode_outer, not posexplode: inner explode makes Catalyst
     # push a size>0 filter below the exchange that re-evaluates the
     # whole transform() twice per row (see with_tokens docstring)
-    spans = sized.where(F.col("n_tokens") >= k).select(
+    return sized.where(F.col("n_tokens") >= k).select(
         F.col(id_col),
         F.posexplode_outer(span_fps).alias("pos0", "fp"),
     ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"),
              "fp")
-    occ = spans.groupBy("fp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occ"))
-    dup = spans.join(occ.where(F.col("n_occ") >= int(min_occurrences)),
-                     "fp").select(F.col(id_col), "pos")
+
+
+def _span_coverage(sized: DataFrame, dup: DataFrame, k: int,
+                   id_col: str) -> DataFrame:
+    """Fold duplicated span positions into the per-doc output row:
+    interval-union covered tokens via a lead() window."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     cov = (
         dup.withColumn(
@@ -252,3 +269,45 @@ def duplicated_spans(docs: DataFrame, span_tokens: int = 16,
                     / F.col("n_tokens"), 4).alias("dup_coverage"),
         )
     )
+
+
+def duplicated_spans_incremental(corpus: DataFrame, delta: DataFrame,
+                                 span_tokens: int = 16,
+                                 min_occurrences: int = 2,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """duplicated_spans for an incoming DELTA batch against an
+    existing corpus — the production per-batch shape (the
+    dedup_incremental pattern applied to span dedup): the corpus's
+    span-fingerprint COUNTS are the stored artifact (here derived
+    in-plan; in production a read of the materialized (fp, n) table,
+    bucketed on fp), and each batch computes only its own span
+    instances and probes. A delta span is duplicated when its
+    corpus count + delta count reaches ``min_occurrences``, which
+    makes the output EXACTLY duplicated_spans(corpus UNION delta)
+    restricted to delta documents — the equivalence the oracle and
+    pytest certify.
+
+    Scale shape: wall is a function of the BATCH size (delta spans +
+    one probe join into the fp-keyed counts), not the corpus — the
+    dedup_incremental flat-wall property, for substring dedup.
+    """
+    k = int(span_tokens)
+    corpus_occ = (
+        _span_instances(_sized_tokens(corpus, id_col, text_col), k, id_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    )
+    sized_d = _sized_tokens(delta, id_col, text_col)
+    spans_d = _span_instances(sized_d, k, id_col)
+    delta_occ = spans_d.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_delta"))
+    totals = (
+        delta_occ.join(corpus_occ, "fp", "left")
+        .select("fp", (F.col("n_delta")
+                       + F.coalesce("n_corpus", F.lit(0))).alias("n_occ"))
+    )
+    dup = spans_d.join(totals.where(F.col("n_occ")
+                                    >= int(min_occurrences)),
+                       "fp").select(F.col(id_col), "pos")
+    return _span_coverage(sized_d, dup, k, id_col)

@@ -1121,8 +1121,9 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — product-analytics rollups over the event stream
     "funnel_conversion",
     "retention_weekly",
-    # new in round 5 — stored-artifact PQ probe path
+    # new in round 5 — stored-artifact PQ probe path + incremental spans
     "ann_topk_pq_stored",
+    "duplicated_spans_inc",
 ]
 
 _GATE_TAIL: list[str] = [

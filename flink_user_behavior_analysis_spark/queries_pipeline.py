@@ -2195,6 +2195,63 @@ FROM sized s LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_duplicated_spans_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup: the hash-split 30% batch probed against
+    the 70% corpus's span-fp counts
+    (operators/chunking.py:duplicated_spans_incremental). The oracle
+    computes the FULL corpus+delta form restricted to delta docs —
+    incremental ≡ full-restricted is exactly the certified claim."""
+    from .operators.chunking import duplicated_spans_incremental
+    from .operators.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    is_delta = hash_uniform("doc_id", "delta") < DELTA_RATE
+    return duplicated_spans_incremental(
+        docs.where(~is_delta), docs.where(is_delta), SPAN_TOKENS)
+
+
+def _duplicated_spans_inc_sql() -> str:
+    u = _D_MD5INT.format(x="'delta:' || doc_id::VARCHAR")
+    k = SPAN_TOKENS
+    return f"""
+WITH {_D_BASE},
+sized AS (
+    SELECT t.doc_id, t.w, len(t.w)::BIGINT AS n_tokens,
+           {u} / 1152921504606846976.0 < {DELTA_RATE} AS is_delta
+    FROM tok t JOIN documents d USING (doc_id)
+), spans AS (
+    SELECT doc_id, is_delta, i::BIGINT AS pos,
+           md5(array_to_string(w[i:i + {k - 1}], ' ')) AS fp
+    FROM (SELECT doc_id, w, is_delta,
+                 unnest(range(1, len(w) - {k} + 2)) AS i
+          FROM sized WHERE n_tokens >= {k})
+), occ AS (
+    SELECT fp, COUNT(*)::BIGINT AS n_occ FROM spans GROUP BY 1
+), dup AS (
+    SELECT s.doc_id, s.pos FROM spans s JOIN occ USING (fp)
+    WHERE occ.n_occ >= 2 AND s.is_delta
+), contrib AS (
+    SELECT doc_id,
+           LEAST(COALESCE(lead(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) - pos,
+                          {k}), {k}) AS c
+    FROM dup
+), cov AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_dup_spans,
+           SUM(c)::BIGINT AS covered_tokens
+    FROM contrib GROUP BY 1
+)
+SELECT s.doc_id, s.n_tokens,
+       GREATEST(s.n_tokens - {k} + 1, 0)::BIGINT AS n_spans,
+       COALESCE(c.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       COALESCE(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+       round(COALESCE(c.covered_tokens, 0)::DOUBLE / s.n_tokens, 4)
+           AS dup_coverage
+FROM sized s LEFT JOIN cov c USING (doc_id)
+WHERE s.is_delta
+"""
+
+
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical output contract to dedup_clusters, computed with the
     alternating large-star/small-star components algorithm
@@ -2449,6 +2506,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "chunk_containment": q_chunk_containment,
     "duplicated_spans": q_duplicated_spans,
+    "duplicated_spans_inc": q_duplicated_spans_inc,
     "gopher_quality": q_gopher_quality,
     "hybrid_retrieval": q_hybrid_retrieval,
     "source_quantiles": q_source_quantiles,
@@ -2506,6 +2564,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_stats": _source_stats_sql(),
     "chunk_containment": _chunk_containment_sql(),
     "duplicated_spans": _duplicated_spans_sql(),
+    "duplicated_spans_inc": _duplicated_spans_inc_sql(),
     "gopher_quality": _gopher_sql(),
     "hybrid_retrieval": _hybrid_sql(),
     "source_quantiles": _source_quantiles_sql(),

@@ -1146,3 +1146,26 @@ def test_pq_stored_probe_equals_inline(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pq_test_codebook")
         spark.sql("DROP TABLE IF EXISTS t_pq_test_codes")
+
+
+def test_duplicated_spans_incremental_equals_full_restricted(spark, sf_dir):
+    """The incremental probe's contract: its output equals the FULL
+    corpus+delta computation restricted to delta documents (global
+    occurrence totals decompose into corpus + delta counts)."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = hash_uniform("doc_id", "delta") < 0.3
+    corpus, delta = docs.where(~is_delta), docs.where(is_delta)
+
+    inc = duplicated_spans_incremental(corpus, delta, 8).collect()
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    full = [r for r in duplicated_spans(docs, 8).collect()
+            if r.doc_id in delta_ids]
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
