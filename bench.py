@@ -86,6 +86,7 @@ HEADLINE = [
     "retention_weekly",
     "ann_topk_pq_stored",
     "duplicated_spans_inc",
+    "error_spikes",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -130,3 +130,49 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
                     / F.col("cohort_size"), 4).alias("retention"),
         )
     )
+
+
+def error_spikes(events: DataFrame, window: str = "1 hour",
+                 error_pred=None, threshold: float = 3.0,
+                 ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Robust anomaly detection over windowed error counts: a window
+    is a spike when its count's MODIFIED z-score against the
+    median/MAD of all windows clears ``threshold`` — median/MAD, not
+    mean/stddev, so the spikes being hunted don't inflate the
+    baseline that judges them.
+
+    z = (cnt - median) / max(MAD, 1); the max(,1) floor keeps the
+    score finite on constant series (MAD 0). Exact percentile ==
+    quantile_cont engine parity (the corpus_quantiles contract).
+
+    Output: (window_end_us, n_errors, med, mad, z_score, is_spike)
+    for every window with >= 1 error event.
+
+    Scale shape: one filtered windowed count (map-side combined), a
+    two-row global stats pass over the WINDOW COUNTS (not the
+    events — thousands of rows at any corpus size), broadcast back.
+    """
+    from .windows import windowed_agg
+
+    pred = (F.col(type_col) == "error") if error_pred is None else error_pred
+    cnts = windowed_agg(
+        events.where(pred), ts_col, [], window, None,
+        [F.count(F.lit(1)).cast("long").alias("n_errors")],
+    )
+    med = cnts.agg(F.percentile("n_errors", 0.5).alias("_med"))
+    dev = cnts.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("n_errors") - F.col("_med")).alias("_d"))
+    mad = dev.agg(F.percentile("_d", 0.5).alias("_mad"))
+    z = (F.col("n_errors") - F.col("_med")) / F.greatest(
+        F.col("_mad"), F.lit(1.0))
+    return (
+        cnts.crossJoin(F.broadcast(med)).crossJoin(F.broadcast(mad))
+        .select(
+            "window_end_us", "n_errors",
+            F.round("_med", 4).alias("med"),
+            F.round("_mad", 4).alias("mad"),
+            F.round(z, 4).alias("z_score"),
+            (z >= F.lit(float(threshold))).cast("long").alias("is_spike"),
+        )
+    )

@@ -1045,6 +1045,41 @@ FROM n JOIN sizes s USING (cohort)
 """
 
 
+SPIKE_WINDOW_US = 3600 * 10**6
+SPIKE_Z = 3.0
+
+
+def error_spikes_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-count anomaly detection with a median/MAD
+    modified z-score (operators/funnel.py:error_spikes) — the
+    monitoring rollup next to the reference's blacklist/warning
+    alerts."""
+    from .operators.funnel import error_spikes
+
+    return error_spikes(_events(spark, sf_dir), "1 hour",
+                        threshold=SPIKE_Z)
+
+
+ERROR_SPIKES_SQL = f"""
+WITH w AS (
+    SELECT (epoch_us(ts) // {SPIKE_WINDOW_US}) * {SPIKE_WINDOW_US}
+           + {SPIKE_WINDOW_US} AS window_end_us,
+           COUNT(*)::BIGINT AS n_errors
+    FROM events WHERE event_type = 'error' GROUP BY 1
+), med AS (
+    SELECT quantile_cont(n_errors, 0.5) AS m FROM w
+), mad AS (
+    SELECT quantile_cont(abs(n_errors - med.m), 0.5) AS d FROM w, med
+)
+SELECT w.window_end_us, w.n_errors,
+       round(med.m, 4) AS med, round(mad.d, 4) AS mad,
+       round((w.n_errors - med.m) / greatest(mad.d, 1.0), 4) AS z_score,
+       ((w.n_errors - med.m) / greatest(mad.d, 1.0)
+        >= {SPIKE_Z})::BIGINT AS is_spike
+FROM w, med, mad
+"""
+
+
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hot_items": hot_items,
     "hot_pages": hot_pages,
@@ -1073,6 +1108,7 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": heavy_hitters,
     "funnel_conversion": funnel_conversion,
     "retention_weekly": retention_weekly,
+    "error_spikes": error_spikes_hourly,
     **PIPELINE_QUERIES,
 }
 
@@ -1124,6 +1160,8 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — stored-artifact PQ probe path + incremental spans
     "ann_topk_pq_stored",
     "duplicated_spans_inc",
+    # new in round 5 — windowed anomaly detection
+    "error_spikes",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -1192,5 +1230,6 @@ ORACLES: dict[str, str] = {
     "heavy_hitters": HEAVY_HITTERS_SQL,
     "funnel_conversion": FUNNEL_SQL,
     "retention_weekly": RETENTION_SQL,
+    "error_spikes": ERROR_SPIKES_SQL,
     **PIPELINE_ORACLES,
 }

@@ -1169,3 +1169,32 @@ def test_duplicated_spans_incremental_equals_full_restricted(spark, sf_dir):
     full = [r for r in duplicated_spans(docs, 8).collect()
             if r.doc_id in delta_ids]
     assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+
+
+def test_error_spikes_hand_computed(spark):
+    """Modified z-score by hand: four quiet hours (2 errors) and one
+    20-error hour — median 2, MAD 0 floored to 1, so the spike scores
+    z=18 and the quiet hours 0; non-error events never count."""
+    from datetime import datetime, timedelta
+
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        error_spikes,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    h = timedelta(hours=1)
+    rows = []
+    for hour in range(4):
+        rows += [(1, "error", t0 + hour * h + timedelta(minutes=i))
+                 for i in range(2)]
+        rows += [(1, "view", t0 + hour * h)]     # noise, ignored
+    rows += [(1, "error", t0 + 4 * h + timedelta(minutes=i))
+             for i in range(20)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    out = sorted(error_spikes(ev, "1 hour").collect(),
+                 key=lambda r: r.window_end_us)
+    assert [r.n_errors for r in out] == [2, 2, 2, 2, 20]
+    assert [r.is_spike for r in out] == [0, 0, 0, 0, 1]
+    assert out[-1].z_score == 18.0 and out[-1].mad == 0.0
+    assert all(r.z_score == 0.0 for r in out[:-1])

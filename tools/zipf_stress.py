@@ -198,6 +198,23 @@ def main() -> None:
     t_uncap = best_of(lambda: minhash_lsh_pairs(
         boiler, threshold=0.9).count(), n=2)
     p_uncap = minhash_lsh_pairs(boiler, 0.9).count()
+    # span dedup under hot fingerprints: every template span has 400
+    # instances — the counter path (groupBy fp) must absorb it; the
+    # output grows (4k docs become fully covered) but no pair join
+    # exists to explode
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        duplicated_spans,
+    )
+    t_sp = {
+        "boiler": best_of(lambda: duplicated_spans(boiler, 8).count(), n=2),
+        "uniform": best_of(
+            lambda: duplicated_spans(docs["uniform"], 8).count(), n=2),
+    }
+    add("duplicated_spans boiler-vs-uniform", t_sp["boiler"],
+        t_sp["uniform"],
+        "400-instance template fingerprints fold in the fp groupBy — "
+        "counter cost, not pairs")
+
     add("minhash_lsh boilerplate cap-vs-uncapped", t_cap, t_uncap,
         f"max raw bucket={mx_boiler}; verified pairs capped={p_cap} "
         f"uncapped={p_uncap}: uncapped pays all-pairs candidate "
