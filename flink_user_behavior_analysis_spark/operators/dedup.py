@@ -92,7 +92,13 @@ def sig_hash(col: Column) -> Column:
 # narrow private-access seam operators/sketches.py documents for its
 # JVM shim). A weakref.finalize on the session wrapper unpersists any
 # leftovers and drops the entry once the wrapper is garbage-collected.
-_CACHE_LOCK = threading.Lock()
+# RLock, not Lock: the weakref.finalize callback (_drop_cache_entry)
+# takes this lock, and cyclic GC can run that finalizer synchronously
+# in whatever thread is allocating — including a thread inside
+# _tracked_persist's own locked section. A plain Lock would
+# self-deadlock there; reentrancy makes the finalizer's pop of a
+# (necessarily different, already-dead) session key safe.
+_CACHE_LOCK = threading.RLock()
 _CACHED_JDFS: dict[int, list] = {}  # id(session) -> [jdf, ...]
 _CACHE_FINALIZERS: dict[int, "weakref.finalize"] = {}
 

@@ -1208,7 +1208,7 @@ def pq_encode(vecs: DataFrame, model: dict, id_col: str = "vec_id",
                 c = books[j]
                 d2 = xj @ c.T - 0.5 * (c * c).sum(axis=1)
                 cs[:, j] = d2.argmax(axis=1)
-            yield pd.DataFrame({"vec_id": ids, "codes": list(cs)})
+            yield pd.DataFrame({id_col: ids, "codes": list(cs)})
 
     return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         _enc, out_schema)
@@ -1251,7 +1251,9 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
             "per-query distance tables — block the queries for more")
     q_ids = np.asarray([int(r[0]) for r in q_rows], dtype="int64")
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_nrm[q_nrm == 0] = 1.0  # zero query -> origin, not NaN distances
+    q_mat = q_mat / q_nrm
     # tables[q, j, c] = ||q_j - books[j][c]||^2  (exact on the query side)
     tables = np.stack([
         ((q_mat[:, j * sub:(j + 1) * sub, None]
@@ -1355,7 +1357,9 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
                          "block the queries")
     q_ids = np.asarray([int(r[0]) for r in q_rows], dtype="int64")
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_nrm[q_nrm == 0] = 1.0  # zero query -> origin, not NaN distances
+    q_mat = q_mat / q_nrm
     # nprobe nearest cells per query (cosine == dot on unit sphere)
     aff = q_mat @ c_unit.T
     probe_cells = np.argsort(-aff, axis=1, kind="stable")[:, :nprobe]

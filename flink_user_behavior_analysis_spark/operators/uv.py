@@ -77,7 +77,13 @@ def unique_visitors_certified(
         F.count_distinct(F.col(user_col)).alias("uv_exact"),
         F.approx_count_distinct(F.col(user_col), rsd).alias("_uv_approx"),
     ])
-    ok = (
+    # exact == 0 (a window of all-NULL users) would make the relative
+    # error 0/0 = NULL under Spark division and leak NULL through the
+    # certificate; the sketch of an empty set is exactly 0, so the
+    # bound degenerates to approx == 0
+    ok = F.when(
+        F.col("uv_exact") == 0, F.col("_uv_approx") == 0
+    ).otherwise(
         F.abs(F.col("_uv_approx") - F.col("uv_exact"))
         / F.col("uv_exact") <= F.lit(sigma * rsd)
     )

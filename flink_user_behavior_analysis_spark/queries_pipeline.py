@@ -784,14 +784,20 @@ def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for r in sorted(stats, key=lambda r: r.axis):
         a = r.axis
-        var = (r.ss - r.s * r.s / r.n) / (r.n - 1)
+        # degenerate-corpus guards: a 1-row corpus has no variance to
+        # compare (n-1 == 0) and a zero-variance axis has expl == 0 —
+        # certify relative error against a floor instead of dividing
+        # by zero (exact zero variance then demands |var| < tol too)
+        var = ((r.ss - r.s * r.s / r.n) / (r.n - 1)
+               if r.n > 1 else 0.0)
         off = max(abs(gram[a, j]) for j in range(len(expl)) if j != a)
         rows.append((
             int(a), int(r.n),
             int(abs(gram[a, a] - 1.0) < PCA_ORTHO_TOL),
             int(off < PCA_ORTHO_TOL),
             int(a == len(expl) - 1 or expl[a] >= expl[a + 1]),
-            int(abs(var - expl[a]) / expl[a] < PCA_VAR_TOL),
+            int(abs(var - expl[a]) / max(expl[a], 1e-12) < PCA_VAR_TOL
+                or abs(var - expl[a]) < PCA_ORTHO_TOL),
         ))
     return spark.createDataFrame(
         rows, "axis BIGINT, n_rows BIGINT, norm_ok BIGINT, "
@@ -2295,24 +2301,47 @@ def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_centroids=IVF_K, nprobe=IVF_NPROBE,
                                train_iters=2)
     truth = brute_force_topk_arrow(queries, embs, ANN_K)
+    return _ann_certificate(spark, queries, trained, truth,
+                            IVF_TRAINED_RECALL_FLOOR)
 
-    n_truth = truth.count()
-    n_hit = trained.join(
-        truth.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"]).count()
-    bad_ranks = (
-        trained.groupBy("query_id")
+
+def _bad_rank_count(approx: DataFrame) -> int:
+    """Queries whose ranks are not contiguous 1..n."""
+    return (
+        approx.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n"),
              F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
         .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
         .count()
     )
-    n_queries = queries.count()
-    return spark.createDataFrame(
-        [(int(n_queries), ANN_K,
-          int(n_hit / n_truth >= IVF_TRAINED_RECALL_FLOOR),
-          int(bad_ranks == 0))],
-        "n_queries BIGINT, k BIGINT, recall_ok BIGINT, ranks_ok BIGINT")
+
+
+def _ann_certificate(spark: SparkSession, queries: DataFrame,
+                     approx: DataFrame, truth: DataFrame,
+                     floor: float) -> DataFrame:
+    """The shared certificate row for the iterative-ANN queries:
+    exact n_queries/k, recall@k vs brute force >= floor, contiguous
+    ranks. Both result frames are persisted across their two actions
+    (recall join + rank audit / count) — without it the ADC or
+    assignment scan over the corpus would execute twice per gate run.
+    """
+    approx = approx.persist()
+    truth = truth.persist()
+    try:
+        n_truth = truth.count()
+        n_hit = approx.join(
+            truth.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"]).count()
+        bad_ranks = _bad_rank_count(approx)
+        n_queries = queries.count()
+        return spark.createDataFrame(
+            [(int(n_queries), ANN_K,
+              int(n_hit / n_truth >= floor), int(bad_ranks == 0))],
+            "n_queries BIGINT, k BIGINT, recall_ok BIGINT, "
+            "ranks_ok BIGINT")
+    finally:
+        approx.unpersist()
+        truth.unpersist()
 
 
 ANN_TOPK_IVF_TRAINED_SQL = f"""
@@ -2346,24 +2375,8 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = pq_topk(queries, embs, ANN_K, m=PQ_M, codes=PQ_CODES,
                      train_iters=2)
     truth = brute_force_topk_arrow(queries, embs, ANN_K)
-
-    n_truth = truth.count()
-    n_hit = approx.join(
-        truth.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"]).count()
-    bad_ranks = (
-        approx.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
-        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
-        .count()
-    )
-    n_queries = queries.count()
-    return spark.createDataFrame(
-        [(int(n_queries), ANN_K,
-          int(n_hit / n_truth >= PQ_RECALL_FLOOR),
-          int(bad_ranks == 0))],
-        "n_queries BIGINT, k BIGINT, recall_ok BIGINT, ranks_ok BIGINT")
+    return _ann_certificate(spark, queries, approx, truth,
+                            PQ_RECALL_FLOOR)
 
 
 ANN_TOPK_PQ_SQL = f"""
@@ -2391,24 +2404,8 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
     approx = ivfpq_topk(queries, embs, ANN_K)
     truth = brute_force_topk_arrow(queries, embs, ANN_K)
-
-    n_truth = truth.count()
-    n_hit = approx.join(
-        truth.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"]).count()
-    bad_ranks = (
-        approx.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
-        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
-        .count()
-    )
-    n_queries = queries.count()
-    return spark.createDataFrame(
-        [(int(n_queries), ANN_K,
-          int(n_hit / n_truth >= IVFPQ_RECALL_FLOOR),
-          int(bad_ranks == 0))],
-        "n_queries BIGINT, k BIGINT, recall_ok BIGINT, ranks_ok BIGINT")
+    return _ann_certificate(spark, queries, approx, truth,
+                            IVFPQ_RECALL_FLOOR)
 
 
 ANN_TOPK_IVFPQ_SQL = f"""
@@ -2440,14 +2437,12 @@ def q_ann_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
     approx = pq_topk(queries, embs, ANN_K, model=model, encoded=enc)
-    bad_ranks = (
-        approx.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.min("rnk").alias("mn"), F.max("rnk").alias("mx"))
-        .where(~((F.col("mn") == 1) & (F.col("mx") == F.col("n"))))
-        .count()
-    )
-    n_rows = approx.count()
+    approx = approx.persist()
+    try:
+        bad_ranks = _bad_rank_count(approx)
+        n_rows = approx.count()
+    finally:
+        approx.unpersist()
     n_queries = queries.count()
     return spark.createDataFrame(
         [(int(n_queries), ANN_K, int(n_rows), int(bad_ranks == 0))],

@@ -21,6 +21,20 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+_TMP_WAREHOUSE: str | None = None
+
+
+def _tmp_warehouse() -> str:
+    """One temp warehouse per PROCESS: getOrCreate ignores configs
+    after the first session exists, so minting a fresh mkdtemp on
+    every get_spark() call would leak one unused directory per call
+    in long-lived processes (bench loops, test suites)."""
+    global _TMP_WAREHOUSE
+    if _TMP_WAREHOUSE is None:
+        _TMP_WAREHOUSE = tempfile.mkdtemp(prefix="fuba-warehouse-")
+    return _TMP_WAREHOUSE
+
+
 def get_spark(
     app: str = "flink-user-behavior-analysis-spark",
     cpus: int | None = None,
@@ -58,8 +72,7 @@ def get_spark(
         # cluster, where artifacts genuinely outlive the session.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE")
-            or tempfile.mkdtemp(prefix="fuba-warehouse-"),
+            os.environ.get("SPARK_GRAFT_WAREHOUSE") or _tmp_warehouse(),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -378,12 +378,19 @@ def run_with_late_channel_to_parquet(
         else:
             late = batch_df.where(ts_us < F.lit(wm))
             ontime = batch_df.where(ts_us >= F.lit(wm))
+        # write each leg DIRECTLY into its _bid=<id> partition
+        # directory with overwrite — not partitionBy + dynamic
+        # overwrite, which only replaces partitions PRESENT IN THE
+        # OUTPUT: a replayed batch whose re-routing leaves one leg
+        # empty would then keep that leg's stale rows and the batch
+        # would exist in both legs at once. A direct overwrite
+        # replaces the partition even with an empty frame (schema-only
+        # parquet), so a replay always fully supersedes both legs.
+        # Hive-style dir names keep _bid a discoverable partition
+        # column for readers (who ignore it).
         for leg, path in ((ontime, on_time_path), (late, late_path)):
-            (leg.withColumn("_bid", F.lit(int(bid)))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("_bid")
-             .parquet(path))
+            (leg.write.mode("overwrite")
+             .parquet(os.path.join(path, f"_bid={int(bid)}")))
         mx = batch_df.agg(F.max(ts_us)).first()[0]
         if mx is not None:
             new_wm = mx - delay_us

@@ -217,3 +217,51 @@ def test_late_channel_empty_when_delay_covers_disorder(spark, sf_dir, tmp_path):
         (r.window_end_us, r.user_id, r.cnt) for r in df.collect()
     )
     assert key(legs["result"]) == key(want)
+
+
+def test_late_channel_replay_clears_emptied_leg(spark, tmp_path):
+    """The empty-leg replay hole: batch 0 is all-OLD rows, so on the
+    crash-replay (watermark rebuilt from the sink) it routes ENTIRELY
+    late — the on_time leg's _bid=0 partition must be emptied, not
+    left holding the first run's copies. Dynamic partition overwrite
+    cannot do this (an empty output overwrites nothing); the sink
+    writes each leg's partition directory directly so a replay fully
+    supersedes both legs."""
+    from datetime import datetime, timedelta
+
+    from flink_user_behavior_analysis_spark.streaming import (
+        run_with_late_channel_to_parquet,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    old = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=i)) for i in range(5)],
+        "event_id long, ts timestamp")
+    new = spark.createDataFrame(
+        [(100 + i, t0 + timedelta(hours=2, minutes=i)) for i in range(5)],
+        "event_id long, ts timestamp")
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    old.coalesce(1).write.parquet(str(stream_dir / "a"))
+    new.coalesce(1).write.parquet(str(stream_dir / "b"))
+    # one file per trigger, lexicographic arrival: a (old) then b (new)
+    def run(ckpt):
+        return run_with_late_channel_to_parquet(
+            spark.readStream.schema(old.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir) + "/*"),
+            3600, str(tmp_path / "sink"),
+            checkpoint_dir=str(tmp_path / ckpt))
+
+    run("ckpt1")
+    paths = run("ckpt2")   # fresh checkpoint = crash replay, same sink
+    on_ids = sorted(r.event_id
+                    for r in spark.read.parquet(paths["on_time"]).collect())
+    late_ids = sorted(r.event_id
+                      for r in spark.read.parquet(paths["late"]).collect())
+    want = sorted(r.event_id for r in old.unionByName(new).collect())
+    assert sorted(on_ids + late_ids) == want, (
+        "replay duplicated rows across legs")
+    assert set(on_ids).isdisjoint(late_ids)
+    # and the replay really did flip batch 0: the old rows are late now
+    assert set(late_ids) == {0, 1, 2, 3, 4}
