@@ -160,6 +160,17 @@ def error_spikes(events: DataFrame, window: str = "1 hour",
         events.where(pred), ts_col, [], window, None,
         [F.count(F.lit(1)).cast("long").alias("n_errors")],
     )
+    return score_window_counts(cnts, threshold)
+
+
+def score_window_counts(cnts: DataFrame,
+                        threshold: float = 3.0) -> DataFrame:
+    """The scoring half of error_spikes, over an already-computed
+    (window_end_us, n_errors) frame — separated so the STREAMING form
+    composes: the windowed count runs as a streaming aggregation into
+    a sink, and this stage re-scores the (tiny, window-granular)
+    counts table per batch or on read. Stream counts ≡ batch counts
+    implies stream scores ≡ batch scores, test-asserted."""
     med = cnts.agg(F.percentile("n_errors", 0.5).alias("_med"))
     dev = cnts.crossJoin(F.broadcast(med)).select(
         F.abs(F.col("n_errors") - F.col("_med")).alias("_d"))

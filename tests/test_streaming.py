@@ -394,3 +394,32 @@ def test_cms_stream_accumulation_matches_batch(spark, sf_dir, tmp_path):
     cols = ["item_id", "cnt", "rnk", "est_ok"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert all(r.est_ok == 1 for r in streamed.collect())
+
+
+def test_error_spike_scoring_composes_on_streamed_counts(spark, sf_dir):
+    """error_spikes' production streaming form: the hourly error
+    count runs as a streaming aggregation (bounded replay), and the
+    scoring stage (median/MAD over the window-granular counts table)
+    applies to the drained counts — equal to the batch operator end
+    to end."""
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        error_spikes,
+        score_window_counts,
+    )
+    from flink_user_behavior_analysis_spark.operators.windows import (
+        windowed_agg,
+    )
+    from flink_user_behavior_analysis_spark.sources import (
+        file_replay_stream,
+    )
+
+    sev = file_replay_stream(spark, sf_dir, "events")
+    counts = windowed_agg(
+        sev.where(F.col("event_type") == "error"), "ts", [], "1 hour",
+        None, [F.count(F.lit(1)).cast("long").alias("n_errors")],
+    )
+    drained = run_available_now(counts, output_mode="complete")
+    got = score_window_counts(drained)
+    want = error_spikes(load_table(spark, sf_dir, "events"), "1 hour")
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(got) == key(want)
