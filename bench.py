@@ -87,6 +87,8 @@ HEADLINE = [
     "ann_topk_pq_stored",
     "duplicated_spans_inc",
     "error_spikes",
+    "shipping_priority",
+    "returned_customers",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -1045,6 +1045,133 @@ FROM n JOIN sizes s USING (cohort)
 """
 
 
+Q3_CUTOFF = "1998-06-30"
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: top-10 unshipped BUILDING-segment orders by
+    revenue. Fact-to-fact lineitem-orders join (sort-merge at scale),
+    customer broadcast; revenue in integer cents for engine-exact
+    sums; deterministic (revenue desc, o_orderdate, o_orderkey)
+    order exposed through rank (this corpus has no o_shippriority —
+    o_orderpriority rides along instead)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF))
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF))
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    agg = (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev_cents).alias("_rc"))
+    )
+    w = Window.orderBy(F.col("_rc").desc(), F.col("o_orderdate").asc(),
+                       F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey",
+            (F.col("_rc").cast("double") / 100).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority", F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+WITH agg AS (
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)
+               AS rc
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, rc::DOUBLE / 100 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       (row_number() OVER (ORDER BY rc DESC, o_orderdate, o_orderkey)
+       )::BIGINT AS rnk
+FROM agg
+QUALIFY rnk <= 10
+"""
+
+
+def returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top-20 customers by revenue on RETURNED
+    items in a one-year window — the churn-risk ranking. Fact join
+    shuffles once on orderkey; customer and nation broadcast;
+    integer-cent revenue."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01")))
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    agg = (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev_cents).alias("_rc"),
+             F.round(F.first("c_acctbal"), 2).alias("c_acctbal"))
+    )
+    w = Window.orderBy(F.col("_rc").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select(
+            "c_custkey", "c_name",
+            (F.col("_rc").cast("double") / 100).alias("revenue"),
+            "c_acctbal", "n_name", F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+RETURNED_CUSTOMERS_SQL = """
+WITH agg AS (
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)
+               AS rc,
+           round(any_value(c.c_acctbal), 2) AS c_acctbal
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, rc::DOUBLE / 100 AS revenue, c_acctbal, n_name,
+       (row_number() OVER (ORDER BY rc DESC, c_custkey))::BIGINT AS rnk
+FROM agg
+QUALIFY rnk <= 20
+"""
+
+
 SPIKE_WINDOW_US = 3600 * 10**6
 SPIKE_Z = 3.0
 
@@ -1109,6 +1236,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": funnel_conversion,
     "retention_weekly": retention_weekly,
     "error_spikes": error_spikes_hourly,
+    "shipping_priority": shipping_priority,
+    "returned_customers": returned_customers,
     **PIPELINE_QUERIES,
 }
 
@@ -1160,8 +1289,10 @@ _GATE_HEAD: list[str] = [
     # new in round 5 — stored-artifact PQ probe path + incremental spans
     "ann_topk_pq_stored",
     "duplicated_spans_inc",
-    # new in round 5 — windowed anomaly detection
+    # new in round 5 — windowed anomaly detection + relational widening
     "error_spikes",
+    "shipping_priority",
+    "returned_customers",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -1231,5 +1362,7 @@ ORACLES: dict[str, str] = {
     "funnel_conversion": FUNNEL_SQL,
     "retention_weekly": RETENTION_SQL,
     "error_spikes": ERROR_SPIKES_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "returned_customers": RETURNED_CUSTOMERS_SQL,
     **PIPELINE_ORACLES,
 }
