@@ -134,6 +134,8 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
         qm = q_mat
         qids = np.asarray(q_ids, dtype="int64")
         for pdf in batches:
+            if pdf.empty:
+                continue
             # sort by id so the stable argsort below breaks exact-cosine
             # ties by neighbor_id asc — the same total order the final
             # rank (and the SQL oracle) uses
@@ -383,6 +385,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             import pandas as pd
 
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 x = np.array([np.asarray(e, dtype=np.float64)
                               for e in pdf.iloc[:, 1]])
                 norms = np.linalg.norm(x, axis=1)
@@ -779,6 +783,8 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
             import pandas as pd
 
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 x = np.array([np.asarray(e, dtype=np.float64)
                               for e in pdf.iloc[:, 0]])
                 # (squared-euclidean via the dot trick, or plain dot on
@@ -874,6 +880,8 @@ def ivf_topk_trained(queries: DataFrame, corpus: DataFrame, k: int,
             import pandas as pd
 
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 x = np.array([np.asarray(e, dtype=np.float64)
                               for e in pdf.iloc[:, 1]])
                 norms = np.linalg.norm(x, axis=1)
@@ -978,6 +986,8 @@ def pca_fit(vecs: DataFrame, n_components: int = 8,
 
         acc = np.zeros((d, d), dtype="int64")
         for pdf in batches:
+            if pdf.empty:
+                continue
             x = np.array([np.asarray(e, dtype=np.float64)
                           for e in pdf.iloc[:, 0]])
             xc = x - mu_local
@@ -1032,6 +1042,8 @@ def pca_transform(vecs: DataFrame, model: dict,
         import pandas as pd
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             x = np.array([np.asarray(e, dtype=np.float64)
                           for e in pdf.iloc[:, 1]])
             p = np.round((x - mu) @ w.T, 6)
@@ -1138,6 +1150,8 @@ def pq_fit(vecs: DataFrame, m: int = 8, codes: int = 16,
             # fixed-point partial sums instead of per-row rows, so the
             # shuffle moves m*codes*sub rows per task, not the corpus
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 x = np.array([np.asarray(e, dtype=np.float64)
                               for e in pdf.iloc[:, 0]])
                 recs = []
@@ -1196,6 +1210,8 @@ def pq_encode(vecs: DataFrame, model: dict, id_col: str = "vec_id",
         import pandas as pd
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf.iloc[:, 0].to_numpy().astype("int64")
             x = np.array([np.asarray(e, dtype=np.float64)
                           for e in pdf.iloc[:, 1]])
@@ -1277,6 +1293,8 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
         import pandas as pd
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(pdf.columns[0])
             ids = pdf.iloc[:, 0].to_numpy().astype("int64")
             cs = np.array([np.asarray(c, dtype="int64")
@@ -1386,6 +1404,8 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int,
         import pandas as pd
 
         for pdf in batches:
+            if pdf.empty:
+                continue
             pdf = pdf.sort_values(pdf.columns[0])
             ids = pdf.iloc[:, 0].to_numpy().astype("int64")
             x = np.array([np.asarray(e, dtype=np.float64)

@@ -2454,7 +2454,9 @@ SELECT (SELECT COUNT(*) FROM embeddings
         WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
        {ANN_K}::BIGINT AS k,
        ((SELECT COUNT(*) FROM embeddings
-         WHERE vec_id < {ANN_QUERY_MAX_ID}) * {ANN_K})::BIGINT AS n_rows,
+         WHERE vec_id < {ANN_QUERY_MAX_ID})
+        * least({ANN_K},
+                (SELECT COUNT(*) FROM embeddings) - 1))::BIGINT AS n_rows,
        1::BIGINT AS ranks_ok
 """
 

@@ -31,7 +31,15 @@ def _tmp_warehouse() -> str:
     in long-lived processes (bench loops, test suites)."""
     global _TMP_WAREHOUSE
     if _TMP_WAREHOUSE is None:
+        import atexit
+        import shutil
+
         _TMP_WAREHOUSE = tempfile.mkdtemp(prefix="fuba-warehouse-")
+        # best-effort cleanup at interpreter exit (ADVICE r5): the
+        # default tmp warehouse would otherwise leak one directory of
+        # managed-table data per process
+        atexit.register(shutil.rmtree, _TMP_WAREHOUSE,
+                        ignore_errors=True)
     return _TMP_WAREHOUSE
 
 

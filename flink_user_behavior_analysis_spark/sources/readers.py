@@ -273,8 +273,11 @@ def save_as_table(writer, table: str) -> None:
     is garbage by definition — remove it and retry once. Anything
     else re-raises.
     """
+    import os
     import re
     import shutil
+
+    from pyspark.sql import SparkSession
 
     try:
         writer.saveAsTable(table)
@@ -283,5 +286,15 @@ def save_as_table(writer, table: str) -> None:
         m = re.search(r"location 'file:([^']+)' already exists", msg)
         if "LOCATION_ALREADY_EXISTS" not in msg or m is None:
             raise
-        shutil.rmtree(m.group(1), ignore_errors=True)
+        # containment check (ADVICE r5): only ever delete a path that
+        # resolves INSIDE the session's warehouse dir — a message-shape
+        # change or user-pointed warehouse must not become an arbitrary
+        # delete
+        orphan = os.path.realpath(m.group(1))
+        spark = SparkSession.getActiveSession()
+        wh = spark.conf.get("spark.sql.warehouse.dir", "") if spark else ""
+        wh = os.path.realpath(re.sub(r"^file:(//)?", "", wh)) if wh else ""
+        if not wh or not orphan.startswith(wh + os.sep):
+            raise
+        shutil.rmtree(orphan, ignore_errors=True)
         writer.saveAsTable(table)
