@@ -89,6 +89,15 @@ HEADLINE = [
     "error_spikes",
     "shipping_priority",
     "returned_customers",
+    # round-6 additions: the two stored-serving twins that close r5's
+    # perf-weak findings (compare ann_topk_ivfpq / hybrid_retrieval
+    # inline entries above — the stored probes should be near-flat),
+    # plus the substring-cut transform
+    "ann_topk_ivfpq_stored",
+    "hybrid_retrieval_stored",
+    "remove_dup_spans",
+    "large_volume_orders",
+    "priority_late_orders",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -311,3 +311,82 @@ def duplicated_spans_incremental(corpus: DataFrame, delta: DataFrame,
                                     >= int(min_occurrences)),
                        "fp").select(F.col(id_col), "pos")
     return _span_coverage(sized_d, dup, k, id_col)
+
+
+def remove_duplicated_spans(docs: DataFrame, span_tokens: int = 16,
+                            min_occurrences: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup (Lee et al. 2021
+    apply this to C4/RealNews: duplicated substrings are CUT from the
+    training text, not just counted): every token covered by a
+    duplicated ``span_tokens``-token window (the same corpus-wide
+    >= ``min_occurrences`` fingerprint rule as duplicated_spans) is
+    dropped, and the survivors — in original order — are rejoined
+    with single spaces as ``clean_text``. Token-level by design: the
+    output is the whitespace-normalized token stream a tokenizer
+    consumes, so "exactly the uncovered tokens" is a checkable
+    contract (conservation: n_tokens_clean = n_tokens -
+    covered_tokens, property-tested and oracle-certified).
+
+    Output: (doc_id, n_tokens, covered_tokens, n_tokens_clean,
+    clean_text); docs shorter than ``span_tokens`` pass through
+    untouched, a fully-duplicated doc yields ''.
+
+    Scale shape (100 TB): the span side is duplicated_spans' (one
+    fp-keyed count + one fp join, no pair join). The removal side
+    explodes covered positions from the DISJOINT lead()-truncated
+    intervals — total rows = covered tokens, never n_spans * k — and
+    reassembles per doc with one doc-keyed shuffle (sort_array over
+    collect_list of (pos, token) structs; partition = one document,
+    bounded by doc length). Everything is codegen'd array exprs —
+    no Python.
+    """
+    from pyspark.sql import Window
+
+    k = int(span_tokens)
+    sized = _sized_tokens(docs, id_col, text_col)
+    spans = _span_instances(sized, k, id_col)
+    occ = spans.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"))
+    dup = spans.join(occ.where(F.col("n_occ") >= int(min_occurrences)),
+                     "fp").select(F.col(id_col), "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # disjoint interval decomposition (the _span_coverage trick): each
+    # duplicated span contributes [pos, pos + c) with c truncated at
+    # the next span start, so exploding them yields each covered
+    # position EXACTLY once
+    iv = dup.withColumn(
+        "c", F.least(F.coalesce(F.lead("pos").over(w) - F.col("pos"),
+                                F.lit(k)), F.lit(k)))
+    covered = iv.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"),
+                             F.col("pos") + F.col("c") - 1)).alias("tpos"),
+    )
+    toks = sized.select(
+        F.col(id_col), "n_tokens",
+        F.posexplode_outer("tokens").alias("i0", "tok"),
+    ).select(F.col(id_col), "n_tokens",
+             (F.col("i0") + 1).cast("long").alias("tpos"), "tok")
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    agg = (
+        kept.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens_clean"),
+             F.concat_ws(" ", F.transform(
+                 F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                 lambda s: s["tok"])).alias("clean_text"))
+    )
+    return (
+        sized.drop("tokens")
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col), "n_tokens",
+            (F.col("n_tokens")
+             - F.coalesce("n_tokens_clean", F.lit(0))).cast("long")
+            .alias("covered_tokens"),
+            F.coalesce("n_tokens_clean", F.lit(0)).cast("long")
+            .alias("n_tokens_clean"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -106,15 +106,41 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
     (user, week) dedupe, one join back on user, one (cohort, offset)
     count — all uniform keys; output is #cohorts x max_weeks rows.
     """
+    return retention_from_user_weeks(
+        user_week_activity(events, ts_col, user_col), max_weeks)
+
+
+def user_week_activity(events: DataFrame, ts_col: str = "ts",
+                       user_col: str = "user_id") -> DataFrame:
+    """Distinct (_u, _w) epoch-week activity pairs — the SUFFICIENT
+    STATISTIC for cohort retention (first week = min over them;
+    activity counts = counts over them), and the stage that runs as
+    a streaming dedup in the production form: the stream maintains
+    only distinct (user, week) state (bounded by users x weeks, not
+    events) and retention_from_user_weeks re-aggregates the drained
+    pairs to the k-row output per batch."""
     week = (F.floor(F.unix_micros(F.col(ts_col))
                     / F.lit(7 * 86400 * 10**6))).cast("long")
-    ev = events.select(F.col(user_col).alias("_u"), week.alias("_w"))
-    first = ev.groupBy("_u").agg(F.min("_w").alias("_cohort"))
+    return events.select(F.col(user_col).alias("_u"),
+                         week.alias("_w")).distinct()
+
+
+def retention_from_user_weeks(uw: DataFrame,
+                              max_weeks: int = 8) -> DataFrame:
+    """The aggregation half of retention_cohorts over an
+    already-distinct (_u, _w) frame — separated so the streaming
+    form composes (stream dedup ≡ batch distinct implies stream
+    retention ≡ batch retention, test-asserted)."""
+    # the join key is RENAMED on the aggregate side: `first` derives
+    # from `uw`, and when `uw` is a materialized view (the streaming
+    # drain) the self-join would otherwise carry conflicting
+    # attribute ids into the analyzer
+    first = (uw.groupBy("_u").agg(F.min("_w").alias("_cohort"))
+             .withColumnRenamed("_u", "_fu"))
     sizes = first.groupBy("_cohort").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_size"))
     active = (
-        ev.distinct()
-        .join(first, "_u")
+        uw.join(first, uw["_u"] == first["_fu"])
         .select("_cohort", (F.col("_w") - F.col("_cohort")).alias("_off"))
         .where((F.col("_off") >= 0) & (F.col("_off") <= max_weeks))
         .groupBy("_cohort", "_off")

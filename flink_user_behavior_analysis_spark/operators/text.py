@@ -961,6 +961,42 @@ def overlap_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def overlap_topk_from_postings(postings: DataFrame, queries: DataFrame,
+                               k: int = 5, id_col: str = "doc_id",
+                               qid_col: str = "query_id",
+                               qtext_col: str = "query_text") -> DataFrame:
+    """Probe-only boolean-overlap retrieval against an already-built
+    (id, token) posting table — in production the BM25 index's tf
+    table serves double duty (its (doc, token) key IS the distinct
+    posting list), so the hybrid-retrieval overlap leg reads a stored
+    artifact instead of re-tokenizing the corpus (VERDICT r5 #3).
+    Identical output to overlap_topk on the corpus the postings were
+    built from (test-asserted). ``postings`` must be unique on
+    (id, token) — tf's grain guarantees it, so no dedup shuffle is
+    spent here."""
+    from pyspark.sql import Window
+
+    toks = postings.select(F.col(id_col), F.col("token"))
+    qt = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(
+            F.split(normalized_text(qtext_col), " "))).alias("token"),
+    ).where(F.col("token") != "")
+    scored = (
+        F.broadcast(qt).join(toks, "token")
+        .groupBy(qid_col, id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("n_overlap").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(F.col(qid_col), F.col(id_col), "n_overlap",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def rrf_fuse(ranked: list[DataFrame], k_rrf: int = 60, topk: int = 5,
              qid_col: str = "query_id",
              id_col: str = "doc_id") -> DataFrame:

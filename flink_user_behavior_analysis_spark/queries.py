@@ -1172,6 +1172,108 @@ QUALIFY rnk <= 20
 """
 
 
+Q18_QTY = 300
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped (large-volume customers): orders whose total
+    lineitem quantity exceeds {Q18_QTY}, top-100 by quantity. The
+    scale-critical move is aggregating the FACT table on its own key
+    FIRST (map-side combinable, one shuffle on l_orderkey) and
+    joining orders + broadcast customer only onto the tiny
+    having-survivor set — never the other way around. Quantities are
+    summed as integer deci-units for engine-exact having/rank
+    boundaries."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty10 = F.round(F.col("l_quantity") * 10).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty10).alias("_q10"))
+        .where(F.col("_q10") > Q18_QTY * 10)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    )
+    w = Window.orderBy(F.col("_q10").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            (F.col("_q10").cast("double") / 10).alias("total_qty"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, sum(round(l_quantity * 10)::BIGINT) AS q10
+    FROM lineitem GROUP BY 1
+    HAVING sum(round(l_quantity * 10)::BIGINT) > {Q18_QTY} * 10
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       b.q10::DOUBLE / 10 AS total_qty,
+       (row_number() OVER (ORDER BY b.q10 DESC, o.o_orderkey))::BIGINT
+           AS rnk
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+QUALIFY rnk <= 100
+"""
+
+
+Q4_LATE_DAYS = 60
+
+
+def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped (order priority checking): per-priority count
+    of 1997 orders with AT LEAST ONE lineitem shipped more than
+    {Q4_LATE_DAYS} days after the order date (this corpus has no
+    commit/receipt dates, so ship-lag stands in for Q4's
+    late-commit predicate). The EXISTS is a LEFT SEMI join on
+    orderkey — the probe side never duplicates an order however many
+    lines are late, and the final rollup is five rows."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01")))
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.date_add(F.col("o_orderdate"), Q4_LATE_DAYS)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+PRIORITY_LATE_ORDERS_SQL = f"""
+SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n_late_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY 1
+"""
+
+
 SPIKE_WINDOW_US = 3600 * 10**6
 SPIKE_Z = 3.0
 
@@ -1238,76 +1340,43 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "error_spikes": error_spikes_hourly,
     "shipping_priority": shipping_priority,
     "returned_customers": returned_customers,
+    "large_volume_orders": large_volume_orders,
+    "priority_late_orders": priority_late_orders,
     **PIPELINE_QUERIES,
 }
 
 _GATE_HEAD: list[str] = [
-    # round-5 rotation (VERDICT r4 item 2): the 19 queries demoted
-    # past the r4 window (green in r3, two rounds stale after this
-    # round) come back to the front for fresh driver rows
-    "lang_centroids",
-    "curation_pipeline",
-    "chunk_docs",
-    "pack_sequences",
-    "stratified_sample",
-    "media_resize",
-    "doc_fingerprints",
-    "multimodal_meta",
-    "frame_sample",
-    "tx_interval_join",
-    "login_fail_cep",
-    "view_then_purchase",
-    "revenue_rollup",
-    "hot_items",
-    "hot_pages",
-    "page_views",
-    "unique_visitors",
-    "marketing_by_channel",
-    "marketing_total",
-    # never hash-green before r5: oracles upgraded this round
-    # (VERDICT r4 item 1 — self-certifying forms; item 4 — PPM codec)
-    "multimodal_decode",
-    "unique_visitors_approx",
-    "ann_topk_ivf_trained",
-    "pca_embed",
-    # new in round 5 — stored-artifact probe paths, never gated
-    "bm25_topk_stored",
-    "lm_score_stored",
-    # new in round 5 — stride-1 exact-substring span dedup + Gopher gate
-    "duplicated_spans",
-    "gopher_quality",
-    # new in round 5 — product-quantization ADC (certificate form)
-    "ann_topk_pq",
-    # new in round 5 — RRF hybrid retrieval + per-source quantiles
-    "hybrid_retrieval",
-    "source_quantiles",
-    # new in round 5 — combined IVF+PQ (certificate form)
-    "ann_topk_ivfpq",
-    # new in round 5 — product-analytics rollups over the event stream
-    "funnel_conversion",
-    "retention_weekly",
-    # new in round 5 — stored-artifact PQ probe path + incremental spans
-    "ann_topk_pq_stored",
-    "duplicated_spans_inc",
-    # new in round 5 — windowed anomaly detection + relational widening
-    "error_spikes",
-    "shipping_priority",
-    "returned_customers",
-]
-
-_GATE_TAIL: list[str] = [
-    # all hash-green in CORRECTNESS_r04 — each can afford to sit out
-    # exactly one round (the two-round staleness test forces them
-    # back by r6)
+    # round-6 rotation (VERDICT r5 next-round #4): the 35 queries
+    # whose freshest green row is r4 (r5 tail + r5 window overflow)
+    # return for fresh driver rows, plus this round's three new
+    # stored-serving / transform queries (never gated before)
+    "ad_stats_by_province",
+    "login_fail",
+    "blacklist_warnings",
+    "blacklist_filtered",
+    "sessionize_users_native",
+    "heavy_hitters",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_mt",
     "doc_split",
     "sample_docs",
-    "quantize_embeddings",
-    "sessionize_users_native",
+    "ann_topk",
+    "ann_topk_lsh",
     "ann_topk_lsh_mp",
-    "dedup_embedding_cosine_lsh_mt",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
+    "ann_topk_ivf",
+    "quantize_embeddings",
+    "text_stats",
+    "language_id",
+    "token_vocab",
+    "corpus_quantiles",
     "corpus_quantiles_approx",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "contamination",
     "bm25_topk",
     "source_stats",
     "chunk_containment",
@@ -1316,11 +1385,59 @@ _GATE_TAIL: list[str] = [
     "lm_score",
     "winnow_fingerprints",
     "winnow_overlap",
-    "heavy_hitters",
-    "ad_stats_by_province",
-    "login_fail",
-    "blacklist_warnings",
-    "blacklist_filtered",
+    "remove_dup_spans",
+    "hybrid_retrieval_stored",
+    "ann_topk_ivfpq_stored",
+    "large_volume_orders",
+    "priority_late_orders",
+]
+
+_GATE_TAIL: list[str] = [
+    # all hash-green in CORRECTNESS_r05 and UNCHANGED this round —
+    # each can sit out exactly one round (the two-round staleness
+    # test forces them back by r7). curation_pipeline and
+    # ann_topk_ivfpq changed behavior in r6 (span-cut stage;
+    # residual IVFADC + 0.5 recall floor) so they stay IN window.
+    "unique_visitors_approx",
+    "login_fail_cep",
+    "login_fail_fb",
+    "view_then_purchase",
+    "order_timeout",
+    "tx_interval_join",
+    "tx_match",
+    "sessionize_users",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers_per_segment",
+    "revenue_rollup",
+    "purchase_attribution",
+    "shipping_priority",
+    "returned_customers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_keeper_quality",
+    "lang_centroids",
+    "stratified_sample",
+    "chunk_docs",
+    "pack_sequences",
+    "doc_fingerprints",
+    "multimodal_meta",
+    "multimodal_decode",
+    "media_resize",
+    "frame_sample",
+    "duplicated_spans_inc",
+    "hybrid_retrieval",
+    "ann_topk_pq_stored",
+    "ann_topk_ivf_trained",
+    "ann_topk_pq",
+    "bm25_topk_stored",
+    "lm_score_stored",
+    "pca_embed",
+    "gopher_quality",
+    "duplicated_spans",
+    "source_quantiles",
+    "error_spikes",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1364,5 +1481,7 @@ ORACLES: dict[str, str] = {
     "error_spikes": ERROR_SPIKES_SQL,
     "shipping_priority": SHIPPING_PRIORITY_SQL,
     "returned_customers": RETURNED_CUSTOMERS_SQL,
+    "large_volume_orders": LARGE_VOLUME_ORDERS_SQL,
+    "priority_late_orders": PRIORITY_LATE_ORDERS_SQL,
     **PIPELINE_ORACLES,
 }

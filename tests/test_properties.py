@@ -491,3 +491,53 @@ def test_duplicated_spans_matches_python_reference(spark, docs):
                       r.covered_tokens, r.dup_coverage)
            for r in duplicated_spans(df, K).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["p", "q", "r"]), min_size=0, max_size=14),
+    min_size=1, max_size=6))
+def test_remove_duplicated_spans_python_reference_and_conservation(
+        spark, docs):
+    """remove_duplicated_spans equals a direct python cut over tiny
+    high-repetition corpora, and conserves tokens: clean_text holds
+    EXACTLY the uncovered tokens in original order, so
+    n_tokens_clean == n_tokens - covered_tokens and splitting
+    clean_text reproduces the kept token stream."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        remove_duplicated_spans,
+    )
+
+    K = 3
+    texts = [" ".join(d) for d in docs]
+    toks = {i: (" ".join(t.lower().split())).split(" ")
+            for i, t in enumerate(texts)}
+    occ: dict = {}
+    for ts in toks.values():
+        for j in range(len(ts) - K + 1):
+            s = " ".join(ts[j:j + K])
+            occ[s] = occ.get(s, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        n = len(ts)
+        covered: set = set()
+        for j in range(n - K + 1):
+            if occ[" ".join(ts[j:j + K])] >= 2:
+                covered.update(range(j, j + K))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        want[i] = (n, len(covered), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = remove_duplicated_spans(df, K).collect()
+    got = {r.doc_id: (r.n_tokens, r.covered_tokens, r.n_tokens_clean,
+                      r.clean_text)
+           for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.n_tokens_clean == r.n_tokens - r.covered_tokens
+        if r.clean_text:
+            # '' is ambiguous under the repo tokenization (an empty
+            # doc IS one empty token), so round-trip only visible text
+            assert len(r.clean_text.split(" ")) == r.n_tokens_clean

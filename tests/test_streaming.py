@@ -423,3 +423,57 @@ def test_error_spike_scoring_composes_on_streamed_counts(spark, sf_dir):
     want = error_spikes(load_table(spark, sf_dir, "events"), "1 hour")
     key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
     assert key(got) == key(want)
+
+
+def test_funnel_composes_on_streamed_step_events(spark, sf_dir):
+    """VERDICT r5 #6: the funnel's streaming form — distinct step
+    events maintained as stream-dedup state, the k-row funnel
+    re-aggregated from the drained table — equals the batch operator
+    end to end (first-touch semantics are a function of the distinct
+    step-event set, which the stream preserves exactly)."""
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        funnel,
+    )
+    from flink_user_behavior_analysis_spark.queries import (
+        FUNNEL_STEPS,
+        FUNNEL_WITHIN,
+    )
+    from flink_user_behavior_analysis_spark.streaming import (
+        funnel_step_events_stream,
+    )
+
+    drained = run_available_now(
+        funnel_step_events_stream(spark, sf_dir, FUNNEL_STEPS),
+        output_mode="append")
+    got = funnel(drained, list(FUNNEL_STEPS), FUNNEL_WITHIN,
+                 type_col="event_type")
+    want = funnel(load_table(spark, sf_dir, "events"),
+                  list(FUNNEL_STEPS), FUNNEL_WITHIN)
+    cols = ["step_idx", "step", "n_users", "conversion"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_retention_composes_on_streamed_user_weeks(spark, sf_dir):
+    """VERDICT r5 #6: weekly cohort retention's streaming form — the
+    distinct (user, week) sufficient statistic as stream-dedup
+    state, retention_from_user_weeks over the drained pairs —
+    equals the batch operator end to end."""
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        retention_cohorts,
+        retention_from_user_weeks,
+    )
+    from flink_user_behavior_analysis_spark.queries import (
+        RETENTION_MAX_WEEKS,
+    )
+    from flink_user_behavior_analysis_spark.streaming import (
+        user_week_stream,
+    )
+
+    drained = run_available_now(user_week_stream(spark, sf_dir),
+                                output_mode="append")
+    got = retention_from_user_weeks(drained, RETENTION_MAX_WEEKS)
+    want = retention_cohorts(load_table(spark, sf_dir, "events"),
+                             max_weeks=RETENTION_MAX_WEEKS)
+    cols = ["cohort_week", "week_offset", "n_active", "cohort_size",
+            "retention"]
+    assert _rows(got, cols) == _rows(want, cols)
