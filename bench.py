@@ -98,6 +98,12 @@ HEADLINE = [
     "remove_dup_spans",
     "large_volume_orders",
     "priority_late_orders",
+    # round-6 product-analytics rollups (trailing-window distinct,
+    # session telemetry, ntile LTV deciles, JSON-props parse)
+    "dau_stickiness",
+    "session_stats",
+    "revenue_deciles",
+    "props_topk",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

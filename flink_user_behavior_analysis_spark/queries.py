@@ -1274,6 +1274,185 @@ GROUP BY 1
 """
 
 
+def dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per active day — the
+    product-analytics headline metric. The trailing-window DISTINCT
+    is the interesting part at scale: instead of a per-day self-join
+    over a 7-day range (7 shuffled probes of the activity table),
+    each distinct (user, day) row is EXPLODED into the 7 report days
+    it contributes to and counted once — one distinct-shuffle, one
+    7x-expanded count keyed by day (days are few; the expansion is
+    bounded by 7 x distinct user-days, never raw events). Days are
+    epoch-day integers (the retention_cohorts convention — no
+    calendar/tz semantics to disagree across engines)."""
+    day = (F.floor(F.unix_micros(F.col("ts"))
+                   / F.lit(86400 * 10**6))).cast("long")
+    ud = (_events(spark, sf_dir)
+          .select(F.col("user_id").alias("_u"), day.alias("_d"))
+          .distinct())
+    # ONE scan, no self-join: each (user, day) contributes to report
+    # days day..day+6 with a self marker on its own day, so one
+    # (user, report-day) dedup carries BOTH counts — dau = users with
+    # a self contribution, wau = all contributing users. Ghost days
+    # past a user's last activity (wau-only) are dropped like the
+    # dau-join formulation would.
+    contrib = ud.select(
+        "_u", "_d",
+        F.explode(F.sequence(F.col("_d"), F.col("_d") + 6)).alias("_rd"))
+    per_user_day = (
+        contrib.groupBy("_u", "_rd")
+        .agg(F.max((F.col("_d") == F.col("_rd")).cast("long"))
+             .alias("_self"))
+    )
+    return (
+        per_user_day.groupBy("_rd")
+        .agg(F.sum("_self").cast("long").alias("dau"),
+             F.count(F.lit(1)).cast("long").alias("wau"))
+        .where(F.col("dau") > 0)
+        .select(
+            F.col("_rd").alias("day"), "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4)
+            .alias("stickiness"),
+        )
+    )
+
+
+DAU_STICKINESS_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id AS u,
+           (epoch_us(ts) // 86400000000)::BIGINT AS d
+    FROM events
+), dau AS (
+    SELECT d, COUNT(*)::BIGINT AS dau FROM ud GROUP BY 1
+), contrib AS (
+    SELECT DISTINCT u, unnest(range(d, d + 7))::BIGINT AS rd FROM ud
+), wau AS (
+    SELECT rd, COUNT(*)::BIGINT AS wau FROM contrib GROUP BY 1
+)
+SELECT dau.d AS day, dau.dau, wau.wau,
+       round(dau.dau::DOUBLE / wau.wau, 4) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.rd
+"""
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level session telemetry composed ON the sessionize
+    operator's output (one extra global aggregate over the
+    session-grain frame — k-row in, 1-row out): session and user
+    counts, mean events per session, exact median and p90 session
+    duration (engine-parity percentile == quantile_cont)."""
+    ev = _events(spark, sf_dir)
+    sess = sessionize(
+        ev, ["user_id"], "ts", SESSION_GAP_S, order_tiebreak=["event_id"]
+    )
+    dur_s = (F.col("session_end_us") - F.col("session_start_us")) \
+        .cast("double") / 1_000_000.0
+    return sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4)
+        .alias("avg_events"),
+        F.round(F.percentile(dur_s, 0.5), 4).alias("med_duration_s"),
+        F.round(F.percentile(dur_s, 0.9), 4).alias("p90_duration_s"),
+    )
+
+
+SESSION_STATS_SQL = f"""
+WITH sess AS ({SESSIONIZE_SQL})
+SELECT COUNT(*)::BIGINT AS n_sessions,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users,
+       round(avg(n_events::DOUBLE), 4) AS avg_events,
+       round(quantile_cont((session_end_us - session_start_us)::DOUBLE
+                           / 1000000.0, 0.5), 4) AS med_duration_s,
+       round(quantile_cont((session_end_us - session_start_us)::DOUBLE
+                           / 1000000.0, 0.9), 4) AS p90_duration_s
+FROM sess
+"""
+
+
+def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase revenue bucketed into ntile(10) deciles —
+    the LTV-skew report. Revenue folds to integer cents before the
+    per-user sum (order-independent, engine-exact); the decile
+    assignment is a single window over the per-user aggregate (one
+    row per user, not per event) with a total order (revenue desc,
+    user asc) so ties bucket identically in both engines."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("_rc"))
+    w = Window.orderBy(F.col("_rc").desc(), F.col("user_id").asc())
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            (F.sum("_rc").cast("double") / 100).alias("revenue"),
+            F.round(F.avg(F.col("_rc").cast("double") / 100), 4)
+            .alias("avg_revenue"),
+        )
+    )
+
+
+REVENUE_DECILES_SQL = """
+WITH per_user AS (
+    SELECT user_id, sum(round(value * 100)::BIGINT) AS rc
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+), bucketed AS (
+    SELECT user_id, rc,
+           ntile(10) OVER (ORDER BY rc DESC, user_id)::BIGINT AS decile
+    FROM per_user
+)
+SELECT decile, COUNT(*)::BIGINT AS n_users,
+       sum(rc)::DOUBLE / 100 AS revenue,
+       round(avg(rc::DOUBLE / 100), 4) AS avg_revenue
+FROM bucketed GROUP BY 1
+"""
+
+
+def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` payload
+    (get_json_object stays inside codegen — no Python), top-5 ``k``
+    values per event type by count, ties by k asc. The JSON parse is
+    a pure scan projection; the rollup is one (type, k) shuffle and
+    a WindowGroupLimit rank."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("long")
+    counted = (
+        ev.select(F.col("event_type"), k_val.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("k").asc())
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("event_type", "k", "n",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+PROPS_TOPK_SQL = """
+WITH counted AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           COUNT(*)::BIGINT AS n
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT event_type, k, n,
+       (row_number() OVER (PARTITION BY event_type
+                           ORDER BY n DESC, k))::BIGINT AS rnk
+FROM counted QUALIFY rnk <= 5
+"""
+
+
 SPIKE_WINDOW_US = 3600 * 10**6
 SPIKE_Z = 3.0
 
@@ -1342,6 +1521,10 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_customers": returned_customers,
     "large_volume_orders": large_volume_orders,
     "priority_late_orders": priority_late_orders,
+    "dau_stickiness": dau_stickiness,
+    "session_stats": session_stats,
+    "revenue_deciles": revenue_deciles,
+    "props_topk": props_topk,
     **PIPELINE_QUERIES,
 }
 
@@ -1390,6 +1573,10 @@ _GATE_HEAD: list[str] = [
     "ann_topk_ivfpq_stored",
     "large_volume_orders",
     "priority_late_orders",
+    "dau_stickiness",
+    "session_stats",
+    "revenue_deciles",
+    "props_topk",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -1438,6 +1625,10 @@ _GATE_TAIL: list[str] = [
     "duplicated_spans",
     "source_quantiles",
     "error_spikes",
+    "hot_items",
+    "hot_pages",
+    "page_views",
+    "unique_visitors",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1483,5 +1674,9 @@ ORACLES: dict[str, str] = {
     "returned_customers": RETURNED_CUSTOMERS_SQL,
     "large_volume_orders": LARGE_VOLUME_ORDERS_SQL,
     "priority_late_orders": PRIORITY_LATE_ORDERS_SQL,
+    "dau_stickiness": DAU_STICKINESS_SQL,
+    "session_stats": SESSION_STATS_SQL,
+    "revenue_deciles": REVENUE_DECILES_SQL,
+    "props_topk": PROPS_TOPK_SQL,
     **PIPELINE_ORACLES,
 }

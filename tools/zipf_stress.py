@@ -215,6 +215,26 @@ def main() -> None:
         "400-instance template fingerprints fold in the fp groupBy — "
         "counter cost, not pairs")
 
+    # the CUT transform under the same degeneracy: boilerplate is the
+    # worst case for the covered-position explode (nearly every token
+    # of every copy is covered), but that explode is bounded by TOTAL
+    # corpus tokens — linear, never pairs — and the reassembly shuffle
+    # keys on doc_id (uniform by construction)
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        remove_duplicated_spans,
+    )
+    t_rm = {
+        "boiler": best_of(
+            lambda: remove_duplicated_spans(boiler, 8).count(), n=2),
+        "uniform": best_of(
+            lambda: remove_duplicated_spans(docs["uniform"], 8).count(),
+            n=2),
+    }
+    add("remove_dup_spans boiler-vs-uniform", t_rm["boiler"],
+        t_rm["uniform"],
+        "full-coverage worst case: covered-explode = corpus tokens "
+        "(linear), doc-keyed reassembly uniform")
+
     add("minhash_lsh boilerplate cap-vs-uncapped", t_cap, t_uncap,
         f"max raw bucket={mx_boiler}; verified pairs capped={p_cap} "
         f"uncapped={p_uncap}: uncapped pays all-pairs candidate "
