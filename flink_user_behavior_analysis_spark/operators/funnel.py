@@ -213,3 +213,43 @@ def score_window_counts(cnts: DataFrame,
             (z >= F.lit(float(threshold))).cast("long").alias("is_spike"),
         )
     )
+
+
+def user_day_activity(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Distinct (_u, _d) epoch-day activity pairs — the sufficient
+    statistic for DAU/WAU rollups, and the streaming-dedup state in
+    the production form (the user_week_activity pattern at day
+    grain)."""
+    day = (F.floor(F.unix_micros(F.col(ts_col))
+                   / F.lit(86400 * 10**6))).cast("long")
+    return events.select(F.col(user_col).alias("_u"),
+                         day.alias("_d")).distinct()
+
+
+def dau_stickiness_from_user_days(ud: DataFrame) -> DataFrame:
+    """The aggregation half of the DAU / trailing-7-day WAU /
+    stickiness rollup over an already-distinct (_u, _d) frame —
+    each pair explodes into its seven report days with a self
+    marker, one (user, report-day) dedup carries both counts
+    (queries.dau_stickiness documents the plan shape; split out so
+    the streaming form composes, stream ≡ batch test-asserted)."""
+    contrib = ud.select(
+        "_u", "_d",
+        F.explode(F.sequence(F.col("_d"), F.col("_d") + 6)).alias("_rd"))
+    per_user_day = (
+        contrib.groupBy("_u", "_rd")
+        .agg(F.max((F.col("_d") == F.col("_rd")).cast("long"))
+             .alias("_self"))
+    )
+    return (
+        per_user_day.groupBy("_rd")
+        .agg(F.sum("_self").cast("long").alias("dau"),
+             F.count(F.lit(1)).cast("long").alias("wau"))
+        .where(F.col("dau") > 0)
+        .select(
+            F.col("_rd").alias("day"), "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4)
+            .alias("stickiness"),
+        )
+    )

@@ -1277,6 +1277,13 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
         raise ValueError(
             f"{len(q_rows)} query vectors; pq_topk broadcasts the "
             "per-query distance tables — block the queries for more")
+    n_codes = max(len(b) for b in books)
+    table_bytes = len(q_rows) * m * n_codes * 8
+    if table_bytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"per-query ADC tables would be {table_bytes >> 20} MiB "
+            f"({len(q_rows)} queries x m {m} x codes {n_codes}); "
+            "block the queries into smaller batches")
     q_ids = np.asarray([int(r[0]) for r in q_rows], dtype="int64")
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1421,15 +1428,46 @@ def ivfpq_encode(corpus: DataFrame, model: dict,
                  vec_col: str = "embedding") -> DataFrame:
     """(id, cell, codes): route every vector through the coarse
     quantizer and PQ-encode its RESIDUAL — the inverted-file rows an
-    IVFADC scan reads. One fused Arrow pass, shuffle-free."""
+    IVFADC scan reads. ONE fused Arrow pass, shuffle-free: routing
+    and encoding happen in the same kernel, so the corpus is scanned
+    once and no (id -> cell) join ever exists."""
     import numpy as np
 
     c_unit = np.asarray(model["centroids"], dtype=np.float64)
-    resid = _residual_frame(corpus, c_unit, id_col, vec_col)
-    enc = pq_encode(resid, model, id_col=id_col, vec_col="resid",
-                    normalize=False)
-    return enc.join(resid.select(id_col, "cell"), id_col).select(
-        F.col(id_col), F.col("cell"), F.col("codes"))
+    m, sub = model["m"], model["sub"]
+    books = [np.asarray(b, dtype=np.float64) for b in model["codebooks"]]
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("cell", IntegerType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ])
+
+    def _route_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
+            x = np.array([np.asarray(e, dtype=np.float64)
+                          for e in pdf.iloc[:, 1]])
+            nrm = np.linalg.norm(x, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            x = x / nrm
+            cell = (x @ c_unit.T).argmax(axis=1)
+            r = x - c_unit[cell]
+            cs = np.empty((x.shape[0], m), dtype="int32")
+            for j in range(m):
+                rj = r[:, j * sub:(j + 1) * sub]
+                b = books[j]
+                cs[:, j] = (rj @ b.T - 0.5 * (b * b).sum(axis=1)
+                            ).argmax(axis=1)
+            yield pd.DataFrame({id_col: ids,
+                                "cell": cell.astype("int32"),
+                                "codes": list(cs)})
+
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _route_encode, out_schema)
 
 
 def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
@@ -1481,6 +1519,19 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
     if len(q_rows) > 4096:
         raise ValueError("query set above the broadcast guard; "
                          "block the queries")
+    # the ADC tables here are PER-(query, cell): nprobe x m x codes
+    # doubles per query, an nprobe-times larger broadcast than
+    # pq_topk's per-query table — guard on actual bytes, not just
+    # query count, so generous hyperparameters can't silently ship a
+    # multi-GB closure to every task
+    n_codes = max(len(b) for b in books)
+    table_bytes = len(q_rows) * nprobe * m_ * n_codes * 8
+    if table_bytes > 512 * 1024 * 1024:
+        raise ValueError(
+            f"per-(query, cell) ADC tables would be "
+            f"{table_bytes >> 20} MiB ({len(q_rows)} queries x "
+            f"nprobe {nprobe} x m {m_} x codes {n_codes}); "
+            "block the queries into smaller batches")
     q_ids = np.asarray([int(r[0]) for r in q_rows], dtype="int64")
     q_mat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)

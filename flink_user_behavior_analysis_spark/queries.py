@@ -1285,36 +1285,19 @@ def dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by 7 x distinct user-days, never raw events). Days are
     epoch-day integers (the retention_cohorts convention — no
     calendar/tz semantics to disagree across engines)."""
-    day = (F.floor(F.unix_micros(F.col("ts"))
-                   / F.lit(86400 * 10**6))).cast("long")
-    ud = (_events(spark, sf_dir)
-          .select(F.col("user_id").alias("_u"), day.alias("_d"))
-          .distinct())
-    # ONE scan, no self-join: each (user, day) contributes to report
-    # days day..day+6 with a self marker on its own day, so one
-    # (user, report-day) dedup carries BOTH counts — dau = users with
-    # a self contribution, wau = all contributing users. Ghost days
-    # past a user's last activity (wau-only) are dropped like the
+    from .operators.funnel import (
+        dau_stickiness_from_user_days,
+        user_day_activity,
+    )
+
+    # ONE scan, no self-join: each distinct (user, day) contributes
+    # to report days day..day+6 with a self marker on its own day, so
+    # one (user, report-day) dedup carries BOTH counts — dau = users
+    # with a self contribution, wau = all contributing users. Ghost
+    # days past a user's last activity (wau-only) are dropped like a
     # dau-join formulation would.
-    contrib = ud.select(
-        "_u", "_d",
-        F.explode(F.sequence(F.col("_d"), F.col("_d") + 6)).alias("_rd"))
-    per_user_day = (
-        contrib.groupBy("_u", "_rd")
-        .agg(F.max((F.col("_d") == F.col("_rd")).cast("long"))
-             .alias("_self"))
-    )
-    return (
-        per_user_day.groupBy("_rd")
-        .agg(F.sum("_self").cast("long").alias("dau"),
-             F.count(F.lit(1)).cast("long").alias("wau"))
-        .where(F.col("dau") > 0)
-        .select(
-            F.col("_rd").alias("day"), "dau", "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 4)
-            .alias("stickiness"),
-        )
-    )
+    return dau_stickiness_from_user_days(
+        user_day_activity(_events(spark, sf_dir)))
 
 
 DAU_STICKINESS_SQL = """

@@ -202,6 +202,21 @@ def user_week_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_day_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the DAU/WAU rollup: distinct (user,
+    epoch-day) pairs as stream-dedup state (user_week_stream at day
+    grain); dau_stickiness_from_user_days re-aggregates the drained
+    pairs to the day-grain report."""
+    ensure_utc(spark)
+    ev = file_replay_stream(spark, sf_dir, "events")
+    day = (F.floor(F.unix_micros(F.col("ts"))
+                   / F.lit(86400 * 10**6))).cast("long")
+    return (
+        ev.select(F.col("user_id").alias("_u"), day.alias("_d"))
+        .dropDuplicates(["_u", "_d"])
+    )
+
+
 def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 streaming: stream-stream interval join with watermarks
     (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner
@@ -510,4 +525,5 @@ STREAMING_QUERIES = {
     "tx_interval_join": tx_interval_join_stream,
     "funnel_step_events": funnel_step_events_stream,
     "user_weeks": user_week_stream,
+    "user_days": user_day_stream,
 }

@@ -477,3 +477,22 @@ def test_retention_composes_on_streamed_user_weeks(spark, sf_dir):
     cols = ["cohort_week", "week_offset", "n_active", "cohort_size",
             "retention"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_dau_composes_on_streamed_user_days(spark, sf_dir):
+    """DAU/WAU/stickiness streaming form: distinct (user, day) pairs
+    as stream-dedup state, the day-grain report re-aggregated from
+    the drained pairs — equals the batch query end to end."""
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        dau_stickiness_from_user_days,
+    )
+    from flink_user_behavior_analysis_spark.streaming import (
+        user_day_stream,
+    )
+
+    drained = run_available_now(user_day_stream(spark, sf_dir),
+                                output_mode="append")
+    got = dau_stickiness_from_user_days(drained)
+    want = Q.QUERIES["dau_stickiness"](spark, sf_dir)
+    cols = ["day", "dau", "wau", "stickiness"]
+    assert _rows(got, cols) == _rows(want, cols)
