@@ -104,6 +104,11 @@ HEADLINE = [
     "session_stats",
     "revenue_deciles",
     "props_topk",
+    # round-6 stored-corpus incremental probes (compare the inline
+    # dedup_incremental / duplicated_spans_inc entries — the probe
+    # pays only batch-side work)
+    "dedup_incremental_stored",
+    "duplicated_spans_inc_stored",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -275,7 +275,9 @@ def duplicated_spans_incremental(corpus: DataFrame, delta: DataFrame,
                                  span_tokens: int = 16,
                                  min_occurrences: int = 2,
                                  id_col: str = "doc_id",
-                                 text_col: str = "text") -> DataFrame:
+                                 text_col: str = "text",
+                                 corpus_counts: DataFrame | None = None,
+                                 ) -> DataFrame:
     """duplicated_spans for an incoming DELTA batch against an
     existing corpus — the production per-batch shape (the
     dedup_incremental pattern applied to span dedup): the corpus's
@@ -293,11 +295,18 @@ def duplicated_spans_incremental(corpus: DataFrame, delta: DataFrame,
     dedup_incremental flat-wall property, for substring dedup.
     """
     k = int(span_tokens)
-    corpus_occ = (
-        _span_instances(_sized_tokens(corpus, id_col, text_col), k, id_col)
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
-    )
+    # ``corpus_counts`` is the stored-artifact seam: pass
+    # span_store_counts' (fp, n_corpus) table and the corpus is never
+    # re-fingerprinted at batch time
+    if corpus_counts is not None:
+        corpus_occ = corpus_counts
+    else:
+        corpus_occ = (
+            _span_instances(_sized_tokens(corpus, id_col, text_col),
+                            k, id_col)
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+        )
     sized_d = _sized_tokens(delta, id_col, text_col)
     spans_d = _span_instances(sized_d, k, id_col)
     delta_occ = spans_d.groupBy("fp").agg(
@@ -390,3 +399,40 @@ def remove_duplicated_spans(docs: DataFrame, span_tokens: int = 16,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def span_store_counts(corpus: DataFrame, prefix: str,
+                      span_tokens: int = 16, n_buckets: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> list[str]:
+    """Materialize the corpus span-fingerprint COUNTS as a catalog
+    table bucketed on fp — exactly the stored artifact the
+    duplicated_spans_incremental docstring promises. One table,
+    {prefix}_spancounts (fp, n_corpus); each arriving batch then
+    fingerprints only itself and probes (probe ≡ inline,
+    test-asserted). At real scale this table is also the thing a
+    merge job updates per accepted batch (counts are additive)."""
+    from ..sources.readers import write_bucketed
+
+    k = int(span_tokens)
+    occ = (
+        _span_instances(_sized_tokens(corpus, id_col, text_col), k, id_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    )
+    write_bucketed(occ, f"{prefix}_spancounts", "fp", n_buckets)
+    return [f"{prefix}_spancounts"]
+
+
+def duplicated_spans_incremental_from_store(
+        spark, prefix: str, delta: DataFrame, span_tokens: int = 16,
+        min_occurrences: int = 2, id_col: str = "doc_id",
+        text_col: str = "text") -> DataFrame:
+    """Probe-only incremental span dedup against span_store_counts'
+    table — the per-batch flat-wall shape, with the corpus-side
+    fingerprint pass moved to build time."""
+    return duplicated_spans_incremental(
+        None, delta, span_tokens=span_tokens,
+        min_occurrences=min_occurrences, id_col=id_col,
+        text_col=text_col,
+        corpus_counts=spark.table(f"{prefix}_spancounts"))

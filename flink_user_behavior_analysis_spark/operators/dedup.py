@@ -477,7 +477,9 @@ def band_buckets(sigs: DataFrame, k: int, bands: int,
 
 def dedup_incremental(corpus: DataFrame, delta: DataFrame, threshold: float,
                       k: int = 12, bands: int = 4, id_col: str = "doc_id",
-                      text_col: str = "text", n: int = 3) -> DataFrame:
+                      text_col: str = "text", n: int = 3,
+                      corpus_buckets: DataFrame | None = None,
+                      corpus_shingles: DataFrame | None = None) -> DataFrame:
     """Dedup an incoming DELTA batch against an existing CORPUS and
     against itself — the production shape of near-dup dedup at 100 TB:
     the corpus is NOT re-deduped per batch; its signatures/buckets are
@@ -494,13 +496,21 @@ def dedup_incremental(corpus: DataFrame, delta: DataFrame, threshold: float,
     convention); else 'kept'. n_corpus_matches counts the verified
     corpus collisions (0 unless dup_corpus).
     """
-    sigs_c = _tracked_persist(
-        minhash_signatures(corpus, k, id_col, text_col, n))
+    # ``corpus_buckets``/``corpus_shingles`` are the stored-artifact
+    # seams (the pq_topk pattern): pass dedup_store_corpus's tables
+    # and the corpus is never re-signed nor re-shingled at batch time
+    if corpus_buckets is not None:
+        bc = corpus_buckets
+    else:
+        sigs_c = _tracked_persist(
+            minhash_signatures(corpus, k, id_col, text_col, n))
+        bc = band_buckets(sigs_c, k, bands, id_col)
     sigs_d = _tracked_persist(
         minhash_signatures(delta, k, id_col, text_col, n))
-    bc = band_buckets(sigs_c, k, bands, id_col)
     bd = band_buckets(sigs_d, k, bands, id_col)
-    sh_c = _tracked_persist(with_shingles(corpus, id_col, text_col, n))
+    sh_c = (corpus_shingles if corpus_shingles is not None
+            else _tracked_persist(with_shingles(corpus, id_col,
+                                                text_col, n)))
     sh_d = _tracked_persist(with_shingles(delta, id_col, text_col, n))
 
     def _jac(a: str, b: str) -> Column:
@@ -556,3 +566,47 @@ def dedup_incremental(corpus: DataFrame, delta: DataFrame, threshold: float,
             .alias("n_corpus_matches"),
         )
     )
+
+
+def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
+                       bands: int = 4, n: int = 3, n_buckets: int = 8,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> list[str]:
+    """Materialize the corpus-side artifacts of incremental near-dup
+    dedup as catalog tables — the production shape the
+    dedup_incremental docstring promises:
+      {prefix}_buckets   (band, bucket, id)  LSH probe side, stored
+                         bucketed on the LSH bucket hash so the
+                         delta-probe join partitions align
+      {prefix}_shingles  (id, shingles)      exact-verify side,
+                         bucketed on the doc id
+    Built once per corpus version; each arriving batch then signs
+    and shingles ONLY ITSELF and probes these tables
+    (dedup_incremental with corpus_buckets/corpus_shingles, probe ≡
+    inline test-asserted)."""
+    from ..sources.readers import write_bucketed
+
+    sigs = minhash_signatures(corpus, k, id_col, text_col, n)
+    bc = band_buckets(sigs, k, bands, id_col)
+    write_bucketed(bc, f"{prefix}_buckets", "bucket", n_buckets)
+    sh = with_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col), F.col("shingles"))
+    write_bucketed(sh, f"{prefix}_shingles", id_col, n_buckets)
+    return [f"{prefix}_buckets", f"{prefix}_shingles"]
+
+
+def dedup_incremental_from_store(spark, prefix: str, delta: DataFrame,
+                                 threshold: float, k: int = 12,
+                                 bands: int = 4, n: int = 3,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """Probe-only incremental dedup against dedup_store_corpus's
+    tables — per-batch wall is a function of the BATCH, not the
+    corpus. Identical output to dedup_incremental deriving the
+    corpus side in-plan (md5 signatures are deterministic;
+    test-asserted)."""
+    return dedup_incremental(
+        None, delta, threshold, k=k, bands=bands, n=n,
+        id_col=id_col, text_col=text_col,
+        corpus_buckets=spark.table(f"{prefix}_buckets"),
+        corpus_shingles=spark.table(f"{prefix}_shingles"))

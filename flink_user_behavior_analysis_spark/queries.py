@@ -1560,6 +1560,12 @@ _GATE_HEAD: list[str] = [
     "session_stats",
     "revenue_deciles",
     "props_topk",
+    "dedup_incremental_stored",
+    "duplicated_spans_inc_stored",
+    # changed behavior in r6 (span-cut stage; residual IVFADC +
+    # 0.5 floor) — must re-certify, so pinned in the window
+    "curation_pipeline",
+    "ann_topk_ivfpq",
 ]
 
 _GATE_TAIL: list[str] = [
@@ -1612,6 +1618,10 @@ _GATE_TAIL: list[str] = [
     "hot_pages",
     "page_views",
     "unique_visitors",
+    "marketing_by_channel",
+    "marketing_total",
+    "funnel_conversion",
+    "retention_weekly",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -299,6 +299,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION incremental dedup: the 70% corpus's LSH buckets and
+    shingle sets are STORED catalog tables (operators/dedup.py:
+    dedup_store_corpus — the artifact the dedup_incremental docstring
+    has promised since r3); the 30% batch signs and shingles only
+    itself and probes. Same oracle as dedup_incremental: probe-only ≡
+    in-plan corpus derivation is exactly the certified claim."""
+    from .operators.dedup import dedup_incremental_from_store
+    from .operators.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    is_delta = hash_uniform("doc_id", "delta") < DELTA_RATE
+    prefix = f"dedup_{_artifact_tag(sf_dir)}"
+    if not spark.catalog.tableExists(f"{prefix}_buckets"):
+        from .operators.dedup import dedup_store_corpus
+
+        dedup_store_corpus(docs.where(~is_delta), prefix,
+                           k=MINHASH_K, bands=LSH_BANDS)
+    return dedup_incremental_from_store(
+        spark, prefix, docs.where(is_delta), JACCARD_T,
+        k=MINHASH_K, bands=LSH_BANDS)
+
+
+def q_duplicated_spans_inc_stored(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """PRODUCTION incremental span dedup: the corpus (fp, n_corpus)
+    span-count table is a STORED artifact (operators/chunking.py:
+    span_store_counts, bucketed on fp); the batch fingerprints only
+    itself and probes. Same oracle as duplicated_spans_inc."""
+    from .operators.chunking import duplicated_spans_incremental_from_store
+    from .operators.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    is_delta = hash_uniform("doc_id", "delta") < DELTA_RATE
+    prefix = f"spans_{_artifact_tag(sf_dir)}"
+    if not spark.catalog.tableExists(f"{prefix}_spancounts"):
+        from .operators.chunking import span_store_counts
+
+        span_store_counts(docs.where(~is_delta), prefix, SPAN_TOKENS)
+    return duplicated_spans_incremental_from_store(
+        spark, prefix, docs.where(is_delta), SPAN_TOKENS)
+
+
 def _incremental_sql() -> str:
     u = _D_MD5INT.format(x="'delta:' || doc_id::VARCHAR")
     jac = ("round(len(list_intersect(x.shingles, y.shingles))::DOUBLE /"
@@ -2659,6 +2702,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_keeper_quality": q_dedup_keeper_quality,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_stored": q_dedup_incremental_stored,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
@@ -2694,6 +2738,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "remove_dup_spans": q_remove_dup_spans,
     "duplicated_spans_inc": q_duplicated_spans_inc,
+    "duplicated_spans_inc_stored": q_duplicated_spans_inc_stored,
     "gopher_quality": q_gopher_quality,
     "hybrid_retrieval": q_hybrid_retrieval,
     "hybrid_retrieval_stored": q_hybrid_retrieval_stored,
@@ -2720,6 +2765,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_clusters": _clusters_sql(),
     "dedup_keeper_quality": _keeper_quality_sql(),
     "dedup_incremental": _incremental_sql(),
+    "dedup_incremental_stored": _incremental_sql(),
     "dedup_simhash": _simhash_sql(),
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "dedup_embedding_cosine_lsh": _cosine_lsh_sql(),
@@ -2755,6 +2801,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "duplicated_spans": _duplicated_spans_sql(),
     "remove_dup_spans": _remove_dup_spans_sql(),
     "duplicated_spans_inc": _duplicated_spans_inc_sql(),
+    "duplicated_spans_inc_stored": _duplicated_spans_inc_sql(),
     "gopher_quality": _gopher_sql(),
     "hybrid_retrieval": _hybrid_sql(),
     "hybrid_retrieval_stored": _hybrid_sql(),

@@ -1283,3 +1283,58 @@ def test_error_spikes_hand_computed(spark):
     assert [r.is_spike for r in out] == [0, 0, 0, 0, 1]
     assert out[-1].z_score == 18.0 and out[-1].mad == 0.0
     assert all(r.z_score == 0.0 for r in out[:-1])
+
+
+def test_dedup_stored_corpus_probe_equals_inline(spark, sf_dir):
+    """dedup_store_corpus round-trip: probing the STORED LSH-bucket +
+    shingle tables returns exactly dedup_incremental's in-plan
+    derivation (md5 signatures are deterministic) — the
+    stored-artifact claim for incremental near-dup dedup."""
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_from_store,
+        dedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = hash_uniform("doc_id", "delta") < 0.3
+    corpus, delta = docs.where(~is_delta), docs.where(is_delta)
+    tables = dedup_store_corpus(corpus, "t_dedup_store")
+    try:
+        stored = dedup_incremental_from_store(
+            spark, "t_dedup_store", delta, 0.5).collect()
+        inline = dedup_incremental(corpus, delta, 0.5).collect()
+        assert sorted(map(tuple, stored)) == sorted(map(tuple, inline))
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_span_stored_counts_probe_equals_inline(spark, sf_dir):
+    """span_store_counts round-trip: probing the stored (fp,
+    n_corpus) table equals duplicated_spans_incremental deriving the
+    counts in-plan."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        duplicated_spans_incremental,
+        duplicated_spans_incremental_from_store,
+        span_store_counts,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = hash_uniform("doc_id", "delta") < 0.3
+    corpus, delta = docs.where(~is_delta), docs.where(is_delta)
+    tables = span_store_counts(corpus, "t_span_store", 8)
+    try:
+        stored = duplicated_spans_incremental_from_store(
+            spark, "t_span_store", delta, 8).collect()
+        inline = duplicated_spans_incremental(corpus, delta, 8).collect()
+        assert sorted(map(tuple, stored)) == sorted(map(tuple, inline))
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
