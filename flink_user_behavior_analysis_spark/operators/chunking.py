@@ -400,6 +400,22 @@ def remove_duplicated_spans(docs: DataFrame, span_tokens: int = 16,
         )
     )
 
+def span_fp_counts(docs: DataFrame, span_tokens: int = 16,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(fp, n_corpus): corpus-wide stride-1 span-fingerprint counts —
+    the additive sufficient statistic of substring dedup (counts of a
+    union = sum of counts), shared by span_store_counts (build) and
+    the per-batch UPDATE step of a streaming ingest loop (merge =
+    unionByName + groupBy-sum on fp)."""
+    k = int(span_tokens)
+    return (
+        _span_instances(_sized_tokens(docs, id_col, text_col), k, id_col)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    )
+
+
 
 def span_store_counts(corpus: DataFrame, prefix: str,
                       span_tokens: int = 16, n_buckets: int = 8,
@@ -414,12 +430,7 @@ def span_store_counts(corpus: DataFrame, prefix: str,
     merge job updates per accepted batch (counts are additive)."""
     from ..sources.readers import write_bucketed
 
-    k = int(span_tokens)
-    occ = (
-        _span_instances(_sized_tokens(corpus, id_col, text_col), k, id_col)
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
-    )
+    occ = span_fp_counts(corpus, span_tokens, id_col, text_col)
     write_bucketed(occ, f"{prefix}_spancounts", "fp", n_buckets)
     return [f"{prefix}_spancounts"]
 

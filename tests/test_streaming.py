@@ -496,3 +496,64 @@ def test_dau_composes_on_streamed_user_days(spark, sf_dir):
     want = Q.QUERIES["dau_stickiness"](spark, sf_dir)
     cols = ["day", "dau", "wau", "stickiness"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_span_ingest_loop_with_additive_count_updates(spark, sf_dir,
+                                                      tmp_path):
+    """Production streaming-ingest shape for substring dedup: docs
+    arrive in micro-batches; each batch probes the ACCUMULATED
+    span-count artifact and then merges its own counts in (counts
+    are additive — union counts = sum of counts). Per-batch output
+    must equal duplicated_spans_incremental(prefix-corpus, batch):
+    flag-at-arrival semantics, corpus side never re-fingerprinted."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        duplicated_spans_incremental,
+        span_fp_counts,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    K = 8
+    docs = load_table(spark, sf_dir, "documents")
+    u = hash_uniform("doc_id", "ingest")
+    batches = [docs.where(u < 0.4),
+               docs.where((u >= 0.4) & (u < 0.7)),
+               docs.where(u >= 0.7)]
+
+    counts_dir = str(tmp_path / "span_counts")
+    # seed: empty counts table
+    empty = spark.createDataFrame([], "fp string, n_corpus long")
+    empty.write.parquet(counts_dir)
+
+    def read_counts():
+        return spark.read.parquet(counts_dir)
+
+    got_rows = []
+    for batch in batches:
+        counts = read_counts()
+        out = duplicated_spans_incremental(
+            None, batch, K, corpus_counts=counts)
+        got_rows.extend(map(tuple, out.collect()))
+        merged = (
+            counts.unionByName(span_fp_counts(batch, K))
+            .groupBy("fp")
+            .agg(F.sum("n_corpus").cast("long").alias("n_corpus"))
+        )
+        # rewrite the artifact (a real pipeline would MERGE INTO)
+        merged_rows = merged.collect()
+        spark.createDataFrame(merged_rows, merged.schema) \
+            .write.mode("overwrite").parquet(counts_dir)
+
+    want_rows = []
+    prefix = None
+    for batch in batches:
+        if prefix is None:
+            base = batch.limit(0)
+        else:
+            base = prefix
+        want = duplicated_spans_incremental(base, batch, K)
+        want_rows.extend(map(tuple, want.collect()))
+        prefix = base.unionByName(batch)
+
+    assert sorted(got_rows) == sorted(want_rows)
