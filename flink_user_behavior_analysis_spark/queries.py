@@ -1248,10 +1248,14 @@ def priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01")))
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                       "l_shipdate")
+    # interval add, not date_add: date_add truncates the timestamp to
+    # a DATE, which only matches the oracle because orderdates are
+    # midnight — the interval form is exact for any time-of-day
     late = orders.join(
         li,
         (li.l_orderkey == orders.o_orderkey)
-        & (li.l_shipdate > F.date_add(F.col("o_orderdate"), Q4_LATE_DAYS)),
+        & (li.l_shipdate > F.col("o_orderdate")
+           + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")),
         "left_semi",
     )
     return (
