@@ -298,3 +298,50 @@ def save_as_table(writer, table: str) -> None:
             raise
         shutil.rmtree(orphan, ignore_errors=True)
         writer.saveAsTable(table)
+
+
+def compact_parquet(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
+                    sort_col: str | None = None) -> dict:
+    """Small-files compaction — the maintenance job every long-running
+    100 TB ingest needs: streaming sinks and per-batch overwrites
+    accumulate many tiny parquet files, and scan throughput dies on
+    per-file open overhead long before data volume matters. Rewrites
+    ``path`` into ceil(total_bytes / target_bytes) files (optionally
+    sorted WITHIN files by ``sort_col`` for row-group skipping on a
+    known predicate column) via an atomic same-filesystem rename:
+    write to a sibling temp dir, swap, delete the old data.
+
+    Returns {"files_before", "files_after", "bytes"}. The rewrite is
+    one repartition-by-count job — no shuffle key, so Spark performs
+    a round-robin exchange sized by the file budget; with sort_col it
+    becomes a repartitionByRange + sortWithinPartitions (one range
+    exchange, cluster-standard for sorted compaction).
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import uuid as _uuid
+
+    files = [f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True)
+             if os.path.isfile(f)]
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // int(target_bytes)))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    if sort_col is not None:
+        out = (df.repartitionByRange(n_out, F.col(sort_col))
+               .sortWithinPartitions(sort_col))
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{_uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = [f for f in _glob.glob(os.path.join(path, "**", "*.parquet"),
+                                   recursive=True) if os.path.isfile(f)]
+    return {"files_before": len(files), "files_after": len(after),
+            "bytes": int(total)}

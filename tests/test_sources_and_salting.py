@@ -196,3 +196,41 @@ def test_signature_cache_holds_no_session_reference(spark):
                        for ref in gc.get_referrers(spark))
     finally:
         assert release_signature_cache(spark) == 1
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir,
+                                                          tmp_path):
+    """Small-files compaction: 40 tiny files collapse to the byte
+    budget's file count, rows survive exactly, and the sorted variant
+    orders rows within files by the sort column."""
+    import glob
+    import os
+
+    from flink_user_behavior_analysis_spark.sources.readers import (
+        compact_parquet,
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shredded")
+    docs.repartition(40).write.parquet(path)
+    n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert n_before >= 40
+    want = sorted(r.doc_id for r in docs.collect())
+
+    stats = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+    got = sorted(r.doc_id for r in spark.read.parquet(path).collect())
+    assert got == want
+
+    # sorted compaction: within-file order follows the sort column
+    path2 = str(tmp_path / "shredded2")
+    docs.repartition(17).write.parquet(path2)
+    compact_parquet(spark, path2, target_bytes=1 << 30,
+                    sort_col="doc_id")
+    (one,) = glob.glob(os.path.join(path2, "*.parquet"))
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(one, columns=["doc_id"])["doc_id"].to_pylist()
+    assert ids == sorted(ids)
