@@ -604,7 +604,10 @@ def dedup_incremental_from_store(spark, prefix: str, delta: DataFrame,
     tables — per-batch wall is a function of the BATCH, not the
     corpus. Identical output to dedup_incremental deriving the
     corpus side in-plan (md5 signatures are deterministic;
-    test-asserted)."""
+    test-asserted). ``k``/``bands``/``n`` MUST match the values the
+    store was built with — band ids and shingle grams are functions
+    of them, so a mismatch silently misses collisions; at real scale
+    version them into the table prefix."""
     return dedup_incremental(
         None, delta, threshold, k=k, bands=bands, n=n,
         id_col=id_col, text_col=text_col,
