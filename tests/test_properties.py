@@ -541,3 +541,73 @@ def test_remove_duplicated_spans_python_reference_and_conservation(
             # '' is ambiguous under the repo tokenization (an empty
             # doc IS one empty token), so round-trip only visible text
             assert len(r.clean_text.split(" ")) == r.n_tokens_clean
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),      # user
+              st.integers(min_value=0, max_value=12)),    # day
+    min_size=1, max_size=40))
+def test_dau_stickiness_matches_python_reference(spark, pairs):
+    """Trailing-7-day WAU via contribution-explode equals the direct
+    set computation day by day (including duplicate activity rows,
+    window edges, and gap days with no activity)."""
+    from flink_user_behavior_analysis_spark.operators.funnel import (
+        dau_stickiness_from_user_days,
+        user_day_activity,
+    )
+
+    rows = [(u, d * 86400) for u, d in pairs]
+    df = spark.createDataFrame(
+        [(u, sec) for u, sec in rows], "user_id long, sec long"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"))
+
+    ud = {(u, d) for u, d in pairs}
+    days = sorted({d for _, d in ud})
+    want = {}
+    for d in days:
+        dau = {u for u, dd in ud if dd == d}
+        wau = {u for u, dd in ud if d - 6 <= dd <= d}
+        want[d] = (len(dau), len(wau), round(len(dau) / len(wau), 4))
+
+    got = {r.day: (r.dau, r.wau, r.stickiness)
+           for r in dau_stickiness_from_user_days(
+               user_day_activity(df)).collect()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=1, max_value=500),
+                     min_size=1, max_size=30))
+def test_revenue_deciles_ntile_matches_python_reference(spark, vals):
+    """ntile(10) bucket boundaries equal the SQL-standard formula
+    (first n_rows % 10 buckets get the extra row) under the total
+    order (revenue desc, user asc) — ties and tiny user counts
+    included."""
+    rows = [(u, float(v), "purchase") for u, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, value double, event_type string")
+
+    # same per-user agg + ntile expression as queries.revenue_deciles
+    from pyspark.sql import Window
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = df.groupBy("user_id").agg(F.sum(cents).alias("_rc"))
+    w = Window.orderBy(F.col("_rc").desc(), F.col("user_id").asc())
+    got = {(r.decile, r.n_users)
+           for r in per_user
+           .withColumn("decile", F.ntile(10).over(w).cast("long"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+           .collect()}
+
+    n = len(vals)
+    base, extra = divmod(n, 10)
+    want = set()
+    for b in range(1, 11):
+        size = base + (1 if b <= extra else 0)
+        if size > 0:
+            want.add((b, size))
+    assert got == want
