@@ -217,6 +217,23 @@ def user_day_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of props_topk: the (event_type, k) counts as an
+    unbounded aggregation (get_json_object is a stateless codegen
+    projection on the stream); the top-5 rank — not a streaming
+    aggregation — composes on the drained counts per batch, the
+    error_spikes two-stage pattern."""
+    ensure_utc(spark)
+    ev = file_replay_stream(spark, sf_dir, "events")
+    k_val = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k_val.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 streaming: stream-stream interval join with watermarks
     (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner
@@ -526,4 +543,5 @@ STREAMING_QUERIES = {
     "funnel_step_events": funnel_step_events_stream,
     "user_weeks": user_week_stream,
     "user_days": user_day_stream,
+    "props_counts": props_counts_stream,
 }

@@ -557,3 +557,27 @@ def test_span_ingest_loop_with_additive_count_updates(spark, sf_dir,
         prefix = base.unionByName(batch)
 
     assert sorted(got_rows) == sorted(want_rows)
+
+
+def test_props_topk_composes_on_streamed_counts(spark, sf_dir):
+    """props_topk's streaming form: the (event_type, k) counts run as
+    an unbounded streaming aggregation; the top-5 rank over the
+    drained counts equals the batch query end to end."""
+    from pyspark.sql import Window
+
+    from flink_user_behavior_analysis_spark.streaming import (
+        props_counts_stream,
+    )
+
+    drained = run_available_now(props_counts_stream(spark, sf_dir))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("k").asc())
+    got = (
+        drained.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("event_type", "k", "n",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+    want = Q.QUERIES["props_topk"](spark, sf_dir)
+    cols = ["event_type", "k", "n", "rnk"]
+    assert _rows(got, cols) == _rows(want, cols)
