@@ -109,6 +109,7 @@ HEADLINE = [
     # pays only batch-side work)
     "dedup_incremental_stored",
     "duplicated_spans_inc_stored",
+    "source_overlap",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -56,3 +56,47 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = 5,
+                          id_col: str = "doc_id",
+                          source_col: str = "source",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every unordered source
+    pair, how many distinct token ``n``-grams appear in BOTH — the
+    diagnostic a mixture pipeline reads before weighting sources
+    (heavy overlap means double-counting the same content under two
+    names; Common Crawl vs a curated subset is the classic case).
+
+    Output: (source_a, source_b, n_shared_grams), source_a <
+    source_b lexicographically, pairs with zero overlap omitted.
+
+    Scale shape (100 TB): one (gram, source) distinct aggregation
+    (uniform md5-ish keys), then per-gram the DISTINCT SOURCE SET —
+    bounded by #sources, which is small by definition — exploded
+    into unordered pairs (<= |sources|^2 rows per gram, typically
+    1) and counted. NO doc-pair or gram-pair join ever exists; a
+    gram shared by millions of docs in two sources still contributes
+    exactly one (pair, gram) row.
+    """
+    gs = (
+        with_shingles(docs, id_col, text_col, n)
+        .join(docs.select(F.col(id_col),
+                          F.col(source_col).alias("_src")), id_col)
+        .select("_src", F.explode_outer("shingles").alias("gram"))
+        .where(F.col("gram").isNotNull())
+        .distinct()
+    )
+    per_gram = gs.groupBy("gram").agg(
+        F.array_sort(F.collect_set("_src")).alias("_srcs"))
+    pairs = per_gram.select(
+        F.explode(F.expr(
+            "flatten(transform(_srcs, (a, i) -> "
+            "transform(slice(_srcs, i + 2, size(_srcs)), "
+            "b -> struct(a AS source_a, b AS source_b))))"
+        )).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )

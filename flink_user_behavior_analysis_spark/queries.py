@@ -1566,6 +1566,7 @@ _GATE_HEAD: list[str] = [
     "props_topk",
     "dedup_incremental_stored",
     "duplicated_spans_inc_stored",
+    "source_overlap",
     # changed behavior in r6 (span-cut stage; residual IVFADC +
     # 0.5 floor) — must re-certify, so pinned in the window
     "curation_pipeline",

@@ -1468,6 +1468,45 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir), CONTAM_RATE, CONTAM_N)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: shared distinct 5-grams per
+    unordered source pair (operators/contamination.py:
+    source_overlap_matrix) — the double-counting diagnostic a mixture
+    pipeline reads before weighting sources."""
+    from .operators.contamination import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(spark, sf_dir), CONTAM_N)
+
+
+def _source_overlap_sql() -> str:
+    n = CONTAM_N
+    return f"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+    FROM documents
+), tok AS (
+    SELECT doc_id, string_split(ntext, ' ') AS w FROM norm
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(w) - {n - 2})])
+           END AS shingles
+    FROM tok
+), gs AS (
+    SELECT DISTINCT d.source AS src, g.gram
+    FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh) g
+    JOIN documents d USING (doc_id)
+    WHERE g.gram IS NOT NULL
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       COUNT(*)::BIGINT AS n_shared_grams
+FROM gs a JOIN gs b ON a.gram = b.gram AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
 def _contamination_sql() -> str:
     u = _D_MD5INT.format(x="'eval:' || doc_id::VARCHAR")
     n = CONTAM_N
@@ -2723,6 +2762,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
+    "source_overlap": q_source_overlap,
     "stratified_sample": q_stratified_docs,
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
@@ -2786,6 +2826,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "repetition_stats": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "contamination": _contamination_sql(),
+    "source_overlap": _source_overlap_sql(),
     "stratified_sample": _stratified_sql(),
     "chunk_docs": CHUNK_SQL,
     "pack_sequences": _pack_sql(),
