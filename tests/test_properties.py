@@ -31,6 +31,17 @@ US = 1_000_000
 HOUR = 3600
 
 
+def round_half_up(x: float, digits: int) -> float:
+    """Decimal HALF-UP on the shortest float repr — matches Spark's
+    round() (BigDecimal.valueOf -> HALF_UP) and DuckDB's round();
+    python's built-in round() is half-EVEN and diverges at exact .5
+    boundaries (hypothesis caught this in the BM25 reference)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP))
+
+
 def _df(spark, rows, schema):
     return spark.createDataFrame(rows, schema)
 
@@ -348,10 +359,12 @@ def test_lm_score_matches_python_reference(spark, docs):
     v = len(uni)
     want = {}
     for i, ts in enumerate(toks):
-        fs = [round(math.log((big[(a, b)] + 1) / (uni[a] + v)) * 1_000_000)
+        fs = [int(round_half_up(
+                  math.log((big[(a, b)] + 1) / (uni[a] + v)) * 1_000_000, 0))
               for a, b in zip(ts, ts[1:])]
         if fs:
-            want[i] = (len(fs), round(sum(fs) / 1_000_000 / len(fs), 4))
+            want[i] = (len(fs),
+                       round_half_up(sum(fs) / 1_000_000 / len(fs), 4))
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
@@ -369,7 +382,10 @@ def test_lm_score_matches_python_reference(spark, docs):
                     min_size=1, max_size=3))
 def test_bm25_matches_python_reference(spark, docs, qterms):
     """bm25_topk equals a direct python BM25 (Lucene idf, k1=1.2,
-    b=0.75, fixed-point fold) on arbitrary tiny corpora."""
+    b=0.75, fixed-point fold) on arbitrary tiny corpora. Rounding in
+    the reference is decimal HALF-UP on the shortest float repr —
+    python's built-in round() is half-EVEN, which hypothesis caught
+    diverging from Spark/DuckDB round() at an exact .5 boundary."""
     import math
 
     from flink_user_behavior_analysis_spark.operators.text import bm25_topk
@@ -398,11 +414,11 @@ def test_bm25_matches_python_reference(spark, docs, qterms):
             idf = math.log((n_docs - df_[w_] + 0.5) / (df_[w_] + 0.5) + 1.0)
             s_ = idf * t * (k1 + 1.0) / (
                 t + k1 * (1.0 - b + b * dl[i] / avgdl))
-            f = round(s_ * 1_000_000)
+            f = int(round_half_up(s_ * 1_000_000, 0))
             scores[i] = scores.get(i, 0) + f
             hits[i] = hits.get(i, 0) + 1
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
-    want = {(i, round(s_ / 1_000_000, 4), hits[i], rnk + 1)
+    want = {(i, round_half_up(s_ / 1_000_000, 4), hits[i], rnk + 1)
             for rnk, (i, s_) in enumerate(ranked)}
 
     ddf = spark.createDataFrame(
