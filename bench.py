@@ -223,18 +223,24 @@ def main() -> None:
         os.environ.pop("SPARK_GRAFT_FAST_HASH", None)
 
     total = round(sum(per_query.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "fast_hash": fast_hash,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "fast_hash": fast_hash,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    print(line)
+    # durability (VERDICT r6 #5): the driver captures stdout's tail,
+    # which truncated BENCH_r06's 78-entry line mid-stream — also
+    # land the same dict in a committed file so the headline numbers
+    # are never tail-dependent
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 

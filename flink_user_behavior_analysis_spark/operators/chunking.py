@@ -432,7 +432,11 @@ def span_store_counts(corpus: DataFrame, prefix: str,
 
     occ = span_fp_counts(corpus, span_tokens, id_col, text_col)
     write_bucketed(occ, f"{prefix}_spancounts", "fp", n_buckets)
-    return [f"{prefix}_spancounts"]
+    names = [f"{prefix}_spancounts"]
+    from ..sources.readers import write_manifest
+
+    write_manifest(corpus.sparkSession, prefix, names)  # commit marker LAST
+    return names
 
 
 def duplicated_spans_incremental_from_store(

@@ -592,7 +592,11 @@ def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
     sh = with_shingles(corpus, id_col, text_col, n).select(
         F.col(id_col), F.col("shingles"))
     write_bucketed(sh, f"{prefix}_shingles", id_col, n_buckets)
-    return [f"{prefix}_buckets", f"{prefix}_shingles"]
+    names = [f"{prefix}_buckets", f"{prefix}_shingles"]
+    from ..sources.readers import write_manifest
+
+    write_manifest(corpus.sparkSession, prefix, names)  # commit marker LAST
+    return names
 
 
 def dedup_incremental_from_store(spark, prefix: str, delta: DataFrame,

@@ -1685,6 +1685,12 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
         save_as_table(truth.write.mode("overwrite").format("parquet"),
                       f"{prefix}_truth")
         names.append(f"{prefix}_truth")
+    # commit marker LAST (VERDICT r6 #2): a crash mid-build leaves no
+    # manifest, so index_ready-gated callers rebuild instead of
+    # trusting a half-index
+    from ..sources.readers import write_manifest
+
+    write_manifest(spark, prefix, names)
     return names
 
 
@@ -1752,7 +1758,11 @@ def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
                   f"{prefix}_codebook")
     enc = pq_encode(corpus, model, id_col, vec_col)
     write_bucketed(enc, f"{prefix}_codes", id_col, n_buckets)
-    return [f"{prefix}_codebook", f"{prefix}_codes"]
+    names = [f"{prefix}_codebook", f"{prefix}_codes"]
+    from ..sources.readers import write_manifest
+
+    write_manifest(spark, prefix, names)  # commit marker, written LAST
+    return names
 
 
 def pq_read_index(spark, prefix: str) -> tuple[dict, DataFrame]:
@@ -1768,3 +1778,117 @@ def pq_read_index(spark, prefix: str) -> tuple[dict, DataFrame]:
         books[r.sub][r.cent][r.dim] = r.val
     model = {"m": m, "sub": sub, "codebooks": books}
     return model, spark.table(f"{prefix}_codes")
+
+
+def semdedup_assign(vecs: DataFrame, centroids: list[list[float]],
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Assign every vector to its argmax-cosine centroid — the
+    cluster step of SemDeDup (Abbas et al. 2023, arXiv:2303.09540).
+
+    Entirely JVM-side: the k centroids are a broadcast k-row frame,
+    the dot/norm are zip_with+aggregate folds in DOUBLE, and the
+    argmax is a row_number window PARTITIONED BY the vector id (never
+    a global window). Cosines are rounded to 1e-6 BEFORE the argmax
+    and the tie rule is lowest cell index, so an oracle recomputing
+    the assignment from the same stored centroid table (DuckDB
+    list_dot_product) reproduces it bit-for-bit.
+
+    Returns (id, cell, cent_sim) with cent_sim rounded to 6 dp.
+    100 TB shape: one corpus scan x k broadcast rows (k is small);
+    the only shuffle is the per-id window, which AQE coalesces — no
+    all-pairs anything.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = vecs.sparkSession
+    crows = [(i, [float(x) for x in c],
+              math.sqrt(sum(float(x) * float(x) for x in c)))
+             for i, c in enumerate(centroids)]
+    cdf = spark.createDataFrame(
+        crows, "cell INT, cvec ARRAY<DOUBLE>, cnorm DOUBLE")
+    v = vecs.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        norm_expr(vec_col).alias("_nrm"),
+    )
+    j = v.join(F.broadcast(cdf))
+    cs = F.when((F.col("_nrm") == 0) | (F.col("cnorm") == 0), F.lit(0.0)) \
+        .otherwise(dot_expr("_v", "cvec") / (F.col("_nrm") * F.col("cnorm")))
+    j = j.withColumn("_cs", F.round(cs, 6))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(),
+                                           F.col("cell").asc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("cell"),
+                F.col("_cs").alias("cent_sim"))
+    )
+
+
+def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
+                   eps: float, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop near-SEMANTIC duplicates
+    inside k-means clusters of the embedding space — the
+    embedding-cluster dedup family the repo's exact/minhash/simhash/
+    embedding-pair/span operators did not yet cover.
+
+    Keep-priority inside a cluster is (cent_sim ASC, id ASC) — the
+    member FARTHEST from its centroid is kept first, the paper's
+    representative-selection rule. A member is 'dropped' iff some
+    strictly-higher-priority cluster-mate is >= eps cosine-similar
+    to it (pair cosines rounded to 4 dp, the repo's cross-engine
+    cosine contract). One level, no recursion — deterministic and
+    exactly SQL-expressible, so a DuckDB oracle recomputes the whole
+    decision from the stored centroid table alone.
+
+    Scale shape: pair comparison happens ONLY within a cluster (the
+    pair join is keyed on cell — clusters are the paper's device for
+    bounding the quadratic); the directed priority join emits each
+    unordered pair once. Degenerate clustering (one giant cell)
+    degrades toward all-pairs — measured in the zipf harness; the
+    blocked-GEMM variant (cosine_pairs_lsh) is the escape hatch if a
+    corpus clusters that badly.
+
+    Output: (id, cell, cent_sim, status in {'kept','dropped'}).
+    """
+    assign = semdedup_assign(vecs, centroids, id_col, vec_col)
+    emb = vecs.select(
+        F.col(id_col).alias("_eid"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+        norm_expr(vec_col).alias("_en"),
+    )
+    a = assign.join(emb, assign[id_col] == emb["_eid"]).drop("_eid")
+    hi = a.select(F.col(id_col).alias("a_id"), F.col("cell").alias("a_cell"),
+                  F.col("cent_sim").alias("a_cs"), F.col("_ev").alias("a_v"),
+                  F.col("_en").alias("a_n"))
+    lo = a.select(F.col(id_col).alias("b_id"), F.col("cell").alias("b_cell"),
+                  F.col("cent_sim").alias("b_cs"), F.col("_ev").alias("b_v"),
+                  F.col("_en").alias("b_n"))
+    # directed on priority: a strictly before b in (cent_sim, id) order
+    pairs = hi.join(
+        lo,
+        (F.col("a_cell") == F.col("b_cell"))
+        & ((F.col("a_cs") < F.col("b_cs"))
+           | ((F.col("a_cs") == F.col("b_cs"))
+              & (F.col("a_id") < F.col("b_id")))),
+    )
+    pcos = F.when((F.col("a_n") == 0) | (F.col("b_n") == 0), F.lit(0.0)) \
+        .otherwise(dot_expr("a_v", "b_v") / (F.col("a_n") * F.col("b_n")))
+    dropped = (
+        pairs.where(F.round(pcos, 4) >= eps)
+        .select(F.col("b_id").alias("_did"))
+        .distinct()
+    )
+    return (
+        assign.join(dropped, assign[id_col] == dropped["_did"], "left")
+        .select(
+            F.col(id_col), F.col("cell").cast("long").alias("cell"),
+            F.col("cent_sim"),
+            F.when(F.col("_did").isNotNull(), F.lit("dropped"))
+            .otherwise(F.lit("kept")).alias("status"),
+        )
+    )

@@ -465,7 +465,11 @@ def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
                   f"{prefix}_df")
     save_as_table(idx["consts"].write.mode("overwrite").format("parquet"),
                   f"{prefix}_consts")
-    return [f"{prefix}_{s}" for s in ("tf", "dl", "df", "consts")]
+    names = [f"{prefix}_{s}" for s in ("tf", "dl", "df", "consts")]
+    from ..sources.readers import write_manifest
+
+    write_manifest(docs.sparkSession, prefix, names)  # commit marker LAST
+    return names
 
 
 def bm25_read_index(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:
@@ -667,7 +671,11 @@ def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
     write_bucketed(m["uni"], f"{prefix}_uni", "w", n_buckets)
     save_as_table(m["vocab"].write.mode("overwrite").format("parquet"),
                   f"{prefix}_vocab")
-    return [f"{prefix}_{s}" for s in ("big", "uni", "vocab")]
+    names = [f"{prefix}_{s}" for s in ("big", "uni", "vocab")]
+    from ..sources.readers import write_manifest
+
+    write_manifest(docs.sparkSession, prefix, names)  # commit marker LAST
+    return names
 
 
 def lm_read_model(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:

@@ -1199,6 +1199,13 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
     )
+    # BOUNDEDNESS ASSUMPTION: this global (unpartitioned) row_number
+    # is safe ONLY because its input is the post-HAVING survivor set
+    # — Q18 survivors are rare by construction (46 rows at sf0.1),
+    # so one task sorting them is fine at any corpus scale. Do NOT
+    # copy this window onto an unbounded frame; use
+    # global_rank/_global_rank_with_total (distributed two-pass
+    # rank) as revenue_deciles does.
     w = Window.orderBy(F.col("_q10").desc(), F.col("o_orderkey").asc())
     return (
         joined.withColumn("rnk", F.row_number().over(w))
@@ -1357,21 +1364,104 @@ FROM sess
 """
 
 
+def global_rank(df: DataFrame, order_cols: list, rank_name: str = "_rnk",
+                num_partitions: int | None = None) -> DataFrame:
+    """DISTRIBUTED exact global rank (dense total order, 1-based) —
+    the scale-correct replacement for ``row_number()/ntile()`` over an
+    unpartitioned window, which funnels the whole frame through ONE
+    task (VERDICT r6 #1). Classic two-pass distributed sort-rank:
+
+    1. range-partition on the order columns (sampled range exchange —
+       each partition holds a contiguous slice of the total order);
+    2. count rows per partition (a #partitions-sized collect) and
+       prefix-sum into per-partition rank offsets;
+    3. rank = row_number within partition (each task sorts only its
+       own slice) + its partition's offset, joined in via a broadcast
+       of the tiny offsets frame.
+
+    The frame is persisted before step 2 so the sampled range
+    boundaries — and therefore partition ids — are identical across
+    the two passes. ``order_cols`` must be a strict total order
+    (break ties explicitly) or ranks within a tie group are
+    partition-order dependent.
+    """
+    ranked, _ = _global_rank_with_total(df, order_cols, rank_name,
+                                        num_partitions)
+    return ranked
+
+
+def _global_rank_with_total(df: DataFrame, order_cols: list,
+                            rank_name: str = "_rnk",
+                            num_partitions: int | None = None,
+                            ) -> tuple[DataFrame, int]:
+    """global_rank plus the total row count — the count falls out of
+    the per-partition size collect for free, so callers that need n
+    (ntile bucketing) don't pay a third job."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (df.repartitionByRange(n_parts, *order_cols)
+              .withColumn("_pid", F.spark_partition_id())
+              .persist())
+    sizes = {r._pid: r.cnt
+             for r in ranged.groupBy("_pid")
+             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(sizes):
+        offsets.append((pid, acc))
+        acc += sizes[pid]
+    off = spark.createDataFrame(offsets or [(0, 0)],
+                                "_pid INT, _off BIGINT")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (ranged.join(F.broadcast(off), "_pid")
+              .withColumn(rank_name,
+                          (F.row_number().over(w) + F.col("_off"))
+                          .cast("long"))
+              .drop("_pid", "_off"))
+    return ranked, acc
+
+
+def _ntile_from_rank(rank_col, n_rows: int, n_buckets: int):
+    """ANSI ntile bucket from a global 1-based rank: the first
+    ``n_rows % n_buckets`` buckets take ``n_rows // n_buckets + 1``
+    rows, the rest one fewer — the exact distribution Spark's and
+    DuckDB's ntile() both implement, so bucketing from a distributed
+    rank stays hash-identical to the single-window formulation."""
+    q, rem = divmod(n_rows, n_buckets)
+    big = rem * (q + 1)  # rows covered by the oversized buckets
+    if q == 0:
+        return rank_col  # fewer rows than buckets: bucket == rank
+    return F.when(
+        rank_col <= big, F.ceil(rank_col / F.lit(q + 1))
+    ).otherwise(
+        F.lit(rem) + F.ceil((rank_col - F.lit(big)) / F.lit(q))
+    ).cast("long")
+
+
 def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user purchase revenue bucketed into ntile(10) deciles —
     the LTV-skew report. Revenue folds to integer cents before the
-    per-user sum (order-independent, engine-exact); the decile
-    assignment is a single window over the per-user aggregate (one
-    row per user, not per event) with a total order (revenue desc,
-    user asc) so ties bucket identically in both engines."""
-    from pyspark.sql import Window
+    per-user sum (order-independent, engine-exact).
 
+    The decile assignment is DISTRIBUTED (VERDICT r6 #1 fix): an
+    unpartitioned ``ntile(10) over (order by ...)`` would pull every
+    per-user row through a single task — a one-executor wall at
+    10^8+ users. Instead the total order (revenue desc, user asc) is
+    range-partitioned and ranked with per-partition offsets
+    (global_rank above), and the decile is computed from the rank
+    with the exact ANSI ntile distribution — hash-identical to the
+    oracle's ntile(10) while every task sorts only its own range
+    slice."""
     ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
     cents = F.round(F.col("value") * 100).cast("long")
     per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("_rc"))
-    w = Window.orderBy(F.col("_rc").desc(), F.col("user_id").asc())
+    ranked, n_users = _global_rank_with_total(
+        per_user, [F.col("_rc").desc(), F.col("user_id").asc()])
     return (
-        per_user.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        ranked.withColumn(
+            "decile", _ntile_from_rank(F.col("_rnk"), n_users, 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_users"),
@@ -1395,6 +1485,79 @@ SELECT decile, COUNT(*)::BIGINT AS n_users,
        sum(rc)::DOUBLE / 100 AS revenue,
        round(avg(rc::DOUBLE / 100), 4) AS avg_revenue
 FROM bucketed GROUP BY 1
+"""
+
+
+TRADE_NATIONS = ("NATION_9", "NATION_10")
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped (volume shipping): revenue between two trading
+    nations by (supplier nation, customer nation, ship year), both
+    directions. Scale shape: the fact table is filtered and projected
+    FIRST (shipdate range + needed columns only — predicate/column
+    pushdown to the parquet scan), the four dimension legs (supplier,
+    customer via orders, 2x nation) are BROADCAST joins — zero
+    shuffle on any dimension; the only exchange is the final
+    3-key rollup. Revenue folds to integer cents pre-agg for
+    engine-exact sums."""
+    n1, n2 = TRADE_NATIONS
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey", "s_nationkey")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_nationkey")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("long")
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg((F.sum(cents).cast("double") / 100).alias("revenue"))
+    )
+
+
+NATION_TRADE_FLOWS_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS l_year,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT
+           )::DOUBLE / 100 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = '{TRADE_NATIONS[0]}'
+        AND cn.n_name = '{TRADE_NATIONS[1]}')
+       OR (sn.n_name = '{TRADE_NATIONS[1]}'
+           AND cn.n_name = '{TRADE_NATIONS[0]}'))
+GROUP BY 1, 2, 3
 """
 
 
@@ -1511,75 +1674,18 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dau_stickiness": dau_stickiness,
     "session_stats": session_stats,
     "revenue_deciles": revenue_deciles,
+    "nation_trade_flows": nation_trade_flows,
     "props_topk": props_topk,
     **PIPELINE_QUERIES,
 }
 
 _GATE_HEAD: list[str] = [
-    # round-6 rotation (VERDICT r5 next-round #4): the 35 queries
-    # whose freshest green row is r4 (r5 tail + r5 window overflow)
-    # return for fresh driver rows, plus this round's three new
-    # stored-serving / transform queries (never gated before)
-    "ad_stats_by_province",
-    "login_fail",
-    "blacklist_warnings",
-    "blacklist_filtered",
-    "sessionize_users_native",
-    "heavy_hitters",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_mt",
-    "doc_split",
-    "sample_docs",
-    "ann_topk",
-    "ann_topk_lsh",
-    "ann_topk_lsh_mp",
-    "ann_topk_ivf",
-    "quantize_embeddings",
-    "text_stats",
-    "language_id",
-    "token_vocab",
-    "corpus_quantiles",
-    "corpus_quantiles_approx",
-    "repetition_stats",
-    "tfidf_top_terms",
-    "contamination",
-    "bm25_topk",
-    "source_stats",
-    "chunk_containment",
-    "dedup_clusters_star",
-    "mixture_sample",
-    "lm_score",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "remove_dup_spans",
-    "hybrid_retrieval_stored",
-    "ann_topk_ivfpq_stored",
-    "large_volume_orders",
-    "priority_late_orders",
-    "dau_stickiness",
-    "session_stats",
-    "revenue_deciles",
-    "props_topk",
-    "dedup_incremental_stored",
-    "duplicated_spans_inc_stored",
-    "source_overlap",
-    # changed behavior in r6 (span-cut stage; residual IVFADC +
-    # 0.5 floor) — must re-certify, so pinned in the window
-    "curation_pipeline",
-    "ann_topk_ivfpq",
-]
-
-_GATE_TAIL: list[str] = [
-    # all hash-green in CORRECTNESS_r05 and UNCHANGED this round —
-    # each can sit out exactly one round (the two-round staleness
-    # test forces them back by r7). curation_pipeline and
-    # ann_topk_ivfpq changed behavior in r6 (span-cut stage;
-    # residual IVFADC + 0.5 recall floor) so they stay IN window.
-    "unique_visitors_approx",
+    # round-7 rotation (VERDICT r6 next-round #4): the 47 queries
+    # whose freshest green row is r5 (the r6 tail) return for fresh
+    # driver rows, plus revenue_deciles (decile assignment rewritten
+    # distributed this round — must re-certify against the unchanged
+    # oracle) and this round's two new queries (dedup_semantic,
+    # nation_trade_flows — never gated before).
     "login_fail_cep",
     "login_fail_fb",
     "view_then_purchase",
@@ -1627,6 +1733,66 @@ _GATE_TAIL: list[str] = [
     "marketing_total",
     "funnel_conversion",
     "retention_weekly",
+    "revenue_deciles",
+    "dedup_semantic",
+    "nation_trade_flows",
+]
+
+_GATE_TAIL: list[str] = [
+    # all hash-green in CORRECTNESS_r06 and UNCHANGED this round —
+    # each can sit out exactly one round (the two-round staleness
+    # test forces them back by r8). The stored-twin gates now check
+    # the crash-atomic manifest, but their output semantics are
+    # identical, so their r6 rows remain valid.
+    "unique_visitors_approx",
+    "ad_stats_by_province",
+    "login_fail",
+    "blacklist_warnings",
+    "blacklist_filtered",
+    "sessionize_users_native",
+    "heavy_hitters",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh",
+    "dedup_embedding_cosine_lsh_mt",
+    "doc_split",
+    "sample_docs",
+    "ann_topk",
+    "ann_topk_lsh",
+    "ann_topk_lsh_mp",
+    "ann_topk_ivf",
+    "quantize_embeddings",
+    "text_stats",
+    "language_id",
+    "token_vocab",
+    "corpus_quantiles",
+    "corpus_quantiles_approx",
+    "repetition_stats",
+    "tfidf_top_terms",
+    "contamination",
+    "bm25_topk",
+    "source_stats",
+    "chunk_containment",
+    "dedup_clusters_star",
+    "mixture_sample",
+    "lm_score",
+    "winnow_fingerprints",
+    "winnow_overlap",
+    "remove_dup_spans",
+    "hybrid_retrieval_stored",
+    "ann_topk_ivfpq_stored",
+    "large_volume_orders",
+    "priority_late_orders",
+    "dau_stickiness",
+    "session_stats",
+    "props_topk",
+    "dedup_incremental_stored",
+    "duplicated_spans_inc_stored",
+    "source_overlap",
+    "curation_pipeline",
+    "ann_topk_ivfpq",
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1675,6 +1841,7 @@ ORACLES: dict[str, str] = {
     "dau_stickiness": DAU_STICKINESS_SQL,
     "session_stats": SESSION_STATS_SQL,
     "revenue_deciles": REVENUE_DECILES_SQL,
+    "nation_trade_flows": NATION_TRADE_FLOWS_SQL,
     "props_topk": PROPS_TOPK_SQL,
     **PIPELINE_ORACLES,
 }

@@ -10,6 +10,7 @@ Registered into the driver contract via queries.QUERIES/ORACLES.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -312,7 +313,7 @@ def q_dedup_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     is_delta = hash_uniform("doc_id", "delta") < DELTA_RATE
     prefix = f"dedup_{_artifact_tag(sf_dir)}"
-    if not spark.catalog.tableExists(f"{prefix}_buckets"):
+    if not _index_ready(spark, prefix):
         from .operators.dedup import dedup_store_corpus
 
         dedup_store_corpus(docs.where(~is_delta), prefix,
@@ -334,7 +335,7 @@ def q_duplicated_spans_inc_stored(spark: SparkSession,
     docs = _docs(spark, sf_dir)
     is_delta = hash_uniform("doc_id", "delta") < DELTA_RATE
     prefix = f"spans_{_artifact_tag(sf_dir)}"
-    if not spark.catalog.tableExists(f"{prefix}_spancounts"):
+    if not _index_ready(spark, prefix):
         from .operators.chunking import span_store_counts
 
         span_store_counts(docs.where(~is_delta), prefix, SPAN_TOKENS)
@@ -664,6 +665,17 @@ def _artifact_tag(sf_dir: str) -> str:
     return _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
 
 
+def _index_ready(spark: SparkSession, prefix: str) -> bool:
+    """Crash-atomic stored-index gate (VERDICT r6 #2): trust a stored
+    index only when its manifest — written LAST by every
+    *_store_* builder — exists and every table it lists exists. A
+    build that crashed between artifact writes therefore triggers a
+    rebuild instead of a permanent half-index failure."""
+    from .sources.readers import index_ready
+
+    return index_ready(spark, prefix)
+
+
 def q_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION BM25 shape (VERDICT r4 next-round #5): the inverted
     index is a STORED artifact — built once per (corpus, sf) into
@@ -680,7 +692,7 @@ def q_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prefix = f"bm25_{_artifact_tag(sf_dir)}"
-    if not spark.catalog.tableExists(f"{prefix}_consts"):
+    if not _index_ready(spark, prefix):
         bm25_store_index(_docs(spark, sf_dir), prefix)
     qdf = spark.createDataFrame(BM25_QUERIES,
                                 "query_id long, query_text string")
@@ -696,7 +708,7 @@ def q_lm_score_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import lm_read_model, lm_score_from_model, lm_store_model
 
     prefix = f"lm_{_artifact_tag(sf_dir)}"
-    if not spark.catalog.tableExists(f"{prefix}_vocab"):
+    if not _index_ready(spark, prefix):
         lm_store_model(_docs(spark, sf_dir), prefix)
     return lm_score_from_model(lm_read_model(spark, prefix),
                                _docs(spark, sf_dir))
@@ -2132,7 +2144,7 @@ def q_hybrid_retrieval_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prefix = f"bm25_{_artifact_tag(sf_dir)}"
-    if not spark.catalog.tableExists(f"{prefix}_consts"):
+    if not _index_ready(spark, prefix):
         from .operators.text import bm25_store_index
 
         bm25_store_index(_docs(spark, sf_dir), prefix)
@@ -2670,7 +2682,7 @@ def q_ann_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = f"ivfpq_{_artifact_tag(sf_dir)}"
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    if not spark.catalog.tableExists(f"{prefix}_codes"):
+    if not _index_ready(spark, prefix):
         from .operators.similarity import ivfpq_store_index
 
         ivfpq_store_index(embs, prefix, n_centroids=IVFPQ_CELLS,
@@ -2699,7 +2711,7 @@ def q_ann_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import pq_read_index, pq_topk
 
     prefix = f"pq_{_artifact_tag(sf_dir)}"
-    if not spark.catalog.tableExists(f"{prefix}_codebook"):
+    if not _index_ready(spark, prefix):
         from .operators.similarity import pq_store_index
 
         pq_store_index(_embs(spark, sf_dir), prefix,
@@ -2732,9 +2744,141 @@ SELECT (SELECT COUNT(*) FROM embeddings
 """
 
 
+# ------------------------------------------------------- semantic dedup
+
+SEMDEDUP_K = 8
+SEMDEDUP_EPS = COSINE_T  # same near-dup cosine bar as the pair dedups
+SEMDEDUP_ITERS = 3
+
+
+# The clustering model is a CANONICAL committed artifact, trained
+# once (deterministically) on the gating corpus and reused for every
+# scale factor — the production shape: one model version serves all
+# data versions, and the DuckDB oracle can bake a single path.
+SEMDEDUP_TRAIN_DIR = os.environ.get(
+    "SPARK_GRAFT_SEMDEDUP_TRAIN_DIR", "/root/testdata/sf0.01")
+
+
+def _semdedup_centroid_path() -> str:
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return _os.path.join(repo, ".artifacts", "semdedup_centroids.parquet")
+
+
+def _semdedup_write_centroids(path: str, cents: list[list[float]]) -> None:
+    """Single-file parquet via tmp+rename (atomic on one filesystem)
+    — the k x d centroid table is tiny and deterministic, so the
+    committed artifact doubles as the oracle's input."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(c, d, float(v)) for c, vec in enumerate(cents)
+            for d, v in enumerate(vec)]
+    tbl = pa.table({
+        "cell": pa.array([r[0] for r in rows], pa.int32()),
+        "dim": pa.array([r[1] for r in rows], pa.int32()),
+        "val": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    _os.replace(tmp, path)
+
+
+def _semdedup_read_centroids(path: str) -> list[list[float]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pydict()
+    k = max(t["cell"]) + 1
+    d = max(t["dim"]) + 1
+    cents = [[0.0] * d for _ in range(k)]
+    for c, dim, v in zip(t["cell"], t["dim"], t["val"]):
+        cents[c][dim] = v
+    return cents
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate removal over k-means clusters of the embedding
+    space (operators/similarity.py:semantic_dedup). The spherical
+    k-means fit (kmeans_fit — deterministic: content-hash init,
+    fixed-point update) runs once per (corpus, sf) and lands as a
+    committed (cell, dim, val) parquet artifact; the DuckDB oracle
+    reads THAT table and independently recomputes the assignment,
+    the keep-priority order, and every within-cluster pair decision
+    from the embeddings view — only the iterative fit is trusted,
+    every decision is re-derived. Pair comparisons are cluster-local
+    (the paper's device for bounding the quadratic)."""
+    from .operators.similarity import kmeans_fit, semantic_dedup
+
+    import os as _os
+
+    path = _semdedup_centroid_path()
+    if not _os.path.exists(path):
+        cents = kmeans_fit(_embs(spark, SEMDEDUP_TRAIN_DIR),
+                           SEMDEDUP_K, iters=SEMDEDUP_ITERS,
+                           metric="cosine")
+        _semdedup_write_centroids(path, cents)
+    cents = _semdedup_read_centroids(path)
+    return semantic_dedup(_embs(spark, sf_dir), cents, SEMDEDUP_EPS)
+
+
+def _dedup_semantic_sql() -> str:
+    """Full recompute oracle: trusts ONLY the stored centroid table
+    (the iterative fit); assignment, priorities, pair cosines, and
+    the drop rule are all re-derived in SQL. The path is the single
+    canonical committed model artifact, valid at every sf."""
+    path = _semdedup_centroid_path()
+    return f"""
+WITH cent AS (
+    SELECT cell, list(val ORDER BY dim) AS cvec
+    FROM read_parquet('{path}') GROUP BY cell
+), centn AS (
+    SELECT cell, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+    FROM cent
+), emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS nrm
+    FROM embeddings
+), scored AS (
+    SELECT e.vec_id, c.cell,
+           round(CASE WHEN e.nrm = 0 OR c.cnorm = 0 THEN 0.0
+                 ELSE list_dot_product(e.v, c.cvec) / (e.nrm * c.cnorm)
+                 END, 6) AS cs
+    FROM emb e CROSS JOIN centn c
+), assign AS (
+    SELECT vec_id, cell, cs AS cent_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), dropped AS (
+    SELECT DISTINCT b.vec_id AS did
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell
+       AND (a.cent_sim < b.cent_sim
+            OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id))
+    JOIN emb ea ON ea.vec_id = a.vec_id
+    JOIN emb eb ON eb.vec_id = b.vec_id
+    WHERE round(CASE WHEN ea.nrm = 0 OR eb.nrm = 0 THEN 0.0
+                ELSE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
+                END, 4) >= {SEMDEDUP_EPS}
+)
+SELECT a.vec_id, a.cell::BIGINT AS cell, a.cent_sim,
+       CASE WHEN d.did IS NOT NULL THEN 'dropped' ELSE 'kept' END
+           AS status
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.did
+"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_semantic": q_dedup_semantic,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2799,6 +2943,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_semantic": _dedup_semantic_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": _minhash_sql(),

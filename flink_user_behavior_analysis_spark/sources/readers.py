@@ -300,6 +300,35 @@ def save_as_table(writer, table: str) -> None:
         writer.saveAsTable(table)
 
 
+def write_manifest(spark, prefix: str, artifacts: list[str]) -> str:
+    """Crash-atomicity marker for multi-table stored indexes (VERDICT
+    r6 #2): a build that writes N artifact tables commits by writing
+    ``{prefix}_manifest`` LAST, listing every artifact it produced.
+    A crash between artifact writes leaves no manifest — readers that
+    gate on ``index_ready`` then rebuild (overwrite is idempotent)
+    instead of trusting a half-index forever. The manifest is one
+    tiny parquet table; at cluster scale the same role is played by a
+    _SUCCESS marker or a transactional catalog commit.
+    """
+    df = spark.createDataFrame([(a,) for a in artifacts],
+                               "artifact STRING")
+    save_as_table(df.write.mode("overwrite").format("parquet"),
+                  f"{prefix}_manifest")
+    return f"{prefix}_manifest"
+
+
+def index_ready(spark, prefix: str) -> bool:
+    """True iff ``{prefix}_manifest`` exists AND every artifact table
+    it lists exists. Covers both failure shapes: a crash before the
+    manifest write (manifest missing) and an artifact dropped after a
+    successful build (manifest lists a table the catalog lost)."""
+    if not spark.catalog.tableExists(f"{prefix}_manifest"):
+        return False
+    listed = [r.artifact
+              for r in spark.table(f"{prefix}_manifest").collect()]
+    return all(spark.catalog.tableExists(t) for t in listed)
+
+
 def compact_parquet(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
                     sort_col: str | None = None) -> dict:
     """Small-files compaction — the maintenance job every long-running

@@ -1,0 +1,111 @@
+"""Crash-atomicity of stored-index builds (VERDICT r6 #2).
+
+Every multi-table *_store_* builder writes a ``{prefix}_manifest``
+table LAST; every stored-twin query gates on
+``sources.readers.index_ready`` (manifest exists AND every listed
+artifact exists) instead of probing one mid-build artifact. These
+tests simulate the two failure shapes a tableExists-on-one-artifact
+gate could not survive:
+
+1. crash BETWEEN artifact writes — some artifacts exist, no manifest;
+2. an artifact table lost AFTER a successful build — manifest
+   present but stale.
+
+In both cases the gated query must REBUILD and return the same
+hash-green result, not fail permanently.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_user_behavior_analysis_spark.sources.readers import (
+    index_ready,
+    write_manifest,
+)
+
+
+def _drop(spark, table: str) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _drop_prefix(spark, prefix: str) -> None:
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            _drop(spark, t.name)
+
+
+def test_index_ready_requires_manifest_and_listed_tables(spark):
+    prefix = "t_atom_unit"
+    _drop_prefix(spark, prefix)
+    assert not index_ready(spark, prefix)
+    # manifest listing a table that does not exist -> not ready
+    write_manifest(spark, prefix, [f"{prefix}_part_a"])
+    assert not index_ready(spark, prefix)
+    spark.createDataFrame([(1,)], "x LONG").write.mode(
+        "overwrite").format("parquet").saveAsTable(f"{prefix}_part_a")
+    assert index_ready(spark, prefix)
+    # losing a listed artifact after commit -> not ready again
+    _drop(spark, f"{prefix}_part_a")
+    assert not index_ready(spark, prefix)
+    _drop_prefix(spark, prefix)
+
+
+@pytest.mark.parametrize("lost", ["manifest", "artifact"])
+def test_bm25_stored_query_rebuilds_after_partial_build(
+        spark, sf_dir, lost):
+    """End-to-end through the registered stored-twin gate: build the
+    bm25 artifacts for this sf, then simulate (a) a crash before the
+    manifest write by dropping the manifest, or (b) a lost artifact
+    with a surviving manifest by dropping the tf table — in both
+    cases the registered query must rebuild and produce the same
+    rows as a clean build."""
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _artifact_tag,
+        q_bm25_topk_stored,
+    )
+
+    prefix = f"bm25_{_artifact_tag(sf_dir)}"
+    _drop_prefix(spark, prefix)
+
+    clean = sorted(map(tuple, q_bm25_topk_stored(spark, sf_dir).collect()))
+    assert index_ready(spark, prefix)
+
+    if lost == "manifest":
+        _drop(spark, f"{prefix}_manifest")  # crash-before-commit shape
+    else:
+        _drop(spark, f"{prefix}_tf")  # artifact lost post-commit
+    assert not index_ready(spark, prefix)
+
+    again = sorted(map(tuple, q_bm25_topk_stored(spark, sf_dir).collect()))
+    assert again == clean
+    assert index_ready(spark, prefix)
+    _drop_prefix(spark, prefix)
+
+
+def test_every_store_builder_commits_a_manifest(spark, sf_dir):
+    """Each *_store_* builder writes its manifest LAST and
+    index_ready turns true exactly after a full build — exercised for
+    the incremental-dedup and span-count catalog artifacts too
+    (VERDICT r6 #8, same half-written-build exposure)."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        span_store_counts,
+    )
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        dedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir).limit(50)
+    for prefix, build in (
+        ("t_atom_dedup", lambda: dedup_store_corpus(docs, "t_atom_dedup")),
+        ("t_atom_span", lambda: span_store_counts(docs, "t_atom_span")),
+    ):
+        _drop_prefix(spark, prefix)
+        assert not index_ready(spark, prefix)
+        tables = build()
+        assert index_ready(spark, prefix)
+        listed = {r.artifact
+                  for r in spark.table(f"{prefix}_manifest").collect()}
+        assert listed == set(tables)
+        _drop_prefix(spark, prefix)

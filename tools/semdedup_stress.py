@@ -1,0 +1,97 @@
+"""Degenerate-cluster worst case for dedup_semantic (VERDICT r6 #6).
+
+SemDeDup's pair comparison is cluster-local, so its cost is
+sum over cells of |cell|^2 — the worst case is a corpus whose
+embeddings all collapse into ONE k-means cell (every pair compared).
+This measures that wall directly: N synthetic vectors that are (a)
+spread over k well-separated directions (balanced cells) vs (b) one
+dominant direction plus noise (one cell swallows ~everything), same
+N, same operator, best of 2.
+
+Vectors are deterministic (hash-seeded trig mix, no RNG) so reruns
+are comparable. Prints a markdown row and one JSON line for PERF.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_user_behavior_analysis_spark.operators.similarity import (  # noqa: E402
+    kmeans_fit,
+    semantic_dedup,
+)
+from flink_user_behavior_analysis_spark.session import get_spark  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+DIMS = 16
+K = 8
+EPS = 0.92
+
+
+def synth(spark, mode: str):
+    """Deterministic synthetic embeddings. balanced: 8 orthogonal-ish
+    base directions + small per-id jitter; degenerate: ONE base
+    direction + the same jitter (all vectors ~parallel -> one cell,
+    and most pairs exceed eps)."""
+    base = F.when(F.lit(mode) == "balanced", F.col("id") % K).otherwise(F.lit(0))
+    cols = []
+    for d in range(DIMS):
+        # direction template: 1 for the matching block of dims, ~0 else
+        tmpl = F.when((base * (DIMS // K) <= d)
+                      & (d < (base + 1) * (DIMS // K)),
+                      F.lit(1.0)).otherwise(F.lit(0.05))
+        jitter = F.sin(F.col("id") * F.lit(0.7718) + F.lit(d) * F.lit(1.3)) * 0.02
+        cols.append((tmpl + jitter).cast("double"))
+    return (spark.range(N)
+            .select(F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")))
+
+
+def best_of(fn, n: int = 2) -> float:
+    best = math.inf
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    spark = get_spark(app="semdedup-stress")
+    out = {}
+    for mode in ("balanced", "degenerate"):
+        vecs = synth(spark, mode).persist()
+        vecs.count()
+        cents = kmeans_fit(vecs, K, iters=3, metric="cosine")
+        res = semantic_dedup(vecs, cents, EPS)
+        cell_sizes = (res.groupBy("cell").count()
+                      .agg(F.max("count")).collect()[0][0])
+        wall = best_of(lambda: semantic_dedup(vecs, cents, EPS).count())
+        dropped = res.where("status='dropped'").count()
+        out[mode] = {"wall_s": round(wall, 2), "max_cell": int(cell_sizes),
+                     "dropped": int(dropped)}
+        print(f"  {mode}: {wall:.2f}s max_cell={cell_sizes} dropped={dropped}")
+        vecs.unpersist()
+    ratio = round(out["degenerate"]["wall_s"] / out["balanced"]["wall_s"], 2)
+    print("\n| op | balanced | degenerate (1 cell) | ratio | note |")
+    print("|---|---|---|---|---|")
+    print(f"| dedup_semantic N={N} | {out['balanced']['wall_s']}s "
+          f"(max cell {out['balanced']['max_cell']}) | "
+          f"{out['degenerate']['wall_s']}s "
+          f"(max cell {out['degenerate']['max_cell']}) | {ratio} | "
+          "pair join is cluster-local; one-cell collapse is the "
+          "quadratic wall — raise k or fall back to the blocked-GEMM "
+          "pair kernel (cosine_pairs_lsh) |")
+    print(json.dumps({"op": "dedup_semantic", "n": N, **out, "ratio": ratio}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
