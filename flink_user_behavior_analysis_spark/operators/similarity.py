@@ -1830,7 +1830,8 @@ def semdedup_assign(vecs: DataFrame, centroids: list[list[float]],
 
 def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                    eps: float, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cell: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop near-SEMANTIC duplicates
     inside k-means clusters of the embedding space — the
     embedding-cluster dedup family the repo's exact/minhash/simhash/
@@ -1854,8 +1855,27 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
     corpus clusters that badly.
 
     Output: (id, cell, cent_sim, status in {'kept','dropped'}).
+
+    ``max_cell`` (opt-in, costs one small aggregation job): raise
+    instead of silently running a quadratic pair join when a cell
+    exceeds the bound — the production guard against a STALE model
+    applied to a drifted corpus, where one old cell can swallow most
+    of the data (tools/semdedup_stress.py measures that wall: a
+    0.95N cell blew a 12-minute budget at N=40k where the balanced
+    fit took ~1 s). The cure is a refit (k-means re-splits dense
+    regions — measured ratio <= 1 for a FRESH fit even on 95/5
+    skew), more centroids, or the blocked-GEMM pair kernel.
     """
     assign = semdedup_assign(vecs, centroids, id_col, vec_col)
+    if max_cell is not None:
+        worst = (assign.groupBy("cell").count()
+                 .agg(F.max("count")).collect()[0][0]) or 0
+        if worst > max_cell:
+            raise ValueError(
+                f"semantic_dedup: largest cell has {worst} members "
+                f"(> max_cell={max_cell}); the model is stale or k "
+                f"is too small for this corpus — refit before "
+                f"running the quadratic within-cell pair join")
     emb = vecs.select(
         F.col(id_col).alias("_eid"),
         F.col(vec_col).cast("array<double>").alias("_ev"),

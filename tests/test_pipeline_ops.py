@@ -1338,3 +1338,31 @@ def test_span_stored_counts_probe_equals_inline(spark, sf_dir):
     finally:
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    """The stale-model guard: a centroid set that funnels every
+    vector into one cell must raise (with the refit instruction)
+    when max_cell is set, and still run fine without it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    vecs = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * 0 + 1.0).cast("double")
+                  for _ in range(4)]).alias("embedding"))
+    # two identical centroids -> tie rule sends ALL 50 to cell 0
+    cents = [[1.0, 1.0, 1.0, 1.0], [1.0, 1.0, 1.0, 1.0]]
+    with _pytest.raises(ValueError, match="refit"):
+        semantic_dedup(vecs, cents, 0.9, max_cell=10)
+    out = semantic_dedup(vecs, cents, 0.9)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert {r.cell for r in rows} == {0}
+    # identical vectors: priority keeps exactly one (lowest id)
+    kept = [r.vec_id for r in rows if r.status == "kept"]
+    assert kept == [0]

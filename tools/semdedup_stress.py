@@ -38,10 +38,15 @@ EPS = 0.92
 
 def synth(spark, mode: str):
     """Deterministic synthetic embeddings. balanced: 8 orthogonal-ish
-    base directions + small per-id jitter; degenerate: ONE base
-    direction + the same jitter (all vectors ~parallel -> one cell,
-    and most pairs exceed eps)."""
-    base = F.when(F.lit(mode) == "balanced", F.col("id") % K).otherwise(F.lit(0))
+    base directions round-robin (cells ~N/8 each); degenerate: 95% of
+    ids on ONE direction, the rest spread over the 7 minority
+    directions — k-means pins ~one centroid per direction, so one
+    cell swallows ~0.95N and the pair join goes quadratic in it."""
+    if mode == "balanced":
+        base = F.col("id") % K
+    else:
+        base = F.when(F.col("id") % 20 == 0,
+                      (F.col("id") % 7) + 1).otherwise(F.lit(0))
     cols = []
     for d in range(DIMS):
         # direction template: 1 for the matching block of dims, ~0 else
@@ -69,15 +74,30 @@ def main() -> None:
     for mode in ("balanced", "degenerate"):
         vecs = synth(spark, mode).persist()
         vecs.count()
-        cents = kmeans_fit(vecs, K, iters=3, metric="cosine")
-        res = semantic_dedup(vecs, cents, EPS)
-        cell_sizes = (res.groupBy("cell").count()
-                      .agg(F.max("count")).collect()[0][0])
+        if mode == "degenerate":
+            # the realistic wall: a STALE model (fit on yesterday's
+            # balanced corpus) applied to a drifted 95/5 corpus — the
+            # majority direction maps onto ONE of the old cells, which
+            # then swallows ~0.95N. A fresh fit on the skewed corpus
+            # does NOT show this: k-means re-splits dense regions
+            # (measured below), so the hazard is model staleness /
+            # under-provisioned k, not skewed data per se.
+            cents = kmeans_fit(synth(spark, "balanced"), K, iters=3,
+                               metric="cosine")
+        else:
+            cents = kmeans_fit(vecs, K, iters=3, metric="cosine")
         wall = best_of(lambda: semantic_dedup(vecs, cents, EPS).count())
-        dropped = res.where("status='dropped'").count()
-        out[mode] = {"wall_s": round(wall, 2), "max_cell": int(cell_sizes),
-                     "dropped": int(dropped)}
-        print(f"  {mode}: {wall:.2f}s max_cell={cell_sizes} dropped={dropped}")
+        # stats in ONE extra execution (the pair join is the cost)
+        stats = (semantic_dedup(vecs, cents, EPS)
+                 .groupBy("cell")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum(F.when(F.col("status") == "dropped", 1)
+                            .otherwise(0)).alias("d"))
+                 .agg(F.max("n"), F.sum("d")).collect()[0])
+        out[mode] = {"wall_s": round(wall, 2), "max_cell": int(stats[0]),
+                     "dropped": int(stats[1])}
+        print(f"  {mode}: {wall:.2f}s max_cell={stats[0]} "
+              f"dropped={stats[1]}", flush=True)
         vecs.unpersist()
     ratio = round(out["degenerate"]["wall_s"] / out["balanced"]["wall_s"], 2)
     print("\n| op | balanced | degenerate (1 cell) | ratio | note |")
