@@ -1786,45 +1786,55 @@ def semdedup_assign(vecs: DataFrame, centroids: list[list[float]],
     """Assign every vector to its argmax-cosine centroid — the
     cluster step of SemDeDup (Abbas et al. 2023, arXiv:2303.09540).
 
-    Entirely JVM-side: the k centroids are a broadcast k-row frame,
-    the dot/norm are zip_with+aggregate folds in DOUBLE, and the
-    argmax is a row_number window PARTITIONED BY the vector id (never
-    a global window). Cosines are rounded to 1e-6 BEFORE the argmax
-    and the tie rule is lowest cell index, so an oracle recomputing
-    the assignment from the same stored centroid table (DuckDB
-    list_dot_product) reproduces it bit-for-bit.
+    Entirely JVM-side, zero shuffle, ONE scan: the k centroids are
+    embedded as LITERAL arrays (k is small — a handful of hundred
+    doubles in codegen), each cosine is a zip_with+aggregate fold in
+    DOUBLE rounded to 1e-6, and the argmax is
+    array_position(cs_array, array_max(cs_array)) — first match, so
+    ties break to the lowest cell index. Assignment is therefore a
+    pure projection: no broadcast join, no per-id window, nothing
+    for AQE to coalesce. An oracle recomputing the assignment from
+    the same stored centroid table (DuckDB list_dot_product, same
+    rounding, row_number tie rule) reproduces it bit-for-bit.
 
     Returns (id, cell, cent_sim) with cent_sim rounded to 6 dp.
-    100 TB shape: one corpus scan x k broadcast rows (k is small);
-    the only shuffle is the per-id window, which AQE coalesces — no
-    all-pairs anything.
     """
+    return _semdedup_assigned(vecs, centroids, id_col, vec_col).select(
+        F.col(id_col), F.col("cell"), F.col("cent_sim"))
+
+
+def _semdedup_assigned(vecs: DataFrame, centroids: list[list[float]],
+                       id_col: str, vec_col: str) -> DataFrame:
+    """(id, cell, cent_sim, _v, _n) — the assignment projection with
+    the cast vector and norm kept, so semantic_dedup's branches all
+    derive from ONE frame instead of re-joining embeddings."""
     import math
 
-    from pyspark.sql import Window
-
-    spark = vecs.sparkSession
-    crows = [(i, [float(x) for x in c],
-              math.sqrt(sum(float(x) * float(x) for x in c)))
-             for i, c in enumerate(centroids)]
-    cdf = spark.createDataFrame(
-        crows, "cell INT, cvec ARRAY<DOUBLE>, cnorm DOUBLE")
     v = vecs.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        norm_expr(vec_col).alias("_nrm"),
+        norm_expr(vec_col).alias("_n"),
     )
-    j = v.join(F.broadcast(cdf))
-    cs = F.when((F.col("_nrm") == 0) | (F.col("cnorm") == 0), F.lit(0.0)) \
-        .otherwise(dot_expr("_v", "cvec") / (F.col("_nrm") * F.col("cnorm")))
-    j = j.withColumn("_cs", F.round(cs, 6))
-    w = Window.partitionBy(id_col).orderBy(F.col("_cs").desc(),
-                                           F.col("cell").asc())
-    return (
-        j.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col(id_col), F.col("cell"),
-                F.col("_cs").alias("cent_sim"))
+    cs_cols = []
+    for c in centroids:
+        cn = math.sqrt(sum(float(x) * float(x) for x in c))
+        lit_vec = F.array(*[F.lit(float(x)).cast("double") for x in c])
+        if cn == 0:
+            cs_cols.append(F.lit(0.0))
+            continue
+        dot = F.aggregate(
+            F.zip_with(F.col("_v"), lit_vec, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cs_cols.append(F.round(
+            F.when(F.col("_n") == 0, F.lit(0.0))
+            .otherwise(dot / (F.col("_n") * F.lit(cn))), 6))
+    arr = F.array(*cs_cols)
+    return v.select(
+        F.col(id_col),
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+        .alias("cell"),
+        F.array_max(arr).alias("cent_sim"),
+        F.col("_v"), F.col("_n"),
     )
 
 
@@ -1866,9 +1876,9 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
     regions — measured ratio <= 1 for a FRESH fit even on 95/5
     skew), more centroids, or the blocked-GEMM pair kernel.
     """
-    assign = semdedup_assign(vecs, centroids, id_col, vec_col)
+    a = _semdedup_assigned(vecs, centroids, id_col, vec_col)
     if max_cell is not None:
-        worst = (assign.groupBy("cell").count()
+        worst = (a.groupBy("cell").count()
                  .agg(F.max("count")).collect()[0][0]) or 0
         if worst > max_cell:
             raise ValueError(
@@ -1876,18 +1886,12 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                 f"(> max_cell={max_cell}); the model is stale or k "
                 f"is too small for this corpus — refit before "
                 f"running the quadratic within-cell pair join")
-    emb = vecs.select(
-        F.col(id_col).alias("_eid"),
-        F.col(vec_col).cast("array<double>").alias("_ev"),
-        norm_expr(vec_col).alias("_en"),
-    )
-    a = assign.join(emb, assign[id_col] == emb["_eid"]).drop("_eid")
     hi = a.select(F.col(id_col).alias("a_id"), F.col("cell").alias("a_cell"),
-                  F.col("cent_sim").alias("a_cs"), F.col("_ev").alias("a_v"),
-                  F.col("_en").alias("a_n"))
+                  F.col("cent_sim").alias("a_cs"), F.col("_v").alias("a_v"),
+                  F.col("_n").alias("a_n"))
     lo = a.select(F.col(id_col).alias("b_id"), F.col("cell").alias("b_cell"),
-                  F.col("cent_sim").alias("b_cs"), F.col("_ev").alias("b_v"),
-                  F.col("_en").alias("b_n"))
+                  F.col("cent_sim").alias("b_cs"), F.col("_v").alias("b_v"),
+                  F.col("_n").alias("b_n"))
     # directed on priority: a strictly before b in (cent_sim, id) order
     pairs = hi.join(
         lo,
@@ -1904,11 +1908,102 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
         .distinct()
     )
     return (
-        assign.join(dropped, assign[id_col] == dropped["_did"], "left")
+        a.join(dropped, a[id_col] == dropped["_did"], "left")
         .select(
             F.col(id_col), F.col("cell").cast("long").alias("cell"),
             F.col("cent_sim"),
             F.when(F.col("_did").isNotNull(), F.lit("dropped"))
             .otherwise(F.lit("kept")).alias("status"),
+        )
+    )
+
+
+def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
+                          prefix: str, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> list[str]:
+    """Materialize the corpus side of INCREMENTAL SemDeDup as a
+    catalog artifact: one table {prefix}_cells holding (id, cell,
+    cent_sim, embedding) PARTITIONED BY cell — the embedding
+    inverted file. An arriving batch then assigns only itself and
+    probes the partitions of the cells it lands in; the corpus is
+    never re-assigned and never fully re-scanned (partition pruning
+    on cell, the ivfpq_store_index pattern). Commit marker
+    ({prefix}_manifest) is written LAST — crash-atomic like every
+    other *_store_* builder."""
+    from ..sources.readers import save_as_table, write_manifest
+
+    cells = _semdedup_assigned(corpus, centroids, id_col, vec_col) \
+        .select(id_col, "cell", "cent_sim",
+                F.col("_v").alias("embedding"))
+    save_as_table(
+        cells.write.mode("overwrite").format("parquet").partitionBy("cell"),
+        f"{prefix}_cells")
+    names = [f"{prefix}_cells"]
+    write_manifest(corpus.sparkSession, prefix, names)
+    return names
+
+
+def semdedup_probe(spark, prefix: str, batch: DataFrame,
+                   centroids: list[list[float]], eps: float,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Probe-only incremental SemDeDup: dedup an arriving batch
+    against the stored corpus cells AND itself, without touching the
+    corpus-side assignment. Per-batch wall is a function of the
+    batch and the cells it lands in, not the corpus.
+
+    Rules (mirroring dedup_incremental's contract):
+      dup_corpus — >= eps cosine to ANY stored corpus member in the
+                   batch doc's cell (corpus always outranks a batch
+                   arrival); n_corpus_matches counts them
+      dup_delta  — else, >= eps to a higher-priority batch-mate in
+                   the same cell (priority = cent_sim asc, id asc —
+                   semantic_dedup's rule)
+      kept       — otherwise
+    """
+    b = _semdedup_assigned(batch, centroids, id_col, vec_col)
+
+    corpus_cells = spark.table(f"{prefix}_cells").select(
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_v"),
+        norm_expr("embedding").alias("c_n"))
+    pcos_c = F.when((F.col("_n") == 0) | (F.col("c_n") == 0), F.lit(0.0)) \
+        .otherwise(dot_expr("_v", "c_v") / (F.col("_n") * F.col("c_n")))
+    vs_corpus = (
+        b.join(corpus_cells, F.col("cell") == F.col("c_cell"))
+        .where(F.round(pcos_c, 4) >= eps)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_matches"))
+    )
+
+    hi = b.select(F.col(id_col).alias("a_id"), F.col("cell").alias("a_cell"),
+                  F.col("cent_sim").alias("a_cs"), F.col("_v").alias("a_v"),
+                  F.col("_n").alias("a_n"))
+    lo = b.select(F.col(id_col).alias("b_id"), F.col("cell").alias("b_cell"),
+                  F.col("cent_sim").alias("b_cs"), F.col("_v").alias("b_v"),
+                  F.col("_n").alias("b_n"))
+    pcos_b = F.when((F.col("a_n") == 0) | (F.col("b_n") == 0), F.lit(0.0)) \
+        .otherwise(dot_expr("a_v", "b_v") / (F.col("a_n") * F.col("b_n")))
+    vs_delta = (
+        hi.join(lo, (F.col("a_cell") == F.col("b_cell"))
+                & ((F.col("a_cs") < F.col("b_cs"))
+                   | ((F.col("a_cs") == F.col("b_cs"))
+                      & (F.col("a_id") < F.col("b_id")))))
+        .where(F.round(pcos_b, 4) >= eps)
+        .select(F.col("b_id").alias("_bdid")).distinct()
+    )
+
+    return (
+        b
+        .join(vs_corpus, id_col, "left")
+        .join(vs_delta, b[id_col] == F.col("_bdid"), "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("n_corpus_matches").isNotNull(),
+                   F.lit("dup_corpus"))
+            .when(F.col("_bdid").isNotNull(), F.lit("dup_delta"))
+            .otherwise(F.lit("kept")).alias("status"),
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).cast("long")
+            .alias("n_corpus_matches"),
         )
     )

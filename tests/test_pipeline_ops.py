@@ -1366,3 +1366,93 @@ def test_semantic_dedup_max_cell_guard(spark):
     # identical vectors: priority keeps exactly one (lowest id)
     kept = [r.vec_id for r in rows if r.status == "kept"]
     assert kept == [0]
+
+
+def test_semdedup_stored_probe_matches_python_reference(spark, sf_dir):
+    """Incremental SemDeDup: store the 70% corpus cells, probe the
+    30% batch, and check every status/count against an independent
+    pure-Python recomputation of the contract (argmax assignment at
+    6dp, pair cosines at 4dp, corpus-outranks-batch, then the
+    (cent_sim asc, id asc) priority among the batch)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        SEMDEDUP_EPS,
+        _embs,
+        _semdedup_centroid_path,
+        _semdedup_read_centroids,
+    )
+    from flink_user_behavior_analysis_spark.sources.readers import index_ready
+
+    def r(x, dp):
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP))
+
+    embs = _embs(spark, sf_dir)
+    cents = _semdedup_read_centroids(_semdedup_centroid_path())
+    split = embs.withColumn("_d", F.xxhash64("vec_id") % 10)
+    corpus = split.where(F.abs(F.col("_d")) >= 3).drop("_d")
+    delta = split.where(F.abs(F.col("_d")) < 3).drop("_d")
+
+    prefix = "t_semdd_inc"
+    semdedup_store_corpus(corpus, cents, prefix)
+    assert index_ready(spark, prefix)
+    got = {row.vec_id: (row.status, row.n_corpus_matches)
+           for row in semdedup_probe(spark, prefix, delta, cents,
+                                     SEMDEDUP_EPS).collect()}
+
+    # ---- pure-python reference
+    cnorm = [math.sqrt(sum(x * x for x in c)) for c in cents]
+
+    def load(df):
+        return {row.vec_id: [float(x) for x in row.embedding]
+                for row in df.collect()}
+
+    def assign(v):
+        nv = math.sqrt(sum(x * x for x in v))
+        best, bc = None, None
+        for ci, c in enumerate(cents):
+            cs = 0.0 if nv == 0 or cnorm[ci] == 0 else \
+                sum(a * b for a, b in zip(v, c)) / (nv * cnorm[ci])
+            cs = r(cs, 6)
+            if best is None or cs > best:
+                best, bc = cs, ci
+        return bc, best
+
+    def cos4(u, v):
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return r(0.0 if nu == 0 or nv == 0 else
+                 sum(a * b for a, b in zip(u, v)) / (nu * nv), 4)
+
+    corp, delt = load(corpus), load(delta)
+    corp_cell = {i: assign(v)[0] for i, v in corp.items()}
+    delt_info = {i: assign(v) for i, v in delt.items()}
+    expected = {}
+    for i, (cell, cs) in sorted(delt_info.items()):
+        ncm = sum(1 for j, cj in corp_cell.items()
+                  if cj == cell and cos4(delt[i], corp[j]) >= SEMDEDUP_EPS)
+        if ncm:
+            expected[i] = ("dup_corpus", ncm)
+            continue
+        dup = any(
+            (delt_info[j][1], j) < (cs, i)
+            and delt_info[j][0] == cell
+            and cos4(delt[i], delt[j]) >= SEMDEDUP_EPS
+            for j in delt
+        )
+        expected[i] = ("dup_delta" if dup else "kept", 0)
+    assert got == expected
+    assert any(s == "dup_corpus" for s, _ in got.values()) or \
+        any(s == "dup_delta" for s, _ in got.values()) or \
+        len(got) > 0
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
