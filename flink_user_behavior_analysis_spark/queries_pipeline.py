@@ -2812,18 +2812,117 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the embeddings view — only the iterative fit is trusted,
     every decision is re-derived. Pair comparisons are cluster-local
     (the paper's device for bounding the quadratic)."""
-    from .operators.similarity import kmeans_fit, semantic_dedup
+    from .operators.similarity import semantic_dedup
 
+    cents = _semdedup_read_centroids_or_fit(spark)
+    return semantic_dedup(_embs(spark, sf_dir), cents, SEMDEDUP_EPS)
+
+
+def q_dedup_semantic_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION incremental SemDeDup: the 70% corpus's cell
+    assignments + embeddings are a STORED cell-partitioned catalog
+    artifact (operators/similarity.py:semdedup_store_corpus,
+    crash-atomic manifest); the 30% batch assigns only itself (pure
+    literal-centroid projection) and probes only the cells it lands
+    in (semdedup_probe). Statuses mirror dedup_incremental's
+    contract (dup_corpus / dup_delta / kept + n_corpus_matches).
+
+    STAGED for r8 registration: r7's 50-entry gate window is fully
+    occupied by the mandated rotation plus dedup_semantic and
+    nation_trade_flows — registering this now would push an ungated
+    query past the window (tests/test_registry_gate.py forbids it).
+    Until then it is pytest-gated (probe vs pure-Python reference in
+    tests/test_pipeline_ops.py)."""
+    from .operators.sampling import hash_uniform
+    from .operators.similarity import semdedup_probe, semdedup_store_corpus
+
+    embs = _embs(spark, sf_dir)
+    is_delta = hash_uniform("vec_id", "delta") < DELTA_RATE
+    cents = _semdedup_read_centroids_or_fit(spark)
+    prefix = f"semdd_{_artifact_tag(sf_dir)}"
+    if not _index_ready(spark, prefix):
+        semdedup_store_corpus(embs.where(~is_delta), cents, prefix)
+    return semdedup_probe(spark, prefix, embs.where(is_delta), cents,
+                          SEMDEDUP_EPS)
+
+
+def _semdedup_read_centroids_or_fit(spark: SparkSession) -> list[list[float]]:
     import os as _os
 
     path = _semdedup_centroid_path()
     if not _os.path.exists(path):
+        from .operators.similarity import kmeans_fit
+
         cents = kmeans_fit(_embs(spark, SEMDEDUP_TRAIN_DIR),
                            SEMDEDUP_K, iters=SEMDEDUP_ITERS,
                            metric="cosine")
         _semdedup_write_centroids(path, cents)
-    cents = _semdedup_read_centroids(path)
-    return semantic_dedup(_embs(spark, sf_dir), cents, SEMDEDUP_EPS)
+    return _semdedup_read_centroids(path)
+
+
+def _dedup_semantic_stored_sql() -> str:
+    """Full-recompute oracle for the staged stored probe (r8): split
+    by the same md5 hash, re-derive assignment from the centroid
+    artifact, then apply the dup_corpus / dup_delta rules."""
+    path = _semdedup_centroid_path()
+    u = _D_MD5INT.format(x="'delta:' || vec_id::VARCHAR")
+    return f"""
+WITH cent AS (
+    SELECT cell, list(val ORDER BY dim) AS cvec
+    FROM read_parquet('{path}') GROUP BY cell
+), centn AS (
+    SELECT cell, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+    FROM cent
+), emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS nrm,
+           {u} / 1152921504606846976.0 < {DELTA_RATE} AS is_delta
+    FROM embeddings
+), scored AS (
+    SELECT e.vec_id, e.is_delta, c.cell,
+           round(CASE WHEN e.nrm = 0 OR c.cnorm = 0 THEN 0.0
+                 ELSE list_dot_product(e.v, c.cvec) / (e.nrm * c.cnorm)
+                 END, 6) AS cs
+    FROM emb e CROSS JOIN centn c
+), assign AS (
+    SELECT vec_id, is_delta, cell, cs AS cent_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), vs_corpus AS (
+    SELECT d.vec_id, COUNT(*)::BIGINT AS n_corpus_matches
+    FROM assign d
+    JOIN assign c ON d.is_delta AND NOT c.is_delta AND d.cell = c.cell
+    JOIN emb ed ON ed.vec_id = d.vec_id
+    JOIN emb ec ON ec.vec_id = c.vec_id
+    WHERE round(CASE WHEN ed.nrm = 0 OR ec.nrm = 0 THEN 0.0
+                ELSE list_dot_product(ed.v, ec.v) / (ed.nrm * ec.nrm)
+                END, 4) >= {SEMDEDUP_EPS}
+    GROUP BY 1
+), vs_delta AS (
+    SELECT DISTINCT b.vec_id AS did
+    FROM assign a
+    JOIN assign b ON a.is_delta AND b.is_delta AND a.cell = b.cell
+       AND (a.cent_sim < b.cent_sim
+            OR (a.cent_sim = b.cent_sim AND a.vec_id < b.vec_id))
+    JOIN emb ea ON ea.vec_id = a.vec_id
+    JOIN emb eb ON eb.vec_id = b.vec_id
+    WHERE round(CASE WHEN ea.nrm = 0 OR eb.nrm = 0 THEN 0.0
+                ELSE list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)
+                END, 4) >= {SEMDEDUP_EPS}
+)
+SELECT a.vec_id,
+       CASE WHEN vc.vec_id IS NOT NULL THEN 'dup_corpus'
+            WHEN vd.did IS NOT NULL THEN 'dup_delta'
+            ELSE 'kept' END AS status,
+       coalesce(vc.n_corpus_matches, 0)::BIGINT AS n_corpus_matches
+FROM assign a
+LEFT JOIN vs_corpus vc ON a.vec_id = vc.vec_id
+LEFT JOIN vs_delta vd ON a.vec_id = vd.did
+WHERE a.is_delta
+"""
 
 
 def _dedup_semantic_sql() -> str:

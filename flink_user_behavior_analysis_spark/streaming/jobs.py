@@ -132,6 +132,24 @@ def exact_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_assign_stream(spark: SparkSession, sf_dir: str,
+                           centroids: list) -> DataFrame:
+    """Streaming semantic-cluster assignment: the SemDeDup argmax
+    projection (operators/similarity.semdedup_assign — literal
+    centroids, zero shuffle, STATELESS) applied to a replayed
+    embeddings stream. Append mode; each arriving vector is routed
+    to its cell independently, so the streaming result equals the
+    batch assignment row-for-row (test-asserted). This is the
+    ingest-side half of incremental SemDeDup: route arrivals to
+    cells on the wire, then batch the within-cell probe
+    (semdedup_probe) per micro-batch or per accepted batch."""
+    from ..operators.similarity import semdedup_assign
+
+    ensure_utc(spark)
+    embs = file_replay_stream(spark, sf_dir, "embeddings")
+    return semdedup_assign(embs, centroids)
+
+
 def curation_stream(spark: SparkSession, sf_dir: str,
                     min_quality: float = 0.6) -> DataFrame:
     """Streaming head of the curation pipeline (VERDICT r3 item 6):

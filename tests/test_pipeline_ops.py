@@ -1456,3 +1456,19 @@ def test_semdedup_stored_probe_matches_python_reference(spark, sf_dir):
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix):
             spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_dedup_semantic_stored_matches_oracle(spark, oracle_sf_dir):
+    """The STAGED r8 stored-probe query (see q_dedup_semantic_stored
+    docstring for why it is not yet registered) already passes the
+    exact driver-style comparison against its full-recompute DuckDB
+    oracle at the driver's sf0.01."""
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _dedup_semantic_stored_sql,
+        q_dedup_semantic_stored,
+    )
+
+    from .oracle_util import compare
+
+    df = q_dedup_semantic_stored(spark, oracle_sf_dir)
+    compare(df, _dedup_semantic_stored_sql(), oracle_sf_dir)

@@ -581,3 +581,30 @@ def test_props_topk_composes_on_streamed_counts(spark, sf_dir):
     want = Q.QUERIES["props_topk"](spark, sf_dir)
     cols = ["event_type", "k", "n", "rnk"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_semdedup_assign_stream_equals_batch(spark, sf_dir):
+    """Streaming cluster routing == batch assignment, row for row:
+    the SemDeDup argmax projection is stateless, so replaying the
+    embeddings as a stream (append mode, availableNow) must assign
+    every vector to the same cell with the same cent_sim as the
+    batch operator."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_assign,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _embs,
+        _semdedup_centroid_path,
+        _semdedup_read_centroids,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        run_available_now,
+        semdedup_assign_stream,
+    )
+
+    cents = _semdedup_read_centroids(_semdedup_centroid_path())
+    streamed = run_available_now(
+        semdedup_assign_stream(spark, sf_dir, cents), output_mode="append")
+    batch = semdedup_assign(_embs(spark, sf_dir), cents)
+    assert sorted(map(tuple, streamed.collect())) == \
+        sorted(map(tuple, batch.collect()))
