@@ -110,6 +110,10 @@ HEADLINE = [
     "dedup_incremental_stored",
     "duplicated_spans_inc_stored",
     "source_overlap",
+    # round-7 additions: SemDeDup (literal-centroid projection +
+    # cluster-local pair join) and the Q7-shape broadcast-dim rollup
+    "dedup_semantic",
+    "nation_trade_flows",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
