@@ -1334,20 +1334,30 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's output (one extra global aggregate over the
     session-grain frame — k-row in, 1-row out): session and user
     counts, mean events per session, exact median and p90 session
-    duration (engine-parity percentile == quantile_cont)."""
+    duration (engine-parity percentile == quantile_cont).
+
+    The quantiles go through distributed_quantile_cont rather than
+    the exact ``percentile`` aggregate: percentile's final reducer
+    buffers every distinct duration (near-unique microsecond diffs —
+    O(n) single-task state at 10^9 sessions), while the distributed
+    form sorts by range and reads only the boundary ranks. Output is
+    bit-identical (same interpolation formula), so the quantile_cont
+    oracle is unchanged."""
     ev = _events(spark, sf_dir)
     sess = sessionize(
         ev, ["user_id"], "ts", SESSION_GAP_S, order_tiebreak=["event_id"]
     )
     dur_s = (F.col("session_end_us") - F.col("session_start_us")) \
         .cast("double") / 1_000_000.0
+    q = distributed_quantile_cont(sess.select(dur_s.alias("_d")), "_d",
+                                  [0.5, 0.9])
     return sess.agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
         F.round(F.avg(F.col("n_events").cast("double")), 4)
         .alias("avg_events"),
-        F.round(F.percentile(dur_s, 0.5), 4).alias("med_duration_s"),
-        F.round(F.percentile(dur_s, 0.9), 4).alias("p90_duration_s"),
+        F.round(F.lit(q[0.5]), 4).alias("med_duration_s"),
+        F.round(F.lit(q[0.9]), 4).alias("p90_duration_s"),
     )
 
 
@@ -1438,6 +1448,49 @@ def _ntile_from_rank(rank_col, n_rows: int, n_buckets: int):
     ).otherwise(
         F.lit(rem) + F.ceil((rank_col - F.lit(big)) / F.lit(q))
     ).cast("long")
+
+
+def distributed_quantile_cont(df: DataFrame, value_col: str,
+                              probs: list[float],
+                              num_partitions: int | None = None,
+                              ) -> dict[float, float]:
+    """Exact interpolated quantiles (quantile_cont semantics) WITHOUT
+    a single-reducer value buffer: Spark's exact ``percentile``
+    aggregate ships every distinct value (with counts) through one
+    final task — O(distinct) state that works at sf0.1 and falls
+    over on 10^10 near-unique values. This instead range-sorts the
+    value column with the distributed global rank, fetches only the
+    O(#probs) boundary rows, and interpolates driver-side with
+    Spark's exact weighted formula (pos = p*(n-1);
+    v_lo*(hi-pos) + v_hi*(pos-lo) — NOT the algebraically-equal
+    lo+delta*frac form, which differs by 1 ulp) — bit-identical
+    output, every stage bounded by partition size.
+    """
+    import math
+
+    ranked, n = _global_rank_with_total(
+        df.select(F.col(value_col).alias("_val")),
+        [F.col("_val").asc()], num_partitions=num_partitions)
+    if n == 0:
+        return {p: None for p in probs}
+    targets: set[int] = set()
+    for p in probs:
+        lo = math.floor(p * (n - 1))
+        targets.add(lo + 1)
+        targets.add(min(lo + 2, n))
+    vals = {r._rnk: r._val
+            for r in ranked.where(
+                F.col("_rnk").isin([int(t) for t in targets])).collect()}
+    out = {}
+    for p in probs:
+        pos = p * (n - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        if hi == lo:
+            out[p] = vals[lo + 1]
+        else:
+            out[p] = vals[lo + 1] * (hi - pos) + vals[hi + 1] * (pos - lo)
+    return out
 
 
 def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,3 +65,31 @@ def test_global_rank_plan_has_no_single_partition_exchange(spark):
                          num_partitions=8)
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize("n", [1, 2, 10, 101, 997])
+def test_distributed_quantile_cont_equals_percentile(spark, n):
+    """Nonzero, near-unique values: the boundary-rank interpolation
+    must reproduce Spark's exact percentile aggregate (and therefore
+    DuckDB's quantile_cont) bit-for-bit."""
+    from flink_user_behavior_analysis_spark.queries import (
+        distributed_quantile_cont,
+    )
+
+    probs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    df = spark.range(n).select(
+        (F.sin(F.col("id") * 12.9898) * 43758.5453).alias("v"))
+    got = distributed_quantile_cont(df, "v", probs, num_partitions=8)
+    ref = df.agg(*[F.percentile("v", p).alias(f"p{i}")
+                   for i, p in enumerate(probs)]).collect()[0]
+    for i, p in enumerate(probs):
+        assert got[p] == ref[i], (p, got[p], ref[i])
+
+
+def test_distributed_quantile_cont_empty(spark):
+    from flink_user_behavior_analysis_spark.queries import (
+        distributed_quantile_cont,
+    )
+
+    df = spark.range(0).select(F.col("id").cast("double").alias("v"))
+    assert distributed_quantile_cont(df, "v", [0.5]) == {0.5: None}
