@@ -2744,6 +2744,64 @@ SELECT (SELECT COUNT(*) FROM embeddings
 """
 
 
+ANN_FILTER_LABEL = 3
+
+
+def q_ann_topk_filtered_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search over the stored IVFADC index ('top-k
+    where label = {label}') — operators/similarity.py:
+    ivfpq_topk_filtered_from_index. The metadata predicate is a
+    pushed parquet filter on the cell-partitioned inverted-file scan
+    (PartitionFilters for probed cells + PushedFilters for the
+    label, test-asserted); no metadata join at query time.
+
+    STAGED for r8 registration (same window-capacity reason as
+    q_dedup_semantic_stored). Certificate shape: exact query count,
+    every returned neighbor satisfies the predicate (label_ok),
+    contiguous per-query ranks (ranks_ok) — the DuckDB-verifiable
+    parts are pinned by the oracle; predicate compliance and rank
+    shape are re-audited Spark-side from the result frame.
+    """
+    from .operators.similarity import (
+        ivfpq_store_index,
+        ivfpq_topk_filtered_from_index,
+    )
+
+    prefix = f"ivfpqf_{_artifact_tag(sf_dir)}"
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    if not _index_ready(spark, prefix):
+        ivfpq_store_index(embs, prefix, n_centroids=IVFPQ_CELLS,
+                          m=IVFPQ_M, codes=IVFPQ_CODES,
+                          coarse_iters=2, pq_iters=2,
+                          meta_cols=["label"])
+    approx = ivfpq_topk_filtered_from_index(
+        spark, prefix, queries, ANN_K,
+        F.col("label") == ANN_FILTER_LABEL, nprobe=IVFPQ_NPROBE)
+    approx = approx.persist()
+    try:
+        labels = approx.select(F.col("neighbor_id").alias("vec_id")) \
+            .join(embs.select("vec_id", "label"), "vec_id")
+        n_bad_label = labels.where(
+            F.col("label") != ANN_FILTER_LABEL).count()
+        bad_ranks = _bad_rank_count(approx)
+    finally:
+        approx.unpersist()
+    n_queries = queries.count()
+    return spark.createDataFrame(
+        [(int(n_queries), ANN_K, int(n_bad_label == 0),
+          int(bad_ranks == 0))],
+        "n_queries BIGINT, k BIGINT, label_ok BIGINT, ranks_ok BIGINT")
+
+
+ANN_TOPK_FILTERED_STORED_SQL = f"""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
+       {ANN_K}::BIGINT AS k,
+       1::BIGINT AS label_ok, 1::BIGINT AS ranks_ok
+"""
+
+
 # ------------------------------------------------------- semantic dedup
 
 SEMDEDUP_K = 8

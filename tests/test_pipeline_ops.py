@@ -1472,3 +1472,74 @@ def test_dedup_semantic_stored_matches_oracle(spark, oracle_sf_dir):
 
     df = q_dedup_semantic_stored(spark, oracle_sf_dir)
     compare(df, _dedup_semantic_stored_sql(), oracle_sf_dir)
+
+
+def test_ivfpq_filtered_search_from_stored_index(spark, sf_dir):
+    """Filtered vector search: the metadata predicate rides the
+    stored inverted-file scan (pushed parquet filter + probed-cell
+    partition pruning), every neighbor satisfies it, and the result
+    equals an unfiltered ADC probe over a manually pre-filtered
+    encoded corpus — same model, no metadata join."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_read_index,
+        ivfpq_store_index,
+        ivfpq_topk,
+        ivfpq_topk_filtered_from_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+    from flink_user_behavior_analysis_spark.sources.readers import index_ready
+
+    prefix = "t_ivfpq_filt"
+    embs = _embs(spark, sf_dir)  # already carries the label column
+    queries = embs.where(F.col("vec_id") < 8)
+    ivfpq_store_index(embs, prefix, n_centroids=8, m=8, codes=16,
+                      meta_cols=["label"])
+    assert index_ready(spark, prefix)
+
+    got = ivfpq_topk_filtered_from_index(
+        spark, prefix, queries, 5, F.col("label") == 3, nprobe=4)
+    qe = got._jdf.queryExecution()
+    plan = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    import re as _re
+
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)" in plan
+    # probed-cell partition pruning survives alongside the meta filter
+    # (prints as IN (...) for small probe sets, INSET above 10 cells)
+    assert _re.search(r"PartitionFilters: \[cell#\d+ IN", plan)
+
+    rows = got.collect()
+    assert rows, "filtered probe returned nothing"
+    labels = {r.label for r in
+              embs.join(got.select(F.col("neighbor_id").alias("vec_id")),
+                        "vec_id").collect()}
+    assert labels == {3}
+
+    # equivalence: pre-filtered encoded corpus through the same model
+    model, enc = ivfpq_read_index(spark, prefix)
+    ref = ivfpq_topk(
+        queries, None, 5, nprobe=4, model=model,
+        encoded=enc.where(F.col("label") == 3)
+        .select("vec_id", "cell", "codes"))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref.collect()))
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_ann_topk_filtered_stored_matches_oracle(spark, oracle_sf_dir):
+    """The STAGED r8 filtered-search query passes the driver-style
+    oracle comparison at sf0.01 (certificate shape)."""
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        ANN_TOPK_FILTERED_STORED_SQL,
+        q_ann_topk_filtered_stored,
+    )
+
+    from .oracle_util import compare
+
+    df = q_ann_topk_filtered_stored(spark, oracle_sf_dir)
+    compare(df, ANN_TOPK_FILTERED_STORED_SQL, oracle_sf_dir)
