@@ -1771,6 +1771,46 @@ def ivfpq_topk_filtered_from_index(spark, prefix: str, queries: DataFrame,
                       model=model, encoded=filtered)
 
 
+def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          meta_cols: list[str] | None = None) -> int:
+    """Append a new vector batch to a stored IVFADC index WITHOUT
+    refitting — the serving-index ingestion path: encode the batch
+    with the STORED model (one fused route+encode Arrow scan over
+    the batch only) and append the (id, codes[, meta], cell) rows
+    into the cell-partitioned codes table. Existing cells gain
+    files; new rows land in their partitions; the probe reads the
+    union with the same partition pruning.
+
+    Returns the number of rows appended. Caveats, by design:
+    - quantization error for drifted data grows until the next refit
+      (the model is frozen — monitor recall and refit on schedule;
+      semantic_dedup's max_cell guard is the same story);
+    - the build-time ``_truth`` table is NOT updated (it certifies
+      the build-time corpus); recall certification after appends
+      needs a fresh truth pass;
+    - per-append atomicity is Spark's file-output-committer contract
+      (task files commit or are cleaned up), weaker than the
+      build's manifest-last protocol — a torn JOB leaves committed
+      files of a partial append. For exactly-once ingestion wrap
+      appends in a staging-table swap or use a table format with
+      transactional commit.
+    """
+    model, _ = ivfpq_read_index(spark, prefix)
+    enc = ivfpq_encode(new_vecs, model, id_col, vec_col)
+    if meta_cols:
+        meta = new_vecs.select(F.col(id_col).alias("_mid"),
+                               *[F.col(c) for c in meta_cols])
+        enc = enc.join(meta, enc[id_col] == meta["_mid"]).drop("_mid")
+    n = enc.count()
+    # align column order to the existing table (partition col last)
+    existing = [f.name for f in spark.table(f"{prefix}_codes").schema]
+    enc.select(*existing).write.mode("append").format("parquet") \
+        .partitionBy("cell").saveAsTable(f"{prefix}_codes")
+    return int(n)
+
+
 def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
                    codes: int = 16, iters: int = 2, n_buckets: int = 8,
                    id_col: str = "vec_id",

@@ -1543,3 +1543,42 @@ def test_ann_topk_filtered_stored_matches_oracle(spark, oracle_sf_dir):
 
     df = q_ann_topk_filtered_stored(spark, oracle_sf_dir)
     compare(df, ANN_TOPK_FILTERED_STORED_SQL, oracle_sf_dir)
+
+
+def test_ivfpq_append_to_index_probe_equals_full_encode(spark, sf_dir):
+    """Index ingestion: build the index on a 70% corpus, APPEND the
+    remaining 30% (encoded with the frozen stored model, no refit),
+    and assert the probe over the appended table equals an ADC probe
+    over the same model encoding the full corpus in one shot."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_encode,
+        ivfpq_read_index,
+        ivfpq_store_index,
+        ivfpq_topk,
+        ivfpq_topk_from_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+
+    prefix = "t_ivfpq_app"
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    base = embs.where(F.abs(F.xxhash64("vec_id") % 10) >= 3)
+    extra = embs.where(F.abs(F.xxhash64("vec_id") % 10) < 3)
+    queries = embs.where(F.col("vec_id") < 8)
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+
+    n = ivfpq_append_to_index(spark, prefix, extra)
+    assert n == extra.count() and n > 0
+    got = ivfpq_topk_from_index(spark, prefix, queries, 5, nprobe=4)
+
+    model, _ = ivfpq_read_index(spark, prefix)
+    ref = ivfpq_topk(queries, None, 5, nprobe=4, model=model,
+                     encoded=ivfpq_encode(embs, model))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
