@@ -2087,3 +2087,24 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
             .alias("n_corpus_matches"),
         )
     )
+
+
+def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
+                           centroids: list[list[float]],
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> int:
+    """The accept side of the incremental-SemDeDup loop: after
+    semdedup_probe marks a batch, the KEPT members join the corpus —
+    assign them (same frozen centroid model, pure projection) and
+    append into the cell-partitioned {prefix}_cells table, so the
+    next batch's probe sees them. Returns rows appended. Same
+    frozen-model and committer-atomicity caveats as
+    ivfpq_append_to_index."""
+    cells = _semdedup_assigned(accepted, centroids, id_col, vec_col) \
+        .select(id_col, "cent_sim", F.col("_v").alias("embedding"),
+                "cell")
+    n = cells.count()
+    existing = [f.name for f in spark.table(f"{prefix}_cells").schema]
+    cells.select(*existing).write.mode("append").format("parquet") \
+        .partitionBy("cell").saveAsTable(f"{prefix}_cells")
+    return int(n)

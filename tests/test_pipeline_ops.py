@@ -1582,3 +1582,54 @@ def test_ivfpq_append_to_index_probe_equals_full_encode(spark, sf_dir):
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix):
             spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_semdedup_append_corpus_equals_bigger_store(spark, sf_dir):
+    """Probe -> keep -> append lifecycle: storing corpus A then
+    appending batch B's keepers must give future probes the same
+    corpus view as storing A+keepers in one shot."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_append_corpus,
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        SEMDEDUP_EPS,
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    cents = _semdedup_read_centroids_or_fit(spark)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    h = F.abs(F.xxhash64("vec_id") % 10)
+    part_a = embs.where(h >= 5)          # initial corpus
+    part_b = embs.where((h >= 2) & (h < 5))  # accepted batch
+    probe_c = embs.where(h < 2)          # next arriving batch
+
+    semdedup_store_corpus(part_a, cents, "t_semdd_a")
+    marked = semdedup_probe(spark, "t_semdd_a", part_b, cents,
+                            SEMDEDUP_EPS)
+    # materialize the keeper set BEFORE the append: the marked frame
+    # is lazy over the corpus table, and re-evaluating it after the
+    # append would see the keepers already in the corpus (self-dup)
+    kept_ids = [r.vec_id for r in
+                marked.where(F.col("status") == "kept")
+                .select("vec_id").collect()]
+    keepers = part_b.where(F.col("vec_id").isin(kept_ids))
+    n = semdedup_append_corpus(spark, "t_semdd_a", keepers, cents)
+    assert n == len(kept_ids) and n > 0
+
+    semdedup_store_corpus(part_a.unionByName(keepers), cents,
+                          "t_semdd_ab")
+    got = semdedup_probe(spark, "t_semdd_a", probe_c, cents,
+                         SEMDEDUP_EPS)
+    ref = semdedup_probe(spark, "t_semdd_ab", probe_c, cents,
+                         SEMDEDUP_EPS)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("t_semdd_a"):
+            spark.sql(f"DROP TABLE {t.name}")
