@@ -1739,6 +1739,18 @@ _GATE_HEAD: list[str] = [
     # distributed this round — must re-certify against the unchanged
     # oracle) and this round's two new queries (dedup_semantic,
     # nation_trade_flows — never gated before).
+    #
+    # ROUND-8 ROTATION PLAN: swap head and tail again (current tail
+    # = r6-green, must re-window in r8), and register the two STAGED
+    # queries (q_dedup_semantic_stored, q_ann_topk_filtered_stored —
+    # both already oracle-compared at sf0.01 in pytest). Capacity
+    # math: 49 tail + 2 staged = 51 > 50, so either (a) register one
+    # staged query in r8 and one in r9 — note r9 then needs 50 + 1 =
+    # 51 too, so (b) is cleaner — or (b) register both and widen
+    # test_tail_entries_were_green_recently's horizon from 2 to
+    # ceil(n_queries / 50) rounds, which preserves the guard's
+    # intent (every query re-certified as often as the 50-row driver
+    # window permits) once the registry exceeds 100 entries.
     "login_fail_cep",
     "login_fail_fb",
     "view_then_purchase",
