@@ -627,3 +627,68 @@ def test_revenue_deciles_ntile_matches_python_reference(spark, vals):
         if size > 0:
             want.add((b, size))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=1, max_size=14),
+    cents=st.lists(
+        st.lists(st.integers(-2, 2), min_size=4, max_size=4),
+        min_size=1, max_size=3),
+    eps_pct=st.integers(min_value=-50, max_value=100),
+)
+def test_semantic_dedup_matches_python_reference(spark, vecs, cents,
+                                                 eps_pct):
+    """SemDeDup on arbitrary small integer vectors (including zero
+    vectors, duplicate vectors, and degenerate centroids) equals the
+    rule computed directly in Python: argmax-cosine assignment at
+    6dp (ties to the lowest cell), keep-priority (cent_sim asc, id
+    asc), dropped iff any higher-priority cluster-mate has 4dp
+    cosine >= eps."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    eps = eps_pct / 100.0
+
+    def r(x, dp):
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP))
+
+    def cos(u, v, dp):
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return r(0.0 if nu == 0 or nv == 0 else
+                 sum(a * b for a, b in zip(u, v)) / (nu * nv), dp)
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows,
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents_f = [[float(x) for x in c] for c in cents]
+    got = {row.vec_id: (row.cell, row.cent_sim, row.status)
+           for row in semantic_dedup(df, cents_f, eps).collect()}
+
+    assign = {}
+    for i, v in rows:
+        best, bc = None, None
+        for ci, c in enumerate(cents_f):
+            cs = cos(v, c, 6)
+            if best is None or cs > best:
+                best, bc = cs, ci
+        assign[i] = (bc, best)
+    expected = {}
+    for i, v in rows:
+        cell, cs = assign[i]
+        dropped = any(
+            assign[j][0] == cell and (assign[j][1], j) < (cs, i)
+            and cos(v, dict(rows)[j], 4) >= eps
+            for j, _ in rows if j != i
+        )
+        expected[i] = (cell, cs, "dropped" if dropped else "kept")
+    assert got == expected
