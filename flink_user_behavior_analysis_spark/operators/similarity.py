@@ -2030,7 +2030,11 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     """Probe-only incremental SemDeDup: dedup an arriving batch
     against the stored corpus cells AND itself, without touching the
     corpus-side assignment. Per-batch wall is a function of the
-    batch and the cells it lands in, not the corpus.
+    batch and the cells it lands in, not the corpus: the corpus
+    table is PARTITIONED BY cell and the probe join triggers dynamic
+    partition pruning (plan shows
+    `dynamicpruningexpression(cell IN ...)`, test-asserted), so
+    unprobed cells are never read.
 
     Rules (mirroring dedup_incremental's contract):
       dup_corpus — >= eps cosine to ANY stored corpus member in the

@@ -1404,9 +1404,16 @@ def test_semdedup_stored_probe_matches_python_reference(spark, sf_dir):
     prefix = "t_semdd_inc"
     semdedup_store_corpus(corpus, cents, prefix)
     assert index_ready(spark, prefix)
+    probe_df = semdedup_probe(spark, prefix, delta, cents, SEMDEDUP_EPS)
+    # the probe must touch only the cells the batch lands in: Spark
+    # prunes the cell-partitioned corpus scan via dynamic partition
+    # pruning from the batch side of the join
+    plan = probe_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "dynamicpruningexpression(cell" in plan
     got = {row.vec_id: (row.status, row.n_corpus_matches)
-           for row in semdedup_probe(spark, prefix, delta, cents,
-                                     SEMDEDUP_EPS).collect()}
+           for row in probe_df.collect()}
 
     # ---- pure-python reference
     cnorm = [math.sqrt(sum(x * x for x in c)) for c in cents]
