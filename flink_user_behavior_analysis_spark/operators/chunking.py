@@ -428,8 +428,9 @@ def span_store_counts(corpus: DataFrame, prefix: str,
     fingerprints only itself and probes (probe ≡ inline,
     test-asserted). At real scale this table is also the thing a
     merge job updates per accepted batch (counts are additive)."""
-    from ..sources.readers import write_bucketed
+    from ..sources.readers import invalidate_manifest, write_bucketed
 
+    invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
     occ = span_fp_counts(corpus, span_tokens, id_col, text_col)
     write_bucketed(occ, f"{prefix}_spancounts", "fp", n_buckets)
     names = [f"{prefix}_spancounts"]

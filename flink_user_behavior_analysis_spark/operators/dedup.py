@@ -584,8 +584,9 @@ def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
     and shingles ONLY ITSELF and probes these tables
     (dedup_incremental with corpus_buckets/corpus_shingles, probe ≡
     inline test-asserted)."""
-    from ..sources.readers import write_bucketed
+    from ..sources.readers import invalidate_manifest, write_bucketed
 
+    invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
     sigs = minhash_signatures(corpus, k, id_col, text_col, n)
     bc = band_buckets(sigs, k, bands, id_col)
     write_bucketed(bc, f"{prefix}_buckets", "bucket", n_buckets)

@@ -1654,8 +1654,9 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
     metadata predicate as a pushed parquet filter on the inverted-
     file scan — no join against a metadata table at query time.
     """
-    from ..sources.readers import save_as_table
+    from ..sources.readers import invalidate_manifest, save_as_table
 
+    invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
     model = ivfpq_fit(corpus, n_centroids=n_centroids, m=m,
                       codes=codes, coarse_iters=coarse_iters,
                       pq_iters=pq_iters, id_col=id_col,
@@ -1803,11 +1804,18 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
         meta = new_vecs.select(F.col(id_col).alias("_mid"),
                                *[F.col(c) for c in meta_cols])
         enc = enc.join(meta, enc[id_col] == meta["_mid"]).drop("_mid")
-    n = enc.count()
-    # align column order to the existing table (partition col last)
-    existing = [f.name for f in spark.table(f"{prefix}_codes").schema]
-    enc.select(*existing).write.mode("append").format("parquet") \
-        .partitionBy("cell").saveAsTable(f"{prefix}_codes")
+    # the encode is an opaque Arrow map — count() would execute it in
+    # full and the write would re-execute it; persist so the dominant
+    # route+encode scan runs exactly once per append
+    enc = enc.persist()
+    try:
+        n = enc.count()
+        # align column order to the existing table (partition col last)
+        existing = [f.name for f in spark.table(f"{prefix}_codes").schema]
+        enc.select(*existing).write.mode("append").format("parquet") \
+            .partitionBy("cell").saveAsTable(f"{prefix}_codes")
+    finally:
+        enc.unpersist()
     return int(n)
 
 
@@ -1821,8 +1829,10 @@ def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
     small ints per vector — the only thing a query-time scan reads).
     The stored-artifact counterpart to bm25_store_index: fit once per
     corpus version, then every query batch is probe-only."""
-    from ..sources.readers import save_as_table, write_bucketed
+    from ..sources.readers import (invalidate_manifest, save_as_table,
+                                   write_bucketed)
 
+    invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
     model = pq_fit(corpus, m=m, codes=codes, iters=iters,
                    vec_col=vec_col)
     spark = corpus.sparkSession
@@ -1918,6 +1928,42 @@ def _semdedup_assigned(vecs: DataFrame, centroids: list[list[float]],
     )
 
 
+def _semdedup_dropped_within(assigned: DataFrame, eps: float,
+                             id_col: str) -> DataFrame:
+    """Ids dropped by a strictly-higher-priority cell-mate — the ONE
+    implementation of SemDeDup's keep-priority rule, shared by the
+    inline (semantic_dedup) and incremental (semdedup_probe) paths so
+    the priority/rounding contract cannot desynchronize between them.
+
+    Priority inside a cell is (cent_sim ASC, id ASC) — farthest from
+    centroid kept first (the paper's representative-selection rule);
+    the directed join emits each unordered pair once; pair cosines
+    round to 4 dp (the repo's cross-engine cosine contract). Input is
+    an _semdedup_assigned frame; output is one column ``_did``."""
+    hi = assigned.select(
+        F.col(id_col).alias("a_id"), F.col("cell").alias("a_cell"),
+        F.col("cent_sim").alias("a_cs"), F.col("_v").alias("a_v"),
+        F.col("_n").alias("a_n"))
+    lo = assigned.select(
+        F.col(id_col).alias("b_id"), F.col("cell").alias("b_cell"),
+        F.col("cent_sim").alias("b_cs"), F.col("_v").alias("b_v"),
+        F.col("_n").alias("b_n"))
+    pcos = F.when((F.col("a_n") == 0) | (F.col("b_n") == 0), F.lit(0.0)) \
+        .otherwise(dot_expr("a_v", "b_v") / (F.col("a_n") * F.col("b_n")))
+    return (
+        hi.join(
+            lo,
+            (F.col("a_cell") == F.col("b_cell"))
+            & ((F.col("a_cs") < F.col("b_cs"))
+               | ((F.col("a_cs") == F.col("b_cs"))
+                  & (F.col("a_id") < F.col("b_id")))),
+        )
+        .where(F.round(pcos, 4) >= eps)
+        .select(F.col("b_id").alias("_did"))
+        .distinct()
+    )
+
+
 def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                    eps: float, id_col: str = "vec_id",
                    vec_col: str = "embedding",
@@ -1956,7 +2002,12 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
     regions — measured ratio <= 1 for a FRESH fit even on 95/5
     skew), more centroids, or the blocked-GEMM pair kernel.
     """
-    a = _semdedup_assigned(vecs, centroids, id_col, vec_col)
+    # checkpoint the assignment: it feeds up to four consumers (the
+    # max_cell aggregate, both legs of the pair join, the final
+    # status join) — without materialization each would rescan the
+    # source and recompute all k cosine folds; blocks are GC-freed
+    a = _semdedup_assigned(vecs, centroids, id_col, vec_col) \
+        .localCheckpoint(eager=True)
     if max_cell is not None:
         worst = (a.groupBy("cell").count()
                  .agg(F.max("count")).collect()[0][0]) or 0
@@ -1966,27 +2017,7 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                 f"(> max_cell={max_cell}); the model is stale or k "
                 f"is too small for this corpus — refit before "
                 f"running the quadratic within-cell pair join")
-    hi = a.select(F.col(id_col).alias("a_id"), F.col("cell").alias("a_cell"),
-                  F.col("cent_sim").alias("a_cs"), F.col("_v").alias("a_v"),
-                  F.col("_n").alias("a_n"))
-    lo = a.select(F.col(id_col).alias("b_id"), F.col("cell").alias("b_cell"),
-                  F.col("cent_sim").alias("b_cs"), F.col("_v").alias("b_v"),
-                  F.col("_n").alias("b_n"))
-    # directed on priority: a strictly before b in (cent_sim, id) order
-    pairs = hi.join(
-        lo,
-        (F.col("a_cell") == F.col("b_cell"))
-        & ((F.col("a_cs") < F.col("b_cs"))
-           | ((F.col("a_cs") == F.col("b_cs"))
-              & (F.col("a_id") < F.col("b_id")))),
-    )
-    pcos = F.when((F.col("a_n") == 0) | (F.col("b_n") == 0), F.lit(0.0)) \
-        .otherwise(dot_expr("a_v", "b_v") / (F.col("a_n") * F.col("b_n")))
-    dropped = (
-        pairs.where(F.round(pcos, 4) >= eps)
-        .select(F.col("b_id").alias("_did"))
-        .distinct()
-    )
+    dropped = _semdedup_dropped_within(a, eps, id_col)
     return (
         a.join(dropped, a[id_col] == dropped["_did"], "left")
         .select(
@@ -1996,6 +2027,22 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
             .otherwise(F.lit("kept")).alias("status"),
         )
     )
+
+
+def semdedup_model_fingerprint(centroids: list[list[float]]) -> str:
+    """Deterministic fingerprint of a centroid model — sha256 over the
+    exact float64 bit patterns in (cell, dim) order. Stored alongside
+    the corpus cells so a probe can detect that the model file was
+    refit/replaced since the cells were assigned (stale-cells hole:
+    the cells table keys on centroid IDENTITY, not just existence)."""
+    import hashlib
+    import struct
+
+    h = hashlib.sha256()
+    for row in centroids:
+        for v in row:
+            h.update(struct.pack("<d", v))
+    return h.hexdigest()
 
 
 def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
@@ -2010,17 +2057,44 @@ def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
     on cell, the ivfpq_store_index pattern). Commit marker
     ({prefix}_manifest) is written LAST — crash-atomic like every
     other *_store_* builder."""
-    from ..sources.readers import save_as_table, write_manifest
+    from ..sources.readers import (invalidate_manifest, save_as_table,
+                                   write_manifest)
 
+    spark = corpus.sparkSession
+    invalidate_manifest(spark, prefix)  # rebuild bracket: open
     cells = _semdedup_assigned(corpus, centroids, id_col, vec_col) \
         .select(id_col, "cell", "cent_sim",
                 F.col("_v").alias("embedding"))
     save_as_table(
         cells.write.mode("overwrite").format("parquet").partitionBy("cell"),
         f"{prefix}_cells")
-    names = [f"{prefix}_cells"]
-    write_manifest(corpus.sparkSession, prefix, names)
+    # model-identity artifact: the cells are only valid under the
+    # centroids that assigned them, so the fingerprint is part of the
+    # committed index (semdedup_index_current checks it at gate time)
+    fp = semdedup_model_fingerprint(centroids)
+    save_as_table(
+        spark.createDataFrame([(fp,)], "model_fp STRING")
+        .write.mode("overwrite").format("parquet"),
+        f"{prefix}_modelfp")
+    names = [f"{prefix}_cells", f"{prefix}_modelfp"]
+    write_manifest(spark, prefix, names)
     return names
+
+
+def semdedup_index_current(spark, prefix: str,
+                           centroids: list[list[float]]) -> bool:
+    """True iff the stored SemDeDup corpus index is committed AND was
+    assigned under exactly these centroids. Closes the stale-model
+    hole: deleting/refitting the centroid artifact must invalidate
+    the cells table, or the probe would match NEW-model batch
+    assignments against OLD-model corpus partitions."""
+    from ..sources.readers import index_ready
+
+    if not index_ready(spark, prefix):
+        return False
+    rows = spark.table(f"{prefix}_modelfp").collect()
+    return (len(rows) == 1
+            and rows[0].model_fp == semdedup_model_fingerprint(centroids))
 
 
 def semdedup_probe(spark, prefix: str, batch: DataFrame,
@@ -2031,10 +2105,11 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     against the stored corpus cells AND itself, without touching the
     corpus-side assignment. Per-batch wall is a function of the
     batch and the cells it lands in, not the corpus: the corpus
-    table is PARTITIONED BY cell and the probe join triggers dynamic
-    partition pruning (plan shows
-    `dynamicpruningexpression(cell IN ...)`, test-asserted), so
-    unprobed cells are never read.
+    table is PARTITIONED BY cell and the probe pushes the batch's
+    distinct cell list (bounded by k, one tiny collect off the
+    checkpointed batch) as a STATIC IN filter into the scan's
+    PartitionFilters (test-asserted), so unprobed cells are never
+    read.
 
     Rules (mirroring dedup_incremental's contract):
       dup_corpus — >= eps cosine to ANY stored corpus member in the
@@ -2045,12 +2120,28 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
                    semantic_dedup's rule)
       kept       — otherwise
     """
-    b = _semdedup_assigned(batch, centroids, id_col, vec_col)
+    # three consumers of the batch assignment (corpus join, pair
+    # join, final status select) — checkpoint so the batch is
+    # assigned exactly once (batch-sized blocks, GC-freed)
+    b = _semdedup_assigned(batch, centroids, id_col, vec_col) \
+        .localCheckpoint(eager=True)
 
-    corpus_cells = spark.table(f"{prefix}_cells").select(
-        F.col("cell").alias("c_cell"),
-        F.col("embedding").alias("c_v"),
-        norm_expr("embedding").alias("c_n"))
+    # the checkpoint hides the batch from the optimizer's dynamic-
+    # partition-pruning rule, so prune the cell-partitioned corpus
+    # scan STATICALLY instead: the batch's distinct cells are bounded
+    # by k (a few hundred), one tiny collect off the checkpointed
+    # blocks, and the IN list lands in the scan's PartitionFilters —
+    # unprobed cells are never read, same guarantee, no runtime
+    # subquery
+    probe_cells = [int(r.cell)
+                   for r in b.select("cell").distinct().collect()]
+    corpus_cells = spark.table(f"{prefix}_cells") \
+        .where(F.col("cell").isin(probe_cells)
+               if probe_cells else F.lit(False)) \
+        .select(
+            F.col("cell").alias("c_cell"),
+            F.col("embedding").alias("c_v"),
+            norm_expr("embedding").alias("c_n"))
     pcos_c = F.when((F.col("_n") == 0) | (F.col("c_n") == 0), F.lit(0.0)) \
         .otherwise(dot_expr("_v", "c_v") / (F.col("_n") * F.col("c_n")))
     vs_corpus = (
@@ -2060,22 +2151,8 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
         .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_matches"))
     )
 
-    hi = b.select(F.col(id_col).alias("a_id"), F.col("cell").alias("a_cell"),
-                  F.col("cent_sim").alias("a_cs"), F.col("_v").alias("a_v"),
-                  F.col("_n").alias("a_n"))
-    lo = b.select(F.col(id_col).alias("b_id"), F.col("cell").alias("b_cell"),
-                  F.col("cent_sim").alias("b_cs"), F.col("_v").alias("b_v"),
-                  F.col("_n").alias("b_n"))
-    pcos_b = F.when((F.col("a_n") == 0) | (F.col("b_n") == 0), F.lit(0.0)) \
-        .otherwise(dot_expr("a_v", "b_v") / (F.col("a_n") * F.col("b_n")))
-    vs_delta = (
-        hi.join(lo, (F.col("a_cell") == F.col("b_cell"))
-                & ((F.col("a_cs") < F.col("b_cs"))
-                   | ((F.col("a_cs") == F.col("b_cs"))
-                      & (F.col("a_id") < F.col("b_id")))))
-        .where(F.round(pcos_b, 4) >= eps)
-        .select(F.col("b_id").alias("_bdid")).distinct()
-    )
+    vs_delta = _semdedup_dropped_within(b, eps, id_col) \
+        .select(F.col("_did").alias("_bdid"))
 
     return (
         b
@@ -2107,6 +2184,9 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
     cells = _semdedup_assigned(accepted, centroids, id_col, vec_col) \
         .select(id_col, "cent_sim", F.col("_v").alias("embedding"),
                 "cell")
+    # count() here is cheap, not a double-execute: the assignment is a
+    # pure JVM Column projection (no filter), so Catalyst prunes every
+    # cosine fold out of the count plan; only the write computes them
     n = cells.count()
     existing = [f.name for f in spark.table(f"{prefix}_cells").schema]
     cells.select(*existing).write.mode("append").format("parquet") \

@@ -456,8 +456,10 @@ def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
     probe's tf-to-dl join needs no exchange on either stored side;
     df/consts are small dimension tables the probe broadcasts anyway.
     Returns the table names written."""
-    from ..sources.readers import save_as_table, write_bucketed
+    from ..sources.readers import (invalidate_manifest, save_as_table,
+                                   write_bucketed)
 
+    invalidate_manifest(docs.sparkSession, prefix)  # rebuild bracket: open
     idx = bm25_index(docs, id_col=id_col, text_col=text_col)
     write_bucketed(idx["tf"], f"{prefix}_tf", id_col, n_buckets)
     write_bucketed(idx["dl"], f"{prefix}_dl", id_col, n_buckets)
@@ -663,8 +665,10 @@ def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
     next-round #5): big bucketed+sorted on w1 (the probe join's
     leading key), uni bucketed on w; vocab is one row. Returns the
     table names written."""
-    from ..sources.readers import save_as_table, write_bucketed
+    from ..sources.readers import (invalidate_manifest, save_as_table,
+                                   write_bucketed)
 
+    invalidate_manifest(docs.sparkSession, prefix)  # rebuild bracket: open
     m = lm_model(docs, id_col=id_col, text_col=text_col)
     write_bucketed(m["big"], f"{prefix}_big", "w1", n_buckets,
                    sort_col="w1")

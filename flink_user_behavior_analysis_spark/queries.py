@@ -1347,6 +1347,10 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize(
         ev, ["user_id"], "ts", SESSION_GAP_S, order_tiebreak=["event_id"]
     )
+    # the session frame feeds TWO consumers (the quantile pass and
+    # the final aggregate); checkpoint it so the events scan + session
+    # shuffle run once, with blocks GC-freed when the result is done
+    sess = sess.localCheckpoint(eager=True)
     dur_s = (F.col("session_end_us") - F.col("session_start_us")) \
         .cast("double") / 1_000_000.0
     q = distributed_quantile_cont(sess.select(dur_s.alias("_d")), "_d",
@@ -1389,32 +1393,53 @@ def global_rank(df: DataFrame, order_cols: list, rank_name: str = "_rnk",
        own slice) + its partition's offset, joined in via a broadcast
        of the tiny offsets frame.
 
-    The frame is persisted before step 2 so the sampled range
-    boundaries — and therefore partition ids — are identical across
-    the two passes. ``order_cols`` must be a strict total order
-    (break ties explicitly) or ranks within a tie group are
-    partition-order dependent.
+    The frame is locally checkpointed before step 2 so the sampled
+    range boundaries — and therefore partition ids — are frozen as
+    blocks, identical across the two passes, and freed by the
+    ContextCleaner when the result goes out of scope. ``order_cols``
+    must be a strict total order (break ties explicitly) or ranks
+    within a tie group are partition-order dependent.
     """
-    ranked, _ = _global_rank_with_total(df, order_cols, rank_name,
-                                        num_partitions)
+    ranked, _, _ = _global_rank_with_total(df, order_cols, rank_name,
+                                           num_partitions)
     return ranked
 
 
 def _global_rank_with_total(df: DataFrame, order_cols: list,
                             rank_name: str = "_rnk",
                             num_partitions: int | None = None,
-                            ) -> tuple[DataFrame, int]:
+                            materialize: str = "checkpoint",
+                            ) -> tuple[DataFrame, int, DataFrame]:
     """global_rank plus the total row count — the count falls out of
     the per-partition size collect for free, so callers that need n
-    (ntile bucketing) don't pay a third job."""
+    (ntile bucketing) don't pay a third job.
+
+    Returns (ranked, total, base) where ``base`` is the materialized
+    range-partitioned frame. ``materialize``:
+      "checkpoint" (default) — ``localCheckpoint(eager=True)``: the
+        partition ids are frozen as BLOCKS, so the two passes (size
+        collect, final rank) read identical partitions by
+        construction, and the blocks are reference-tracked — freed by
+        the ContextCleaner once the returned frame is unreachable.
+        DataFrame ``persist`` would instead pin an entry in the
+        CacheManager forever unless someone calls unpersist, which a
+        caller returning a LAZY result can never safely do.
+      "persist" — classic cache; for callers that consume the result
+        EAGERLY inside the same function and unpersist ``base``
+        themselves (distributed_quantile_cont).
+    (localCheckpoint trades lineage for blocks: on executor loss the
+    job fails and retries from source — acceptable for an
+    interactive/batch rank; use reliable checkpoints for long jobs.)
+    """
     from pyspark.sql import Window
 
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = (df.repartitionByRange(n_parts, *order_cols)
-              .withColumn("_pid", F.spark_partition_id())
-              .persist())
+              .withColumn("_pid", F.spark_partition_id()))
+    ranged = (ranged.persist() if materialize == "persist"
+              else ranged.localCheckpoint(eager=True))
     sizes = {r._pid: r.cnt
              for r in ranged.groupBy("_pid")
              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -1430,7 +1455,7 @@ def _global_rank_with_total(df: DataFrame, order_cols: list,
                           (F.row_number().over(w) + F.col("_off"))
                           .cast("long"))
               .drop("_pid", "_off"))
-    return ranked, acc
+    return ranked, acc, ranged
 
 
 def _ntile_from_rank(rank_col, n_rows: int, n_buckets: int):
@@ -1468,10 +1493,12 @@ def distributed_quantile_cont(df: DataFrame, value_col: str,
     """
     import math
 
-    ranked, n = _global_rank_with_total(
+    ranked, n, base = _global_rank_with_total(
         df.select(F.col(value_col).alias("_val")),
-        [F.col("_val").asc()], num_partitions=num_partitions)
+        [F.col("_val").asc()], num_partitions=num_partitions,
+        materialize="persist")
     if n == 0:
+        base.unpersist()
         return {p: None for p in probs}
     targets: set[int] = set()
     for p in probs:
@@ -1481,6 +1508,9 @@ def distributed_quantile_cont(df: DataFrame, value_col: str,
     vals = {r._rnk: r._val
             for r in ranked.where(
                 F.col("_rnk").isin([int(t) for t in targets])).collect()}
+    # eager consumer: the boundary rows are in hand, release the cache
+    # (persist here, not checkpoint — the explicit unpersist is exact)
+    base.unpersist()
     out = {}
     for p in probs:
         pos = p * (n - 1)
@@ -1510,7 +1540,7 @@ def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
     cents = F.round(F.col("value") * 100).cast("long")
     per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("_rc"))
-    ranked, n_users = _global_rank_with_total(
+    ranked, n_users, _ = _global_rank_with_total(
         per_user, [F.col("_rc").desc(), F.col("user_id").asc()])
     return (
         ranked.withColumn(
@@ -1549,11 +1579,17 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations by (supplier nation, customer nation, ship year), both
     directions. Scale shape: the fact table is filtered and projected
     FIRST (shipdate range + needed columns only — predicate/column
-    pushdown to the parquet scan), the four dimension legs (supplier,
-    customer via orders, 2x nation) are BROADCAST joins — zero
-    shuffle on any dimension; the only exchange is the final
-    3-key rollup. Revenue folds to integer cents pre-agg for
-    engine-exact sums."""
+    pushdown to the parquet scan); the supplier and customer legs are
+    pre-filtered to the TWO trading nations (a ~2/25 selectivity that
+    the broadcast inner joins then push into the facts as semi-
+    filters: only the two nations' lineitems survive into the orders
+    join). One exchange is genuinely fact-sized and honest: the
+    li⋈orders join shuffles both (orders is no dimension — at a real
+    100 TB SF neither side broadcasts); everything else is broadcast
+    or the final 3-key rollup. If even the nation-filtered customer
+    leg outgrows the broadcast threshold, drop its broadcast hint and
+    let AQE pick the shuffled hash join. Revenue folds to integer
+    cents pre-agg for engine-exact sums."""
     n1, n2 = TRADE_NATIONS
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -1561,7 +1597,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_suppkey", "l_shipdate",
              "l_extendedprice", "l_discount")
     nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name")
+        "n_nationkey", "n_name").where(F.col("n_name").isin(n1, n2))
     supp = (load_table(spark, sf_dir, "supplier")
             .select("s_suppkey", "s_nationkey")
             .join(F.broadcast(nation),

@@ -2892,13 +2892,18 @@ def q_dedup_semantic_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     Until then it is pytest-gated (probe vs pure-Python reference in
     tests/test_pipeline_ops.py)."""
     from .operators.sampling import hash_uniform
-    from .operators.similarity import semdedup_probe, semdedup_store_corpus
+    from .operators.similarity import (semdedup_index_current,
+                                       semdedup_probe,
+                                       semdedup_store_corpus)
 
     embs = _embs(spark, sf_dir)
     is_delta = hash_uniform("vec_id", "delta") < DELTA_RATE
     cents = _semdedup_read_centroids_or_fit(spark)
     prefix = f"semdd_{_artifact_tag(sf_dir)}"
-    if not _index_ready(spark, prefix):
+    # gate on model IDENTITY, not just manifest presence: a refit
+    # centroid artifact must invalidate cells assigned under the old
+    # model (semdedup_index_current compares the stored fingerprint)
+    if not semdedup_index_current(spark, prefix, cents):
         semdedup_store_corpus(embs.where(~is_delta), cents, prefix)
     return semdedup_probe(spark, prefix, embs.where(is_delta), cents,
                           SEMDEDUP_EPS)

@@ -317,6 +317,17 @@ def write_manifest(spark, prefix: str, artifacts: list[str]) -> str:
     return f"{prefix}_manifest"
 
 
+def invalidate_manifest(spark, prefix: str) -> None:
+    """Drop ``{prefix}_manifest`` BEFORE a rebuild touches any artifact
+    table. Without this, the manifest-last protocol is only crash-atomic
+    for first builds: a rebuild that overwrites artifact #1 and then
+    crashes leaves the OLD manifest pointing at a mixed-generation index
+    that ``index_ready`` would keep trusting forever. Invalidate-first /
+    commit-last brackets the whole rebuild so any crash inside it reads
+    as "not ready → rebuild"."""
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
+
+
 def index_ready(spark, prefix: str) -> bool:
     """True iff ``{prefix}_manifest`` exists AND every artifact table
     it lists exists. Covers both failure shapes: a crash before the

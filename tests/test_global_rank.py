@@ -49,7 +49,7 @@ def test_distributed_ntile_equals_window_ntile(spark, n, buckets):
     first n%b buckets take one extra row)."""
     df = _synthetic(spark, n)
     order = [F.col("v").desc(), F.col("id").asc()]
-    ranked, total = _global_rank_with_total(df, order, num_partitions=8)
+    ranked, total, _ = _global_rank_with_total(df, order, num_partitions=8)
     assert total == n
     got = {r.id: r.b for r in ranked.withColumn(
         "b", _ntile_from_rank(F.col("_rnk"), total, buckets)).collect()}

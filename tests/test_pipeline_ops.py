@@ -1405,13 +1405,18 @@ def test_semdedup_stored_probe_matches_python_reference(spark, sf_dir):
     semdedup_store_corpus(corpus, cents, prefix)
     assert index_ready(spark, prefix)
     probe_df = semdedup_probe(spark, prefix, delta, cents, SEMDEDUP_EPS)
-    # the probe must touch only the cells the batch lands in: Spark
-    # prunes the cell-partitioned corpus scan via dynamic partition
-    # pruning from the batch side of the join
+    # the probe must touch only the cells the batch lands in: the
+    # probe collects the batch's distinct cells (bounded by k) and
+    # pushes a STATIC IN filter into the corpus scan's
+    # PartitionFilters — stronger than the dynamic-pruning subquery
+    # it replaces (the batch-side checkpoint hid the join from the
+    # DPP rule)
     plan = probe_df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
-    assert "dynamicpruningexpression(cell" in plan
+    import re as _re
+    m = _re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+    assert m, "corpus scan is not partition-pruned on cell"
     got = {row.vec_id: (row.status, row.n_corpus_matches)
            for row in probe_df.collect()}
 

@@ -61,6 +61,12 @@ def test_revenue_deciles_has_no_global_window(spark):
     assert "SinglePartition" not in plan, (
         "revenue_deciles funnels the per-user frame through one task"
     )
-    assert "rangepartitioning" in plan.lower(), (
-        "expected a distributed range exchange feeding the rank window"
+    # the range exchange now runs INSIDE the localCheckpoint that
+    # freezes partition ids (leak fix: checkpoint blocks are
+    # GC-freed, a CacheManager persist is not), so the visible plan
+    # reads the checkpointed blocks instead of showing the exchange
+    assert ("rangepartitioning" in plan.lower()
+            or "existingrdd" in plan.lower()), (
+        "expected a distributed range exchange (or its checkpointed "
+        "result) feeding the rank window"
     )

@@ -83,6 +83,80 @@ def test_bm25_stored_query_rebuilds_after_partial_build(
     _drop_prefix(spark, prefix)
 
 
+def test_rebuild_crash_invalidates_stale_manifest(spark, sf_dir,
+                                                  monkeypatch):
+    """REBUILD crash-atomicity: a builder re-run over an existing good
+    index must drop the old manifest BEFORE overwriting any artifact.
+    Otherwise a crash mid-rebuild (new tf, old dl/df/consts) leaves
+    the stale manifest listing tables that all still exist — a
+    mixed-generation index that index_ready would trust forever.
+    Simulated by making the SECOND artifact write raise after the
+    first succeeded."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        bm25_store_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_atom_rebuild"
+    docs = _docs(spark, sf_dir).limit(50)
+    _drop_prefix(spark, prefix)
+    bm25_store_index(docs, prefix)
+    assert index_ready(spark, prefix)
+
+    orig = readers.write_bucketed
+    calls = {"n": 0}
+
+    def crashing(df, table, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first artifact overwritten, then crash
+            raise RuntimeError("simulated crash mid-rebuild")
+        return orig(df, table, *a, **kw)
+
+    monkeypatch.setattr(readers, "write_bucketed", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        bm25_store_index(docs, prefix)
+    monkeypatch.setattr(readers, "write_bucketed", orig)
+
+    # every artifact the stale manifest would list still exists, but
+    # the invalidate-first bracket means the index reads NOT ready
+    for s in ("tf", "dl", "df", "consts"):
+        assert spark.catalog.tableExists(f"{prefix}_{s}")
+    assert not index_ready(spark, prefix)
+
+    # and a clean re-run recovers
+    bm25_store_index(docs, prefix)
+    assert index_ready(spark, prefix)
+    _drop_prefix(spark, prefix)
+
+
+def test_semdedup_stale_model_invalidates_stored_cells(spark, sf_dir):
+    """The SemDeDup cells table is only valid under the centroid model
+    that assigned it. A refit model (e.g. the centroid artifact file
+    deleted and regenerated from different data) must read as
+    NOT-current so the gate rebuilds, even though every artifact
+    table and the manifest still exist."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_index_current,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+
+    prefix = "t_atom_semdd"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).limit(40)
+    d = len(embs.select("embedding").first()[0])
+    cents_a = [[1.0] + [0.0] * (d - 1), [0.0, 1.0] + [0.0] * (d - 2)]
+    semdedup_store_corpus(embs, cents_a, prefix)
+    assert semdedup_index_current(spark, prefix, cents_a)
+    # same shape, different values -> stale
+    cents_b = [[0.5] + [0.0] * (d - 1), [0.0, 1.0] + [0.0] * (d - 2)]
+    assert not semdedup_index_current(spark, prefix, cents_b)
+    # manifest itself is still committed — only the identity differs
+    assert index_ready(spark, prefix)
+    _drop_prefix(spark, prefix)
+
+
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
     """Each *_store_* builder writes its manifest LAST and
     index_ready turns true exactly after a full build — exercised for
