@@ -1650,6 +1650,200 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---- STAGED for r8 registration (see the _GATE_HEAD rotation plan):
+# three relational shapes the registry did not yet cover — correlated
+# per-group aggregate (Q17), EXISTS + NOT-EXISTS double correlation
+# (Q21), scalar subquery + anti join (Q22). Each is pytest-gated
+# against its DuckDB oracle at the driver's sf0.01 until registered
+# (tests/test_relational_staged.py).
+
+Q17_BRAND = "Brand#4"
+Q21_LATE_DAYS = 120
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped (small-quantity-order revenue): yearly
+    revenue that would be lost by refusing orders below 20% of a
+    part's average order quantity, for one brand. The reference
+    formulation is a CORRELATED scalar subquery (avg l_quantity for
+    the same part); Spark-first this decorrelates into a per-part
+    aggregate joined back to the same filtered fact — and because
+    both the aggregate and the probe derive from ONE subtree
+    (lineitem ⋈ broadcast(brand parts)), Catalyst reuses the
+    partkey exchange: one scan, one shuffle, then a broadcast of the
+    per-part thresholds would even be possible — but the partkey-
+    aligned sort-merge join is already exchange-free on the probe
+    side. Threshold compare is engine-exact: quantities are small
+    integers stored as doubles, so the avg is an exact integer sum
+    over an exact count on both engines."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND).select("p_partkey")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    avgq = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_thresh"))
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.join(avgq, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_thresh"))
+        .agg((F.sum(cents).cast("double") / 100 / 7.0)
+             .alias("avg_yearly"))
+    )
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+SELECT sum(round(l.l_extendedprice * 100)::BIGINT)::DOUBLE / 100 / 7.0
+           AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND l.l_quantity < (
+      SELECT 0.2 * avg(l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (suppliers who kept orders waiting): for
+    finished multi-supplier orders, the supplier who was the ONLY
+    one to ship late (> {Q21_LATE_DAYS} days after the order date —
+    this corpus has no commit/receipt dates, Q4's ship-lag stand-in
+    again), counted per supplier, top 10.
+
+    The reference shape is EXISTS (another supplier on the order)
+    AND NOT EXISTS (another LATE supplier on the order) — two
+    correlated subqueries. Spark-first this is ONE conditional
+    aggregation over the order's lineitems: per order, count
+    distinct suppliers and distinct late suppliers; 'sole late'
+    means (suppliers >= 2, late suppliers == 1), and max(late
+    suppkey) identifies the culprit — the oracle keeps the textbook
+    double-EXISTS form, so the correctness row proves the
+    decorrelated aggregate equivalent. One orderkey shuffle for the
+    fact-fact join + one for the per-order aggregate (same key —
+    exchange reuse), then a supplier-dim broadcast.
+
+    The final top-10 window is global but runs over the per-SUPPLIER
+    aggregate — bounded by the supplier dimension (100 at sf0.01,
+    10^4-10^6 at any real SF), never fact-sized, same boundedness
+    argument as large_volume_orders."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > (
+        F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS"))
+    per_order = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey")))
+            .alias("_n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+        .where((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    per_supp = (
+        per_order.groupBy("_late_supp")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp),
+              F.col("_late_supp") == F.col("s_suppkey"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return (
+        per_supp.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("s_name", "numwait", "rnk")
+    )
+
+
+SOLE_LATE_SUPPLIERS_SQL = f"""
+WITH late_lines AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+), sole AS (
+    SELECT DISTINCT ll.l_orderkey, ll.l_suppkey
+    FROM late_lines ll
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = ll.l_orderkey
+          AND l2.l_suppkey <> ll.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late_lines l3
+        WHERE l3.l_orderkey = ll.l_orderkey
+          AND l3.l_suppkey <> ll.l_suppkey)
+), per_supp AS (
+    SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+    FROM sole JOIN supplier s ON s.s_suppkey = sole.l_suppkey
+    GROUP BY s.s_name
+)
+SELECT s_name, numwait,
+       row_number() OVER (ORDER BY numwait DESC, s_name ASC)::BIGINT
+           AS rnk
+FROM per_supp
+QUALIFY rnk <= 10
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped (global sales opportunity): customers with
+    an account balance above the average POSITIVE balance who have
+    never placed an order, rolled up by market segment (standing in
+    for Q22's phone country code).
+
+    The scalar subquery (global avg balance) is a 1-row aggregate
+    cross-joined back as a broadcast — no collect, stays one lazy
+    plan; the NOT EXISTS is a LEFT ANTI join against the orders
+    fact, shuffled on custkey on both sides. Balances fold to
+    integer cents BEFORE the avg so the threshold is an exact
+    integer sum / exact count on both engines — comparing doubles
+    summed in engine order would flip boundary customers."""
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", cents.alias("_bc"))
+    avg_bal = cust.where(F.col("_bc") > 0).agg(
+        F.avg("_bc").alias("_avg_bc"))
+    idle = (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("_bc") > F.col("_avg_bc"))
+        .join(load_table(spark, sf_dir, "orders").select("o_custkey"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("_bc").cast("double") / 100).alias("total_acctbal"),
+        )
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH cust AS (
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal * 100)::BIGINT AS bc
+    FROM customer
+)
+SELECT c_mktsegment,
+       COUNT(*)::BIGINT AS n_customers,
+       sum(bc)::DOUBLE / 100 AS total_acctbal
+FROM cust c
+WHERE c.bc > (SELECT avg(bc) FROM cust WHERE bc > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` payload
     (get_json_object stays inside codegen — no Python), top-5 ``k``
@@ -1777,16 +1971,19 @@ _GATE_HEAD: list[str] = [
     # nation_trade_flows — never gated before).
     #
     # ROUND-8 ROTATION PLAN: swap head and tail again (current tail
-    # = r6-green, must re-window in r8), and register the two STAGED
-    # queries (q_dedup_semantic_stored, q_ann_topk_filtered_stored —
-    # both already oracle-compared at sf0.01 in pytest). Capacity
-    # math: 49 tail + 2 staged = 51 > 50, so either (a) register one
-    # staged query in r8 and one in r9 — note r9 then needs 50 + 1 =
-    # 51 too, so (b) is cleaner — or (b) register both and widen
-    # test_tail_entries_were_green_recently's horizon from 2 to
-    # ceil(n_queries / 50) rounds, which preserves the guard's
-    # intent (every query re-certified as often as the 50-row driver
-    # window permits) once the registry exceeds 100 entries.
+    # = r6-green, must re-window in r8), and register the FIVE
+    # STAGED queries (q_dedup_semantic_stored,
+    # q_ann_topk_filtered_stored, and the three staged relational
+    # shapes small_qty_revenue / sole_late_suppliers /
+    # idle_rich_customers — all already oracle-compared at sf0.01 in
+    # pytest, tests/test_relational_staged.py + test_pipeline_ops).
+    # Capacity math: 49 tail + 5 staged = 54 > 50, so register all
+    # five, fill the r8 window with the 45 stalest tail entries plus
+    # the 5 new, and widen test_tail_entries_were_green_recently's
+    # horizon from 2 to ceil(n_queries / 50) = 3 rounds — which
+    # preserves the guard's intent (every query re-certified as
+    # often as the 50-row driver window permits) now that the
+    # registry exceeds 100 entries.
     "login_fail_cep",
     "login_fail_fb",
     "view_then_purchase",
