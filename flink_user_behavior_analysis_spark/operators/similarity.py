@@ -1566,9 +1566,13 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
         encoded = ivfpq_encode(corpus, model, id_col, vec_col)
     # probed-cell pruning: on a cell-partitioned stored table this is
     # PartitionFilters (whole unprobed cells never read); inline it is
-    # still a pushed scan predicate
+    # still a pushed scan predicate. Project to exactly the three
+    # scanned columns so meta/batch partition columns a stored table
+    # carries never ride the Arrow transfer (and the kernel's
+    # positional id access stays valid for any table layout).
     enc = encoded.where(F.col("cell").isin(
-        [int(c) for c in sorted(cell_queries)]))
+        [int(c) for c in sorted(cell_queries)])) \
+        .select(F.col(id_col), F.col("cell"), F.col("codes"))
 
     out_schema = StructType([
         StructField("query_id", LongType()),
@@ -1685,8 +1689,15 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
         meta = corpus.select(F.col(id_col).alias("_mid"),
                              *[F.col(c) for c in meta_cols])
         enc = enc.join(meta, enc[id_col] == meta["_mid"]).drop("_mid")
+    # second-level partition key for exactly-once ingestion: the
+    # build lands under _batch="base"; each later append lands under
+    # its own batch id, so a re-delivered append can dynamic-
+    # overwrite ONLY its own (cell, batch) partitions. Probes filter
+    # on cell alone — first-level pruning is unaffected.
     save_as_table(
-        enc.write.mode("overwrite").format("parquet").partitionBy("cell"),
+        enc.withColumn("_batch", F.lit("base"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell", "_batch"),
         f"{prefix}_codes")
     names = [f"{prefix}_centroids", f"{prefix}_codebook",
              f"{prefix}_codes"]
@@ -1772,50 +1783,90 @@ def ivfpq_topk_filtered_from_index(spark, prefix: str, queries: DataFrame,
                       model=model, encoded=filtered)
 
 
+def _dynamic_overwrite_insert(spark, aligned: DataFrame,
+                              table: str) -> None:
+    """insertInto under DYNAMIC partition-overwrite: replaces only
+    the partitions present in ``aligned`` (positional columns, the
+    table's own partitioning). The mode must be set on the SESSION
+    conf — the per-writer ``option("partitionOverwriteMode", ...)``
+    is not honored on the insertInto path and a STATIC overwrite
+    with no partition spec truncates the whole table (observed, and
+    exactly the failure this helper exists to prevent); conf is
+    restored in a finally."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        aligned.write.insertInto(table, overwrite=True)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          meta_cols: list[str] | None = None) -> int:
+                          meta_cols: list[str] | None = None,
+                          batch_id: str | None = None) -> int:
     """Append a new vector batch to a stored IVFADC index WITHOUT
     refitting — the serving-index ingestion path: encode the batch
     with the STORED model (one fused route+encode Arrow scan over
-    the batch only) and append the (id, codes[, meta], cell) rows
-    into the cell-partitioned codes table. Existing cells gain
-    files; new rows land in their partitions; the probe reads the
-    union with the same partition pruning.
+    the batch only) and land the (id, codes[, meta], cell) rows in
+    the cell-partitioned codes table. Existing cells gain files; new
+    rows land in their partitions; the probe reads the union with
+    the same partition pruning.
 
-    Returns the number of rows appended. Caveats, by design:
+    ``batch_id`` is the EXACTLY-ONCE ingestion contract: pass a
+    stable id for the batch (e.g. the upstream offset range) and a
+    re-delivered batch is either skipped (its id is committed in the
+    ``{prefix}_appends`` ledger) or re-run as an idempotent DYNAMIC
+    PARTITION OVERWRITE of only its own (cell, batch_id) partitions
+    — a crash anywhere in the append never duplicates rows:
+      crash mid-data-write  -> retry overwrites the torn partitions;
+      crash before the ledger write -> retry overwrites, same rows;
+      after the ledger write -> retry is a no-op.
+    Without a batch_id the write is a plain append under
+    ``_batch='adhoc'`` (at-least-once — re-delivery duplicates).
+
+    Remaining caveats, by design:
     - quantization error for drifted data grows until the next refit
       (the model is frozen — monitor recall and refit on schedule;
       semantic_dedup's max_cell guard is the same story);
     - the build-time ``_truth`` table is NOT updated (it certifies
       the build-time corpus); recall certification after appends
-      needs a fresh truth pass;
-    - per-append atomicity is Spark's file-output-committer contract
-      (task files commit or are cleaned up), weaker than the
-      build's manifest-last protocol — a torn JOB leaves committed
-      files of a partial append. For exactly-once ingestion wrap
-      appends in a staging-table swap or use a table format with
-      transactional commit.
+      needs a fresh truth pass.
     """
+    from ..sources.readers import append_recorded, record_append
+
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0
     model, _ = ivfpq_read_index(spark, prefix)
     enc = ivfpq_encode(new_vecs, model, id_col, vec_col)
     if meta_cols:
         meta = new_vecs.select(F.col(id_col).alias("_mid"),
                                *[F.col(c) for c in meta_cols])
         enc = enc.join(meta, enc[id_col] == meta["_mid"]).drop("_mid")
+    enc = enc.withColumn("_batch", F.lit(batch_id or "adhoc"))
     # the encode is an opaque Arrow map — count() would execute it in
     # full and the write would re-execute it; persist so the dominant
     # route+encode scan runs exactly once per append
     enc = enc.persist()
     try:
         n = enc.count()
-        # align column order to the existing table (partition col last)
+        # align column order to the existing table (partition cols
+        # last) — insertInto is positional
         existing = [f.name for f in spark.table(f"{prefix}_codes").schema]
-        enc.select(*existing).write.mode("append").format("parquet") \
-            .partitionBy("cell").saveAsTable(f"{prefix}_codes")
+        aligned = enc.select(*existing)
+        if batch_id is not None:
+            _dynamic_overwrite_insert(spark, aligned,
+                                      f"{prefix}_codes")
+        else:
+            aligned.write.mode("append").format("parquet") \
+                .partitionBy("cell", "_batch") \
+                .saveAsTable(f"{prefix}_codes")
     finally:
         enc.unpersist()
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)  # ledger LAST
     return int(n)
 
 
@@ -2065,8 +2116,12 @@ def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
     cells = _semdedup_assigned(corpus, centroids, id_col, vec_col) \
         .select(id_col, "cell", "cent_sim",
                 F.col("_v").alias("embedding"))
+    # (cell, _batch) two-level partitioning: same exactly-once append
+    # contract as the IVFADC codes table (see ivfpq_append_to_index)
     save_as_table(
-        cells.write.mode("overwrite").format("parquet").partitionBy("cell"),
+        cells.withColumn("_batch", F.lit("base"))
+        .write.mode("overwrite").format("parquet")
+        .partitionBy("cell", "_batch"),
         f"{prefix}_cells")
     # model-identity artifact: the cells are only valid under the
     # centroids that assigned them, so the fingerprint is part of the
@@ -2170,25 +2225,108 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     )
 
 
+def semdedup_drift(spark, prefix: str, batch: DataFrame,
+                   centroids: list[list[float]],
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The REFIT SIGNAL for the frozen-model incremental paths: every
+    append/probe docstring says 'the model is frozen — monitor and
+    refit on schedule'; this is that monitor. Per centroid cell,
+    compare an arriving batch's assignment quality to the stored
+    corpus baseline:
+
+      (cell, n_corpus, n_batch, mean_sim_corpus, mean_sim_batch,
+       sim_drift, mass_ratio)
+
+    - mean_sim_* average the (6-dp-rounded) cosine to the assigned
+      centroid; computed as integer MICRO-UNIT sums (round(sim*1e6)
+      is exact in int64), so the means are exact-sum/count on any
+      engine and partition order — a double sum would drift in the
+      last ulp and flip a correctness hash.
+    - sim_drift = mean_sim_batch - mean_sim_corpus: negative means
+      the batch sits farther from its centroids than the corpus the
+      model was fit on — quantization/dedup quality is degrading.
+    - mass_ratio = batch cell share / corpus cell share: a cell
+      swallowing disproportionate new mass is the max_cell stress
+      scenario building up (tools/semdedup_stress.py measures where
+      that ends).
+    Full-outer on cell: cells the batch never hits keep n_batch=0,
+    brand-new-mass cells keep n_corpus=0 (nulls in the means they
+    lack). One batch-sized projection + two cell-grain aggregates —
+    the corpus side reads only (cell, cent_sim) off the stored
+    cells table, never the embeddings.
+    """
+    from pyspark.sql import Window
+
+    micro = lambda c: F.round(F.col(c) * 1e6).cast("long")  # noqa: E731
+    b = (_semdedup_assigned(batch, centroids, id_col, vec_col)
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_batch"),
+              F.sum(micro("cent_sim")).alias("_bsum")))
+    c = (spark.table(f"{prefix}_cells")
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"),
+              F.sum(micro("cent_sim")).alias("_csum")))
+    # the unpartitioned window runs over the CELL-GRAIN frame —
+    # bounded by k centroids (hundreds), never data-sized, and it
+    # avoids re-executing the batch-scan aggregate that a
+    # 1-row-agg-cross-join formulation of the totals would cost
+    w_all = Window.partitionBy()
+    tot_b = F.sum("n_batch").over(w_all)
+    tot_c = F.sum("n_corpus").over(w_all)
+    mean_c = F.round(F.col("_csum") / F.col("n_corpus") / 1e6, 6)
+    mean_b = F.round(F.col("_bsum") / F.col("n_batch") / 1e6, 6)
+    return (
+        c.join(b, "cell", "full_outer")
+        .fillna({"n_batch": 0, "n_corpus": 0})
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_corpus", "n_batch",
+            mean_c.alias("mean_sim_corpus"),
+            mean_b.alias("mean_sim_batch"),
+            F.round(mean_b - mean_c, 6).alias("sim_drift"),
+            # null, not IEEE Infinity, for brand-new-mass cells —
+            # cross-engine reprs of inf disagree more than nulls do
+            F.when(F.col("n_corpus") > 0,
+                   F.round((F.col("n_batch") / tot_b)
+                           / (F.col("n_corpus") / tot_c), 4))
+            .alias("mass_ratio"),
+        )
+    )
+
+
 def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
                            centroids: list[list[float]],
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> int:
+                           vec_col: str = "embedding",
+                           batch_id: str | None = None) -> int:
     """The accept side of the incremental-SemDeDup loop: after
     semdedup_probe marks a batch, the KEPT members join the corpus —
     assign them (same frozen centroid model, pure projection) and
-    append into the cell-partitioned {prefix}_cells table, so the
+    land them in the cell-partitioned {prefix}_cells table, so the
     next batch's probe sees them. Returns rows appended. Same
-    frozen-model and committer-atomicity caveats as
-    ivfpq_append_to_index."""
+    frozen-model caveat and same EXACTLY-ONCE ``batch_id`` contract
+    as ivfpq_append_to_index (ledger-gated idempotent dynamic
+    partition overwrite; None -> plain at-least-once append)."""
+    from ..sources.readers import append_recorded, record_append
+
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0
     cells = _semdedup_assigned(accepted, centroids, id_col, vec_col) \
         .select(id_col, "cent_sim", F.col("_v").alias("embedding"),
-                "cell")
+                "cell") \
+        .withColumn("_batch", F.lit(batch_id or "adhoc"))
     # count() here is cheap, not a double-execute: the assignment is a
     # pure JVM Column projection (no filter), so Catalyst prunes every
     # cosine fold out of the count plan; only the write computes them
     n = cells.count()
     existing = [f.name for f in spark.table(f"{prefix}_cells").schema]
-    cells.select(*existing).write.mode("append").format("parquet") \
-        .partitionBy("cell").saveAsTable(f"{prefix}_cells")
+    aligned = cells.select(*existing)
+    if batch_id is not None:
+        _dynamic_overwrite_insert(spark, aligned, f"{prefix}_cells")
+    else:
+        aligned.write.mode("append").format("parquet") \
+            .partitionBy("cell", "_batch").saveAsTable(f"{prefix}_cells")
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)  # ledger LAST
     return int(n)

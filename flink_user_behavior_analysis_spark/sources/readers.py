@@ -340,6 +340,31 @@ def index_ready(spark, prefix: str) -> bool:
     return all(spark.catalog.tableExists(t) for t in listed)
 
 
+def append_recorded(spark, prefix: str, batch_id: str) -> bool:
+    """True iff ``batch_id`` is already committed in the index's
+    append ledger ``{prefix}_appends`` — the dedupe check that makes
+    re-delivered ingestion batches a no-op (exactly-once appends on
+    top of at-least-once delivery)."""
+    if not spark.catalog.tableExists(f"{prefix}_appends"):
+        return False
+    from pyspark.sql import functions as F
+
+    return bool(spark.table(f"{prefix}_appends")
+                .where(F.col("batch_id") == batch_id).limit(1).count())
+
+
+def record_append(spark, prefix: str, batch_id: str) -> None:
+    """Commit ``batch_id`` to the append ledger, AFTER the data write.
+    Marker-last means a crash between data and marker re-runs the
+    append on retry — which is safe because the data write itself is
+    an idempotent dynamic-partition overwrite keyed on the batch
+    (re-delivery replaces that batch's partitions, never duplicates
+    them)."""
+    spark.createDataFrame([(batch_id,)], "batch_id STRING") \
+        .write.mode("append").format("parquet") \
+        .saveAsTable(f"{prefix}_appends")
+
+
 def compact_parquet(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
                     sort_col: str | None = None) -> dict:
     """Small-files compaction — the maintenance job every long-running

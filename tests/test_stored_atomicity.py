@@ -157,6 +157,93 @@ def test_semdedup_stale_model_invalidates_stored_cells(spark, sf_dir):
     _drop_prefix(spark, prefix)
 
 
+def test_ivfpq_append_batch_id_is_exactly_once(spark, sf_dir,
+                                               monkeypatch):
+    """The exactly-once ingestion contract: a batch_id-keyed append
+    that is re-delivered must not duplicate rows — whether the first
+    attempt COMMITTED (ledger hit -> no-op) or CRASHED between the
+    data write and the ledger write (retry dynamic-overwrites the
+    same (cell, batch) partitions)."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_store_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_ivfpq_once"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    base = embs.where(F.abs(F.xxhash64("vec_id") % 10) >= 3)
+    extra = embs.where(F.abs(F.xxhash64("vec_id") % 10) < 3)
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+    n_base = spark.table(f"{prefix}_codes").count()
+
+    # crash AFTER the data write, BEFORE the ledger write
+    orig = readers.record_append
+
+    def crashing(spark_, prefix_, batch_id_):
+        raise RuntimeError("simulated crash before ledger")
+
+    monkeypatch.setattr(readers, "record_append", crashing)
+    with pytest.raises(RuntimeError, match="before ledger"):
+        ivfpq_append_to_index(spark, prefix, extra, batch_id="b1")
+    monkeypatch.setattr(readers, "record_append", orig)
+    n_extra = extra.count()
+    # data landed but batch is not committed
+    assert spark.table(f"{prefix}_codes").count() == n_base + n_extra
+    assert not readers.append_recorded(spark, prefix, "b1")
+
+    # retry: overwrites the same (cell, b1) partitions — no dup
+    n = ivfpq_append_to_index(spark, prefix, extra, batch_id="b1")
+    assert n == n_extra
+    assert spark.table(f"{prefix}_codes").count() == n_base + n_extra
+    assert readers.append_recorded(spark, prefix, "b1")
+
+    # re-delivery after commit: ledger hit, clean no-op
+    assert ivfpq_append_to_index(spark, prefix, extra,
+                                 batch_id="b1") == 0
+    assert spark.table(f"{prefix}_codes").count() == n_base + n_extra
+    # ids unique across the whole table
+    assert spark.table(f"{prefix}_codes").select("vec_id") \
+        .distinct().count() == n_base + n_extra
+    _drop_prefix(spark, prefix)
+
+
+def test_semdedup_append_batch_id_is_exactly_once(spark, sf_dir):
+    """Same ledger/overwrite contract on the SemDeDup cells table:
+    double delivery of the same batch_id leaves exactly one copy."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_append_corpus,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    prefix = "t_semdd_once"
+    _drop_prefix(spark, prefix)
+    cents = _semdedup_read_centroids_or_fit(spark)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    part_a = embs.where(F.abs(F.xxhash64("vec_id") % 10) >= 5)
+    part_b = embs.where(F.abs(F.xxhash64("vec_id") % 10) < 5)
+    semdedup_store_corpus(part_a, cents, prefix)
+    n_a = spark.table(f"{prefix}_cells").count()
+    n_b = part_b.count()
+
+    assert semdedup_append_corpus(spark, prefix, part_b, cents,
+                                  batch_id="b7") == n_b
+    assert semdedup_append_corpus(spark, prefix, part_b, cents,
+                                  batch_id="b7") == 0
+    assert spark.table(f"{prefix}_cells").count() == n_a + n_b
+    _drop_prefix(spark, prefix)
+
+
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
     """Each *_store_* builder writes its manifest LAST and
     index_ready turns true exactly after a full build — exercised for
