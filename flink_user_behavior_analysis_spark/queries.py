@@ -1971,15 +1971,16 @@ _GATE_HEAD: list[str] = [
     # nation_trade_flows — never gated before).
     #
     # ROUND-8 ROTATION PLAN: swap head and tail again (current tail
-    # = r6-green, must re-window in r8), and register the FIVE
+    # = r6-green, must re-window in r8), and register the SIX
     # STAGED queries (q_dedup_semantic_stored,
-    # q_ann_topk_filtered_stored, and the three staged relational
-    # shapes small_qty_revenue / sole_late_suppliers /
-    # idle_rich_customers — all already oracle-compared at sf0.01 in
-    # pytest, tests/test_relational_staged.py + test_pipeline_ops).
-    # Capacity math: 49 tail + 5 staged = 54 > 50, so register all
-    # five, fill the r8 window with the 45 stalest tail entries plus
-    # the 5 new, and widen test_tail_entries_were_green_recently's
+    # q_ann_topk_filtered_stored, q_semdedup_drift, and the three
+    # staged relational shapes small_qty_revenue /
+    # sole_late_suppliers / idle_rich_customers — all already
+    # oracle-compared at sf0.01 in pytest,
+    # tests/test_relational_staged.py + test_pipeline_ops).
+    # Capacity math: 49 tail + 6 staged = 55 > 50, so register all
+    # six, fill the r8 window with the 44 stalest tail entries plus
+    # the 6 new, and widen test_tail_entries_were_green_recently's
     # horizon from 2 to ceil(n_queries / 50) = 3 rounds — which
     # preserves the guard's intent (every query re-certified as
     # often as the 50-row driver window permits) now that the

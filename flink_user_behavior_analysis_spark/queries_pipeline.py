@@ -2923,6 +2923,100 @@ def _semdedup_read_centroids_or_fit(spark: SparkSession) -> list[list[float]]:
     return _semdedup_read_centroids(path)
 
 
+def q_semdedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-drift monitor over the stored SemDeDup corpus
+    (operators/similarity.py:semdedup_drift): per centroid cell,
+    the arriving batch's mean centroid-cosine and cell-mass share
+    vs the stored corpus baseline — the REFIT SIGNAL every
+    frozen-model caveat in the incremental paths points at. Batch =
+    the same DELTA_RATE hash split as q_dedup_semantic_stored, so
+    the two queries share the stored cells artifact (and its
+    model-fingerprint gate).
+
+    STAGED for r8 registration with the other five (see the
+    _GATE_HEAD rotation plan); pytest-gated against a full-recompute
+    DuckDB oracle until then."""
+    from .operators.sampling import hash_uniform
+    from .operators.similarity import (semdedup_drift,
+                                       semdedup_index_current,
+                                       semdedup_store_corpus)
+
+    embs = _embs(spark, sf_dir)
+    is_delta = hash_uniform("vec_id", "delta") < DELTA_RATE
+    cents = _semdedup_read_centroids_or_fit(spark)
+    prefix = f"semdd_{_artifact_tag(sf_dir)}"
+    if not semdedup_index_current(spark, prefix, cents):
+        semdedup_store_corpus(embs.where(~is_delta), cents, prefix)
+    return semdedup_drift(spark, prefix, embs.where(is_delta), cents)
+
+
+def _semdedup_drift_sql() -> str:
+    """Full-recompute drift oracle: re-derives BOTH sides'
+    assignments from the centroid artifact (the Spark query's corpus
+    side reads stored cent_sims — valid because the fingerprint gate
+    guarantees the same model, which q_dedup_semantic_stored's
+    oracle already proves reproduces the stored assignment).
+    Micro-unit integer sums keep the means engine-exact."""
+    path = _semdedup_centroid_path()
+    u = _D_MD5INT.format(x="'delta:' || vec_id::VARCHAR")
+    return f"""
+WITH cent AS (
+    SELECT cell, list(val ORDER BY dim) AS cvec
+    FROM read_parquet('{path}') GROUP BY cell
+), centn AS (
+    SELECT cell, cvec, sqrt(list_dot_product(cvec, cvec)) AS cnorm
+    FROM cent
+), emb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS nrm,
+           {u} / 1152921504606846976.0 < {DELTA_RATE} AS is_delta
+    FROM embeddings
+), scored AS (
+    SELECT e.vec_id, e.is_delta, c.cell,
+           round(CASE WHEN e.nrm = 0 OR c.cnorm = 0 THEN 0.0
+                 ELSE list_dot_product(e.v, c.cvec) / (e.nrm * c.cnorm)
+                 END, 6) AS cs
+    FROM emb e CROSS JOIN centn c
+), assign AS (
+    SELECT vec_id, is_delta, cell, cs AS cent_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+), corp AS (
+    SELECT cell, COUNT(*)::BIGINT AS n_corpus,
+           sum(round(cent_sim * 1e6)::BIGINT) AS csum
+    FROM assign WHERE NOT is_delta GROUP BY cell
+), batch AS (
+    SELECT cell, COUNT(*)::BIGINT AS n_batch,
+           sum(round(cent_sim * 1e6)::BIGINT) AS bsum
+    FROM assign WHERE is_delta GROUP BY cell
+)
+SELECT coalesce(c.cell, b.cell)::BIGINT AS cell,
+       coalesce(c.n_corpus, 0)::BIGINT AS n_corpus,
+       coalesce(b.n_batch, 0)::BIGINT AS n_batch,
+       CASE WHEN c.n_corpus > 0
+            THEN round(c.csum::DOUBLE / c.n_corpus / 1e6, 6) END
+           AS mean_sim_corpus,
+       CASE WHEN b.n_batch > 0
+            THEN round(b.bsum::DOUBLE / b.n_batch / 1e6, 6) END
+           AS mean_sim_batch,
+       CASE WHEN c.n_corpus > 0 AND b.n_batch > 0
+            THEN round(round(b.bsum::DOUBLE / b.n_batch / 1e6, 6)
+                       - round(c.csum::DOUBLE / c.n_corpus / 1e6, 6), 6)
+            END AS sim_drift,
+       CASE WHEN c.n_corpus > 0 THEN
+            round((coalesce(b.n_batch, 0)::DOUBLE
+                   / (SELECT sum(n_batch) FROM batch))
+                  / (c.n_corpus::DOUBLE
+                     / (SELECT sum(n_corpus) FROM corp)), 4) END
+           AS mass_ratio
+FROM corp c
+FULL OUTER JOIN batch b ON c.cell = b.cell
+"""
+
+
 def _dedup_semantic_stored_sql() -> str:
     """Full-recompute oracle for the staged stored probe (r8): split
     by the same md5 hash, re-derive assignment from the centroid

@@ -1486,6 +1486,32 @@ def test_dedup_semantic_stored_matches_oracle(spark, oracle_sf_dir):
     compare(df, _dedup_semantic_stored_sql(), oracle_sf_dir)
 
 
+def test_semdedup_drift_matches_oracle(spark, oracle_sf_dir):
+    """The STAGED r8 drift monitor (queries_pipeline.q_semdedup_drift)
+    passes the exact driver-style comparison against its
+    full-recompute DuckDB oracle at the driver's sf0.01 — means are
+    integer micro-unit sums, so engine/partition order cannot move
+    them."""
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _semdedup_drift_sql,
+        q_semdedup_drift,
+    )
+
+    from .oracle_util import compare
+
+    df = q_semdedup_drift(spark, oracle_sf_dir)
+    compare(df, _semdedup_drift_sql(), oracle_sf_dir)
+    rows = {r.cell: r for r in df.collect()}
+    assert rows, "drift monitor returned no cells"
+    # sanity on the semantics: corpus+batch masses each cover the
+    # split, and any cell with both sides has a finite drift
+    assert sum(r.n_corpus for r in rows.values()) > 0
+    assert sum(r.n_batch for r in rows.values()) > 0
+    for r in rows.values():
+        if r.n_corpus > 0 and r.n_batch > 0:
+            assert r.sim_drift is not None
+
+
 def test_ivfpq_filtered_search_from_stored_index(spark, sf_dir):
     """Filtered vector search: the metadata predicate rides the
     stored inverted-file scan (pushed parquet filter + probed-cell
