@@ -2225,6 +2225,41 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     )
 
 
+def _compact_index_family(spark, prefix: str, table_suffix: str) -> dict:
+    """Shared compaction wrapper: run compact_partitioned_table on
+    ``{prefix}_{table_suffix}`` inside the index's crash-atomicity
+    bracket — manifest invalidated before the rewrite, recommitted
+    with the SAME artifact list after, so a torn compaction reads as
+    not-ready and the gate rebuilds instead of serving a
+    half-rewritten inverted file."""
+    from ..sources.readers import (compact_partitioned_table,
+                                   invalidate_manifest, write_manifest)
+
+    manifest = [r.artifact
+                for r in spark.table(f"{prefix}_manifest").collect()]
+    invalidate_manifest(spark, prefix)
+    stats = compact_partitioned_table(
+        spark, f"{prefix}_{table_suffix}", ["cell"])
+    write_manifest(spark, prefix, manifest)
+    return stats
+
+
+def ivfpq_compact_index(spark, prefix: str) -> dict:
+    """Maintenance op closing the ingestion lifecycle (build ->
+    exactly-once append -> drift-monitor -> COMPACT -> refit):
+    absorb every appended batch of the IVFADC inverted file back
+    into the base generation, one file set per cell. The append
+    ledger survives, so absorbed batches stay deduplicated against
+    re-delivery. Probe results are identical before/after
+    (test-asserted); only the file count changes."""
+    return _compact_index_family(spark, prefix, "codes")
+
+
+def semdedup_compact_corpus(spark, prefix: str) -> dict:
+    """Same maintenance op for the SemDeDup cells table."""
+    return _compact_index_family(spark, prefix, "cells")
+
+
 def semdedup_drift(spark, prefix: str, batch: DataFrame,
                    centroids: list[list[float]],
                    id_col: str = "vec_id",

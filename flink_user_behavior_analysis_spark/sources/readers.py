@@ -365,6 +365,48 @@ def record_append(spark, prefix: str, batch_id: str) -> None:
         .saveAsTable(f"{prefix}_appends")
 
 
+def compact_partitioned_table(spark, table: str,
+                              partition_cols: list[str],
+                              batch_col: str = "_batch",
+                              base_value: str = "base") -> dict:
+    """Absorb appended ingestion batches back into the base
+    generation of a (partition, batch)-partitioned catalog table —
+    the maintenance job the exactly-once append path needs over
+    time: every batch lands as its own file set per cell, and scan
+    throughput dies on per-file open overhead long before data
+    volume matters (same disease compact_parquet treats for plain
+    paths).
+
+    Rewrites every row under ``batch_col = base_value`` with one
+    file set per partition value, via a staging table (Spark refuses
+    to overwrite a table it is reading). The APPEND LEDGER IS NOT
+    TOUCHED: absorbed batch ids stay committed, so a re-delivery of
+    an absorbed batch remains a no-op — clearing the ledger would
+    re-open the exactly-once window. Caller owns the crash-atomicity
+    bracket (invalidate manifest first, recommit last) so a torn
+    compaction reads as not-ready instead of serving a half-rewrite.
+    Returns {"rows", "files_before", "files_after"}.
+    """
+    from pyspark.sql import functions as F
+
+    stage = f"{table}_stage"
+    files_before = len(spark.table(table).inputFiles())
+    rows = spark.table(table).count()
+    df = (spark.table(table)
+          .withColumn(batch_col, F.lit(base_value))
+          .repartition(*partition_cols))
+    save_as_table(
+        df.write.mode("overwrite").format("parquet")
+        .partitionBy(*partition_cols, batch_col), stage)
+    save_as_table(
+        spark.table(stage).write.mode("overwrite").format("parquet")
+        .partitionBy(*partition_cols, batch_col), table)
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    return {"rows": rows,
+            "files_before": files_before,
+            "files_after": len(spark.table(table).inputFiles())}
+
+
 def compact_parquet(spark, path: str, target_bytes: int = 128 * 1024 * 1024,
                     sort_col: str | None = None) -> dict:
     """Small-files compaction — the maintenance job every long-running

@@ -244,6 +244,58 @@ def test_semdedup_append_batch_id_is_exactly_once(spark, sf_dir):
     _drop_prefix(spark, prefix)
 
 
+def test_ivfpq_compact_absorbs_batches_probe_identical(spark, sf_dir):
+    """Compaction closes the ingestion lifecycle: after several
+    batch appends the inverted file holds one file set per (cell,
+    batch); ivfpq_compact_index rewrites to one per cell with
+    IDENTICAL probe results, fewer files, and the append ledger
+    intact (absorbed batches still dedupe re-delivery). The
+    manifest bracket keeps a torn compaction detectable."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_compact_index,
+        ivfpq_store_index,
+        ivfpq_topk_from_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_ivfpq_cpt"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    h = F.abs(F.xxhash64("vec_id") % 10)
+    ivfpq_store_index(embs.where(h >= 4), prefix,
+                      n_centroids=8, m=8, codes=16)
+    for i, lo in enumerate((0, 2)):
+        batch = embs.where((h >= lo) & (h < lo + 2))
+        assert ivfpq_append_to_index(spark, prefix, batch,
+                                     batch_id=f"c{i}") > 0
+    queries = embs.where(F.col("vec_id") < 8)
+    before = sorted(map(tuple, ivfpq_topk_from_index(
+        spark, prefix, queries, 5, nprobe=4).collect()))
+    n_before = spark.table(f"{prefix}_codes").count()
+
+    stats = ivfpq_compact_index(spark, prefix)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == n_before
+    assert spark.table(f"{prefix}_codes").count() == n_before
+    # one batch generation left
+    assert [r._batch for r in spark.table(f"{prefix}_codes")
+            .select("_batch").distinct().collect()] == ["base"]
+    after = sorted(map(tuple, ivfpq_topk_from_index(
+        spark, prefix, queries, 5, nprobe=4).collect()))
+    assert after == before
+    assert index_ready(spark, prefix)
+    # ledger survived: absorbed batch ids still dedupe
+    assert readers.append_recorded(spark, prefix, "c0")
+    assert ivfpq_append_to_index(
+        spark, prefix, embs.where(h < 2), batch_id="c0") == 0
+    assert spark.table(f"{prefix}_codes").count() == n_before
+    _drop_prefix(spark, prefix)
+
+
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
     """Each *_store_* builder writes its manifest LAST and
     index_ready turns true exactly after a full build — exercised for
