@@ -2291,17 +2291,37 @@ def semdedup_drift(spark, prefix: str, batch: DataFrame,
     the corpus side reads only (cell, cent_sim) off the stored
     cells table, never the embeddings.
     """
+    b = semdedup_batch_stats(
+        _semdedup_assigned(batch, centroids, id_col, vec_col))
+    return semdedup_drift_from_stats(spark, prefix, b)
+
+
+def semdedup_batch_stats(assigned: DataFrame) -> DataFrame:
+    """(cell, n_batch, _bsum) — the per-cell count and integer
+    micro-unit cosine sum of an assigned frame. Associative and
+    commutative, so it is ALSO the streaming state of the drift
+    monitor: accumulating these per micro-batch and summing drains
+    to exactly the batch aggregation whatever the batch split
+    (stream twin: streaming/jobs.semdedup_drift_stream)."""
+    micro = F.round(F.col("cent_sim") * 1e6).cast("long")
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(micro).alias("_bsum"))
+
+
+def semdedup_drift_from_stats(spark, prefix: str,
+                              stats: DataFrame) -> DataFrame:
+    """Compose the drift report from precomputed batch stats (the
+    semdedup_batch_stats shape) and the stored corpus cells — the
+    shared tail of the inline and streaming drift paths."""
     from pyspark.sql import Window
 
-    micro = lambda c: F.round(F.col(c) * 1e6).cast("long")  # noqa: E731
-    b = (_semdedup_assigned(batch, centroids, id_col, vec_col)
-         .groupBy("cell")
-         .agg(F.count(F.lit(1)).cast("long").alias("n_batch"),
-              F.sum(micro("cent_sim")).alias("_bsum")))
+    micro = F.round(F.col("cent_sim") * 1e6).cast("long")
+    b = stats
     c = (spark.table(f"{prefix}_cells")
          .groupBy("cell")
          .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"),
-              F.sum(micro("cent_sim")).alias("_csum")))
+              F.sum(micro).alias("_csum")))
     # the unpartitioned window runs over the CELL-GRAIN frame —
     # bounded by k centroids (hundreds), never data-sized, and it
     # avoids re-executing the batch-scan aggregate that a

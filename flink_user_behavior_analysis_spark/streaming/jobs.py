@@ -150,6 +150,29 @@ def semdedup_assign_stream(spark: SparkSession, sf_dir: str,
     return semdedup_assign(embs, centroids)
 
 
+def semdedup_drift_stream(spark: SparkSession, sf_dir: str,
+                          centroids: list) -> DataFrame:
+    """Streaming half of the SemDeDup drift monitor: route each
+    arriving vector to its cell (the stateless literal-centroid
+    projection) and accumulate the per-cell (count, integer
+    micro-unit cosine sum) — both associative and commutative, so
+    the streaming state is ONE row per cell and the drained result
+    equals the batch aggregation whatever the micro-batch split
+    (test-asserted). Compose the drained stats with
+    operators/similarity.semdedup_drift_from_stats to get the same
+    report the inline monitor produces — per-cell state this small
+    is what makes the monitor a viable always-on stream job."""
+    from ..operators.similarity import semdedup_assign
+
+    ensure_utc(spark)
+    embs = file_replay_stream(spark, sf_dir, "embeddings")
+    assigned = semdedup_assign(embs, centroids)
+    micro = F.round(F.col("cent_sim") * 1e6).cast("long")
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(micro).alias("_bsum"))
+
+
 def curation_stream(spark: SparkSession, sf_dir: str,
                     min_quality: float = 0.6) -> DataFrame:
     """Streaming head of the curation pipeline (VERDICT r3 item 6):

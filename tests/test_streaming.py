@@ -583,6 +583,55 @@ def test_props_topk_composes_on_streamed_counts(spark, sf_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_semdedup_drift_stream_equals_batch(spark, sf_dir):
+    """The drift monitor's streaming state (per-cell count +
+    integer micro-unit cosine sum) drains to exactly the batch
+    aggregation, and composing the drained stats with the stored
+    corpus reproduces the inline drift report row-for-row —
+    additivity is what lets the monitor run always-on with one
+    state row per cell."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        _semdedup_assigned,
+        semdedup_batch_stats,
+        semdedup_drift,
+        semdedup_drift_from_stats,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _embs,
+        _semdedup_centroid_path,
+        _semdedup_read_centroids,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        run_available_now,
+        semdedup_drift_stream,
+    )
+
+    cents = _semdedup_read_centroids(_semdedup_centroid_path())
+    embs = _embs(spark, sf_dir)
+
+    streamed = run_available_now(
+        semdedup_drift_stream(spark, sf_dir, cents),
+        output_mode="complete")
+    batch_stats = semdedup_batch_stats(
+        _semdedup_assigned(embs, cents, "vec_id", "embedding"))
+    assert sorted(map(tuple, streamed.collect())) == \
+        sorted(map(tuple, batch_stats.collect()))
+
+    prefix = "t_semdd_drift_stream"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+    semdedup_store_corpus(embs, cents, prefix)
+    composed = semdedup_drift_from_stats(spark, prefix, streamed)
+    inline = semdedup_drift(spark, prefix, embs, cents)
+    assert sorted(map(tuple, composed.collect())) == \
+        sorted(map(tuple, inline.collect()))
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+
+
 def test_semdedup_assign_stream_equals_batch(spark, sf_dir):
     """Streaming cluster routing == batch assignment, row for row:
     the SemDeDup argmax projection is stateless, so replaying the
