@@ -30,7 +30,8 @@ from flink_user_behavior_analysis_spark.operators.similarity import (  # noqa: E
 )
 from flink_user_behavior_analysis_spark.session import get_spark  # noqa: E402
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+_POS = [a for a in sys.argv[1:] if not a.startswith("-")]
+N = int(_POS[0]) if _POS else 20_000
 DIMS = 16
 K = 8
 EPS = 0.92
@@ -68,7 +69,51 @@ def best_of(fn, n: int = 2) -> float:
     return best
 
 
+def drift_demo() -> None:
+    """Show the drift MONITOR catches the stale-model hazard this
+    harness measures, before the quadratic wall is hit: store the
+    corpus under a model fit on the balanced distribution, then
+    monitor a drifted (95/5 degenerate) batch — the dominant cell's
+    mass_ratio explodes and overall sim quality drops, which is the
+    refit signal. Run with: python tools/semdedup_stress.py --drift
+    """
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_drift,
+        semdedup_store_corpus,
+    )
+
+    spark = get_spark(app="semdedup-drift-demo")
+    prefix = "t_drift_demo"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+    corpus = synth(spark, "balanced")
+    cents = kmeans_fit(corpus, K, iters=3, metric="cosine")
+    semdedup_store_corpus(corpus, cents, prefix)
+
+    for mode in ("balanced", "degenerate"):
+        batch = synth(spark, mode).withColumn(
+            "vec_id", F.col("vec_id") + N)  # disjoint ids
+        rows = semdedup_drift(spark, prefix, batch, cents).collect()
+        worst_mass = max((r.mass_ratio for r in rows
+                          if r.mass_ratio is not None), default=None)
+        worst_drift = min((r.sim_drift for r in rows
+                           if r.sim_drift is not None), default=None)
+        print(f"  batch={mode}: worst mass_ratio={worst_mass} "
+              f"worst sim_drift={worst_drift}")
+        print(json.dumps({"op": "semdedup_drift", "batch": mode,
+                          "worst_mass_ratio": worst_mass,
+                          "worst_sim_drift": worst_drift}))
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+    spark.stop()
+
+
 def main() -> None:
+    if "--drift" in sys.argv:
+        drift_demo()
+        return
     spark = get_spark(app="semdedup-stress")
     out = {}
     for mode in ("balanced", "degenerate"):
