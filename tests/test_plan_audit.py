@@ -45,6 +45,33 @@ def test_no_python_in_hot_path(spark, name):
     if name not in ARROW_ALLOWED:
         hits = [n for n in ARROW_NODES if n in plan]
         assert not hits, f"{name}: unexpected Python stage {hits}"
+    # a CartesianProduct is always a scale bug: it means a join lost
+    # its equi-condition AND its broadcast (the deliberate 1-row
+    # scalar-broadcast cross joins compile to BroadcastNestedLoop,
+    # which is fine exactly because the build side is one row)
+    assert "CartesianProduct" not in plan, (
+        f"{name}: cartesian product in the plan"
+    )
+
+
+def test_staged_queries_free_of_python_and_cartesian(spark):
+    """Same audit for the r8 STAGED queries before they ever hit the
+    driver window."""
+    from flink_user_behavior_analysis_spark.queries import (
+        idle_rich_customers,
+        small_qty_revenue,
+        sole_late_suppliers,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        q_semdedup_drift,
+    )
+
+    for fn in (small_qty_revenue, sole_late_suppliers,
+               idle_rich_customers, q_semdedup_drift):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
 
 
 def test_revenue_deciles_has_no_global_window(spark):
