@@ -632,6 +632,80 @@ def test_semdedup_drift_stream_equals_batch(spark, sf_dir):
             spark.sql(f"DROP TABLE {t.name}")
 
 
+def test_semdedup_ingest_loop_exactly_once_appends(spark, sf_dir):
+    """The full incremental-SemDeDup lifecycle as the foreachBatch
+    ingest shape: each arriving micro-batch probes the ACCUMULATED
+    corpus, keeps the survivors, and appends them under
+    batch_id=epoch — Spark's canonical idempotent-sink pattern
+    (epoch_id-keyed writes). Then one epoch is RE-DELIVERED (the
+    at-least-once retry) and the corpus must be unchanged. Per-batch
+    statuses equal references probed against explicitly stored
+    snapshot corpora."""
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_append_corpus,
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        SEMDEDUP_EPS,
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    def _cleanup(pfx):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(pfx):
+                spark.sql(f"DROP TABLE {t.name}")
+
+    cents = _semdedup_read_centroids_or_fit(spark)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    u = hash_uniform("vec_id", "semdd_loop")
+    corpus0 = embs.where(u < 0.4)
+    epochs = [embs.where((u >= 0.4) & (u < 0.7)),
+              embs.where(u >= 0.7)]
+
+    prefix = "t_semdd_loop"
+    _cleanup(prefix)
+    semdedup_store_corpus(corpus0, cents, prefix)
+
+    got, kept_frames = [], []
+    for i, batch in enumerate(epochs):
+        marked = semdedup_probe(spark, prefix, batch, cents,
+                                SEMDEDUP_EPS)
+        rows = marked.collect()  # materialize BEFORE the append
+        got.append(sorted((r.vec_id, r.status) for r in rows))
+        kept_ids = [r.vec_id for r in rows if r.status == "kept"]
+        keepers = batch.where(F.col("vec_id").isin(kept_ids))
+        kept_frames.append(keepers)
+        assert semdedup_append_corpus(spark, prefix, keepers, cents,
+                                      batch_id=f"e{i}") == len(kept_ids)
+
+    # at-least-once retry: epoch e0 re-delivered after commit — no-op
+    n_total = spark.table(f"{prefix}_cells").count()
+    assert semdedup_append_corpus(spark, prefix, kept_frames[0], cents,
+                                  batch_id="e0") == 0
+    assert spark.table(f"{prefix}_cells").count() == n_total
+
+    # references: probe each epoch against an explicitly stored
+    # snapshot of (corpus0 + prior keepers)
+    snap = corpus0
+    for i, batch in enumerate(epochs):
+        ref_pfx = f"t_semdd_snap{i}"
+        _cleanup(ref_pfx)
+        semdedup_store_corpus(snap, cents, ref_pfx)
+        want = sorted(
+            (r.vec_id, r.status)
+            for r in semdedup_probe(spark, ref_pfx, batch, cents,
+                                    SEMDEDUP_EPS).collect())
+        assert got[i] == want, f"epoch {i} diverged from snapshot ref"
+        snap = snap.unionByName(kept_frames[i])
+        _cleanup(ref_pfx)
+    _cleanup(prefix)
+
+
 def test_semdedup_assign_stream_equals_batch(spark, sf_dir):
     """Streaming cluster routing == batch assignment, row for row:
     the SemDeDup argmax projection is stateless, so replaying the
