@@ -19,6 +19,8 @@ DOUBLE[] lists) to well below the 4-decimal rounding used in outputs.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -1641,9 +1643,12 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
     catalog tables:
       {prefix}_centroids  (cell, dim, val)     coarse quantizer
       {prefix}_codebook   (sub, cent, dim, val) residual PQ codebooks
-      {prefix}_codes      (id, codes[, meta...]) PARTITIONED BY cell
-                          — the inverted file; a probe filtering on
-                          its nprobe cells reads ONLY those partitions
+      {prefix}_codes      (id, codes[, meta...]) PARTITIONED BY
+                          (cell, _batch) — the inverted file; a probe
+                          filtering on its nprobe cells reads ONLY
+                          those first-level partitions; the _batch
+                          level is the exactly-once append/compact
+                          seam (ivfpq_append_to_index)
       {prefix}_truth      optional: brute-force top-``truth_k`` for a
                           canonical query set, computed once at build
                           time so a serving-path caller can certify
@@ -1658,9 +1663,13 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
     metadata predicate as a pushed parquet filter on the inverted-
     file scan — no join against a metadata table at query time.
     """
-    from ..sources.readers import invalidate_manifest, save_as_table
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, save_as_table)
 
     invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
+    # new generation: previously appended batches are NOT in it, so
+    # their ledger entries must go or re-delivery would skip them
+    clear_append_ledger(corpus.sparkSession, prefix)
     model = ivfpq_fit(corpus, n_centroids=n_centroids, m=m,
                       codes=codes, coarse_iters=coarse_iters,
                       pq_iters=pq_iters, id_col=id_col,
@@ -1783,6 +1792,9 @@ def ivfpq_topk_filtered_from_index(spark, prefix: str, queries: DataFrame,
                       model=model, encoded=filtered)
 
 
+_DYNAMIC_OVERWRITE_LOCK = threading.Lock()
+
+
 def _dynamic_overwrite_insert(spark, aligned: DataFrame,
                               table: str) -> None:
     """insertInto under DYNAMIC partition-overwrite: replaces only
@@ -1792,14 +1804,23 @@ def _dynamic_overwrite_insert(spark, aligned: DataFrame,
     is not honored on the insertInto path and a STATIC overwrite
     with no partition spec truncates the whole table (observed, and
     exactly the failure this helper exists to prevent); conf is
-    restored in a finally."""
+    restored in a finally.
+
+    The set/write/restore is serialized under a process lock: the
+    conf is SESSION-GLOBAL, so two interleaved appends could
+    otherwise restore 'static' under each other and truncate an
+    index. The lock covers every writer that goes through this
+    helper (all in-repo append paths); code outside it flipping the
+    same conf concurrently is not protected — on a shared cluster
+    use a table format with a transactional replaceWhere instead."""
     key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        aligned.write.insertInto(table, overwrite=True)
-    finally:
-        spark.conf.set(key, prev)
+    with _DYNAMIC_OVERWRITE_LOCK:
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            aligned.write.insertInto(table, overwrite=True)
+        finally:
+            spark.conf.set(key, prev)
 
 
 def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
@@ -2101,18 +2122,23 @@ def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
                           vec_col: str = "embedding") -> list[str]:
     """Materialize the corpus side of INCREMENTAL SemDeDup as a
     catalog artifact: one table {prefix}_cells holding (id, cell,
-    cent_sim, embedding) PARTITIONED BY cell — the embedding
-    inverted file. An arriving batch then assigns only itself and
+    cent_sim, embedding) PARTITIONED BY (cell, _batch) — the
+    embedding inverted file, with the _batch level as the
+    exactly-once append/compact seam (semdedup_append_corpus). An arriving batch then assigns only itself and
     probes the partitions of the cells it lands in; the corpus is
     never re-assigned and never fully re-scanned (partition pruning
     on cell, the ivfpq_store_index pattern). Commit marker
     ({prefix}_manifest) is written LAST — crash-atomic like every
     other *_store_* builder."""
-    from ..sources.readers import (invalidate_manifest, save_as_table,
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, save_as_table,
                                    write_manifest)
 
     spark = corpus.sparkSession
     invalidate_manifest(spark, prefix)  # rebuild bracket: open
+    # new generation: appended batches are not in it — drop their
+    # ledger entries or re-delivery would be skipped (data loss)
+    clear_append_ledger(spark, prefix)
     cells = _semdedup_assigned(corpus, centroids, id_col, vec_col) \
         .select(id_col, "cell", "cent_sim",
                 F.col("_v").alias("embedding"))
@@ -2160,7 +2186,7 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     against the stored corpus cells AND itself, without touching the
     corpus-side assignment. Per-batch wall is a function of the
     batch and the cells it lands in, not the corpus: the corpus
-    table is PARTITIONED BY cell and the probe pushes the batch's
+    table is PARTITIONED BY (cell, _batch) and the probe pushes the batch's
     distinct cell list (bounded by k, one tiny collect off the
     checkpointed batch) as a STATIC IN filter into the scan's
     PartitionFilters (test-asserted), so unprobed cells are never
@@ -2231,15 +2257,40 @@ def _compact_index_family(spark, prefix: str, table_suffix: str) -> dict:
     bracket — manifest invalidated before the rewrite, recommitted
     with the SAME artifact list after, so a torn compaction reads as
     not-ready and the gate rebuilds instead of serving a
-    half-rewritten inverted file."""
+    half-rewritten inverted file.
+
+    SINGLE-WRITER contract: an append that commits while the rewrite
+    is in flight would be erased by the final overwrite — with its
+    ledger entry surviving, re-delivery would be skipped and the
+    loss silent. Best-effort enforcement: the append ledger is
+    snapshotted before the rewrite and re-checked after; a
+    concurrent append raises, naming the batch ids that must be
+    re-ingested under NEW ids (their data is gone, their old ids are
+    burned). A transactional table format is the real cure on a
+    shared cluster."""
     from ..sources.readers import (compact_partitioned_table,
                                    invalidate_manifest, write_manifest)
 
+    def _ledger_ids() -> set:
+        if not spark.catalog.tableExists(f"{prefix}_appends"):
+            return set()
+        return {r.batch_id
+                for r in spark.table(f"{prefix}_appends").collect()}
+
     manifest = [r.artifact
                 for r in spark.table(f"{prefix}_manifest").collect()]
+    before = _ledger_ids()
     invalidate_manifest(spark, prefix)
     stats = compact_partitioned_table(
         spark, f"{prefix}_{table_suffix}", ["cell"])
+    raced = _ledger_ids() - before
+    if raced:
+        raise RuntimeError(
+            f"append(s) {sorted(raced)} committed during compaction of "
+            f"{prefix}_{table_suffix} and their data was erased by the "
+            f"rewrite — re-ingest those batches under NEW batch ids "
+            f"(the old ids are burned in the ledger); the manifest is "
+            f"left invalidated so gated readers rebuild")
     write_manifest(spark, prefix, manifest)
     return stats
 

@@ -340,6 +340,18 @@ def index_ready(spark, prefix: str) -> bool:
     return all(spark.catalog.tableExists(t) for t in listed)
 
 
+def clear_append_ledger(spark, prefix: str) -> None:
+    """Drop ``{prefix}_appends`` — REBUILDS must call this (builders
+    do, inside their invalidate-first bracket): a rebuilt index is a
+    new generation containing only the source corpus, so previously
+    appended batches' data is gone — if their ledger entries
+    survived, an at-least-once re-delivery would be skipped and the
+    loss made permanent. COMPACTION must NOT call this: it absorbs
+    batch data into the base generation, so absorbed ids must keep
+    deduplicating re-delivery."""
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_appends")
+
+
 def append_recorded(spark, prefix: str, batch_id: str) -> bool:
     """True iff ``batch_id`` is already committed in the index's
     append ledger ``{prefix}_appends`` — the dedupe check that makes

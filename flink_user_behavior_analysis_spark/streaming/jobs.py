@@ -162,15 +162,15 @@ def semdedup_drift_stream(spark: SparkSession, sf_dir: str,
     operators/similarity.semdedup_drift_from_stats to get the same
     report the inline monitor produces — per-cell state this small
     is what makes the monitor a viable always-on stream job."""
-    from ..operators.similarity import semdedup_assign
+    from ..operators.similarity import (semdedup_assign,
+                                        semdedup_batch_stats)
 
     ensure_utc(spark)
     embs = file_replay_stream(spark, sf_dir, "embeddings")
-    assigned = semdedup_assign(embs, centroids)
-    micro = F.round(F.col("cent_sim") * 1e6).cast("long")
-    return assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.sum(micro).alias("_bsum"))
+    # THE batch aggregation applied to the stream — one
+    # implementation, so the drain==batch contract cannot
+    # desynchronize between the two paths
+    return semdedup_batch_stats(semdedup_assign(embs, centroids))
 
 
 def curation_stream(spark: SparkSession, sf_dir: str,

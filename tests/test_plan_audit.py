@@ -55,8 +55,12 @@ def test_no_python_in_hot_path(spark, name):
 
 
 def test_staged_queries_free_of_python_and_cartesian(spark):
-    """Same audit for the r8 STAGED queries before they ever hit the
-    driver window."""
+    """The ONE plan audit for the r8 STAGED queries, run before they
+    ever hit the driver window: no Python stages (row-at-a-time OR
+    Arrow — none of the four needs Python), no cartesian product,
+    and Q21's top-10 must compile to TakeOrderedAndProject (the
+    window-group-limit pushdown), NOT a fact-sized single-partition
+    window sort."""
     from flink_user_behavior_analysis_spark.queries import (
         idle_rich_customers,
         small_qty_revenue,
@@ -71,7 +75,14 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
         plan = fn(spark, SF_DIR)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__
+        hits = [n for n in ARROW_NODES if n in plan]
+        assert not hits, f"{fn.__name__}: unexpected Python stage {hits}"
         assert "CartesianProduct" not in plan, fn.__name__
+        if fn is sole_late_suppliers:
+            assert "TakeOrderedAndProject" in plan, (
+                "Q21's rnk<=10 filter no longer pushes down to a "
+                "top-k — the global window would sort every supplier "
+                "in one task")
 
 
 def test_revenue_deciles_has_no_global_window(spark):

@@ -43,15 +43,6 @@ def test_idle_rich_customers_matches_oracle(spark, oracle_sf_dir):
     compare(df, IDLE_RICH_CUSTOMERS_SQL, oracle_sf_dir)
 
 
-def test_staged_queries_have_clean_plans(spark, oracle_sf_dir):
-    """Plan hygiene for the staged queries before they ever hit the
-    driver: no Python stages, no single-partition exchange feeding a
-    fact-sized window (the only window, Q21's top-10, runs over the
-    supplier-dim-bounded per-supplier aggregate — asserted bounded
-    by checking its input is the post-aggregation side)."""
-    for fn in (small_qty_revenue, sole_late_suppliers,
-               idle_rich_customers):
-        plan = fn(spark, oracle_sf_dir)._jdf.queryExecution() \
-            .executedPlan().toString()
-        assert "BatchEvalPython" not in plan, fn.__name__
-        assert "ArrowEvalPython" not in plan, fn.__name__
+# (plan hygiene for the staged queries lives in test_plan_audit.py's
+# test_staged_queries_free_of_python_and_cartesian — one audit, not
+# two drifting copies)

@@ -212,6 +212,43 @@ def test_ivfpq_append_batch_id_is_exactly_once(spark, sf_dir,
     _drop_prefix(spark, prefix)
 
 
+def test_rebuild_clears_append_ledger(spark, sf_dir):
+    """A REBUILD starts a new generation containing only the source
+    corpus — appended batches' data is gone, so their ledger entries
+    must go too, or an at-least-once re-delivery would be skipped
+    and the loss made permanent. (Compaction is the opposite case:
+    it absorbs batch data, so its test asserts the ledger
+    SURVIVES.)"""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_store_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_ivfpq_regen"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    base = embs.where(F.abs(F.xxhash64("vec_id") % 10) >= 3)
+    extra = embs.where(F.abs(F.xxhash64("vec_id") % 10) < 3)
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+    assert ivfpq_append_to_index(spark, prefix, extra,
+                                 batch_id="g1") > 0
+    assert readers.append_recorded(spark, prefix, "g1")
+
+    # rebuild from the base corpus only — g1's data is gone
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+    assert not readers.append_recorded(spark, prefix, "g1"), (
+        "stale ledger entry survived the rebuild — re-delivery of g1 "
+        "would be skipped and its data permanently lost")
+    # re-delivery now lands
+    n = ivfpq_append_to_index(spark, prefix, extra, batch_id="g1")
+    assert n == extra.count() and n > 0
+    _drop_prefix(spark, prefix)
+
+
 def test_semdedup_append_batch_id_is_exactly_once(spark, sf_dir):
     """Same ledger/overwrite contract on the SemDeDup cells table:
     double delivery of the same batch_id leaves exactly one copy."""
