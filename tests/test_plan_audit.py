@@ -54,6 +54,27 @@ def test_no_python_in_hot_path(spark, name):
     )
 
 
+@pytest.mark.parametrize("name", ["shipping_priority",
+                                  "returned_customers",
+                                  "large_volume_orders"])
+def test_global_topk_windows_push_down_to_take_ordered(spark, name):
+    """Every global `row_number() ... where rnk <= k` in the
+    relational suite must keep compiling to TakeOrderedAndProject
+    (distributed per-partition top-k, then a k-row window) — the
+    window-group-limit pushdown is what makes these safe at a
+    fact-sized input, so losing it (e.g. by adding a column the
+    optimizer can't see through) would silently reintroduce the
+    single-task global sort."""
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, (
+        f"{name}: rank filter no longer pushes down to a top-k"
+    )
+    assert "SinglePartition" not in plan, (
+        f"{name}: single-partition exchange appeared in the plan"
+    )
+
+
 def test_staged_queries_free_of_python_and_cartesian(spark):
     """The ONE plan audit for the r8 STAGED queries, run before they
     ever hit the driver window: no Python stages (row-at-a-time OR
