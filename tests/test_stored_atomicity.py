@@ -333,6 +333,65 @@ def test_ivfpq_compact_absorbs_batches_probe_identical(spark, sf_dir):
     _drop_prefix(spark, prefix)
 
 
+def test_semdedup_compact_probe_identical_and_race_guard(spark, sf_dir,
+                                                         monkeypatch):
+    """SemDeDup-side compaction: probe statuses identical across the
+    rewrite, files shrink, ledger survives. Plus the single-writer
+    race guard: an append committing mid-rewrite makes compaction
+    RAISE (its data was erased — silent success would burn the batch
+    id with no warning) and leaves the manifest invalidated."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_append_corpus,
+        semdedup_compact_corpus,
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        SEMDEDUP_EPS,
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_semdd_cpt"
+    _drop_prefix(spark, prefix)
+    cents = _semdedup_read_centroids_or_fit(spark)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    h = F.abs(F.xxhash64("vec_id") % 10)
+    semdedup_store_corpus(embs.where(h >= 4), cents, prefix)
+    semdedup_append_corpus(spark, prefix, embs.where((h >= 2) & (h < 4)),
+                           cents, batch_id="k0")
+    probe = embs.where(h < 2)
+    before = sorted(map(tuple, semdedup_probe(
+        spark, prefix, probe, cents, SEMDEDUP_EPS).collect()))
+
+    stats = semdedup_compact_corpus(spark, prefix)
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(map(tuple, semdedup_probe(
+        spark, prefix, probe, cents, SEMDEDUP_EPS).collect()))
+    assert after == before
+    assert readers.append_recorded(spark, prefix, "k0")  # ledger kept
+    assert index_ready(spark, prefix)
+
+    # race guard: a concurrent append lands mid-rewrite
+    orig = readers.compact_partitioned_table
+
+    def racing(spark_, table, *a, **kw):
+        out = orig(spark_, table, *a, **kw)
+        readers.record_append(spark_, prefix, "k_race")  # sneaks in
+        return out
+
+    monkeypatch.setattr(readers, "compact_partitioned_table", racing)
+    with pytest.raises(RuntimeError, match="re-ingest those batches"):
+        semdedup_compact_corpus(spark, prefix)
+    assert not index_ready(spark, prefix), (
+        "manifest must stay invalidated after a raced compaction"
+    )
+    _drop_prefix(spark, prefix)
+
+
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
     """Each *_store_* builder writes its manifest LAST and
     index_ready turns true exactly after a full build — exercised for
