@@ -456,10 +456,14 @@ def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
     probe's tf-to-dl join needs no exchange on either stored side;
     df/consts are small dimension tables the probe broadcasts anyway.
     Returns the table names written."""
-    from ..sources.readers import (invalidate_manifest, save_as_table,
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, save_as_table,
                                    write_bucketed)
 
     invalidate_manifest(docs.sparkSession, prefix)  # rebuild bracket: open
+    # new generation: appended batches are not in it — stale ledger
+    # entries would turn re-delivery into silent loss
+    clear_append_ledger(docs.sparkSession, prefix)
     idx = bm25_index(docs, id_col=id_col, text_col=text_col)
     write_bucketed(idx["tf"], f"{prefix}_tf", id_col, n_buckets)
     write_bucketed(idx["dl"], f"{prefix}_dl", id_col, n_buckets)
@@ -477,6 +481,82 @@ def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
 def bm25_read_index(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:
     return {s: spark.table(f"{prefix}_{s}")
             for s in ("tf", "dl", "df", "consts")}
+
+
+def bm25_append_to_index(spark: SparkSession, prefix: str,
+                         new_docs: DataFrame,
+                         batch_id: str | None = None,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> int:
+    """Append a document batch to a stored BM25 index WITHOUT a full
+    rebuild — text-index ingestion, the counts-are-additive sibling
+    of ivfpq_append_to_index:
+
+      tf/dl  batch-local rows, APPENDED under the table's own bucket
+             spec (read back from the catalog, so the zero-exchange
+             probe join survives appends);
+      df     additive merge: stored counts + the batch's distinct-doc
+             counts, rewritten (vocabulary-sized — the micro-batch
+             price; localCheckpoint breaks the read-then-overwrite
+             cycle);
+      consts n_docs grows by the batch count; avgdl is recomputed
+             FROM the merged dl table — the same integer token sum /
+             doc count a one-shot rebuild computes, so post-append
+             scores are BIT-IDENTICAL to rebuilding on the union
+             (test-asserted).
+
+    Transactional shape: the whole append runs inside the manifest
+    bracket (invalidated first, recommitted last) — a crash at ANY
+    point leaves the index not-ready and the gated reader rebuilds
+    from source (which also clears the ledger). The ledger is
+    recorded just before the recommit, so with a ``batch_id``
+    delivery is exactly-once: re-delivery after commit is a no-op;
+    retry after a torn append lands on the rebuilt index. Unlike the
+    partitioned vector indexes there is no per-batch overwrite here
+    — the bracket IS the idempotence mechanism, bought at
+    rebuild-on-crash recovery cost."""
+    from ..sources.readers import (append_recorded, index_ready,
+                                   invalidate_manifest, record_append,
+                                   save_as_table, table_num_buckets,
+                                   write_manifest)
+
+    if not index_ready(spark, prefix):
+        raise ValueError(f"bm25_append_to_index: {prefix} is not a "
+                         f"committed index — build it first "
+                         f"(bm25_store_index)")
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0
+    idx = bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    n_batch = new_docs.count()
+    nb = table_num_buckets(spark, f"{prefix}_tf") or 8
+    old_n_docs = spark.table(f"{prefix}_consts").collect()[0].n_docs
+
+    names = [f"{prefix}_{s}" for s in ("tf", "dl", "df", "consts")]
+    invalidate_manifest(spark, prefix)  # transaction open
+    idx["tf"].write.mode("append").format("parquet") \
+        .bucketBy(nb, id_col).saveAsTable(f"{prefix}_tf")
+    idx["dl"].write.mode("append").format("parquet") \
+        .bucketBy(nb, id_col).saveAsTable(f"{prefix}_dl")
+    merged = (spark.table(f"{prefix}_df").unionByName(idx["df"])
+              .groupBy("token")
+              .agg(F.sum("df").cast("long").alias("df"))
+              .localCheckpoint(eager=True))
+    save_as_table(merged.write.mode("overwrite").format("parquet"),
+                  f"{prefix}_df")
+    stats = spark.table(f"{prefix}_dl").agg(
+        F.sum("dl").cast("double").alias("_tot"),
+        F.count(F.lit(1)).cast("double").alias("_nd")).collect()[0]
+    consts = spark.createDataFrame(
+        [(int(old_n_docs) + int(n_batch),
+          float(stats._tot) / float(stats._nd))],
+        "n_docs BIGINT, avgdl DOUBLE")
+    save_as_table(consts.write.mode("overwrite").format("parquet"),
+                  f"{prefix}_consts")
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)  # before the commit:
+        # a crash here -> manifest missing -> rebuild clears ledger
+    write_manifest(spark, prefix, names)  # transaction commit
+    return int(n_batch)
 
 
 def bm25_topk_from_index(index: dict[str, DataFrame], queries: DataFrame,
@@ -665,10 +745,12 @@ def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
     next-round #5): big bucketed+sorted on w1 (the probe join's
     leading key), uni bucketed on w; vocab is one row. Returns the
     table names written."""
-    from ..sources.readers import (invalidate_manifest, save_as_table,
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, save_as_table,
                                    write_bucketed)
 
     invalidate_manifest(docs.sparkSession, prefix)  # rebuild bracket: open
+    clear_append_ledger(docs.sparkSession, prefix)  # new generation
     m = lm_model(docs, id_col=id_col, text_col=text_col)
     write_bucketed(m["big"], f"{prefix}_big", "w1", n_buckets,
                    sort_col="w1")
@@ -680,6 +762,65 @@ def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
 
     write_manifest(docs.sparkSession, prefix, names)  # commit marker LAST
     return names
+
+
+def lm_append_to_model(spark: SparkSession, prefix: str,
+                       new_docs: DataFrame,
+                       batch_id: str | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> int:
+    """Fold a document batch into a stored bigram LM — counts are
+    additive over disjoint doc sets, so the merge rewrites the
+    count tables from (stored counts + batch counts) WITHOUT ever
+    re-tokenizing the existing corpus: append cost is
+    O(|count tables| + |batch text|), a rebuild is O(|corpus
+    text|). vocab is recomputed as the merged unigram count, so
+    post-append scores are BIT-IDENTICAL to rebuilding on the union
+    (test-asserted). Unlike BM25's tf/dl there is no per-doc table
+    to append to — uni/big are keyed aggregates, so a blind append
+    would create duplicate keys the probe join does not sum over;
+    the rewrite keeps each table one-row-per-key and preserves the
+    bucket spec (read back from the catalog) for the probe's
+    exchange-free w1 join.
+
+    Same transactional shape as bm25_append_to_index: everything
+    inside the manifest bracket, ledger recorded just before the
+    recommit — crash anywhere -> not-ready -> gated rebuild (which
+    clears the ledger); committed re-delivery -> no-op."""
+    from ..sources.readers import (append_recorded, index_ready,
+                                   invalidate_manifest, record_append,
+                                   save_as_table, table_num_buckets,
+                                   write_bucketed, write_manifest)
+
+    if not index_ready(spark, prefix):
+        raise ValueError(f"lm_append_to_model: {prefix} is not a "
+                         f"committed model — build it first "
+                         f"(lm_store_model)")
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0
+    m = lm_model(new_docs, id_col=id_col, text_col=text_col)
+    n_batch = new_docs.count()
+    nb = table_num_buckets(spark, f"{prefix}_big") or 8
+
+    merged_uni = (spark.table(f"{prefix}_uni").unionByName(m["uni"])
+                  .groupBy("w").agg(F.sum("cw").cast("long").alias("cw"))
+                  .localCheckpoint(eager=True))
+    merged_big = (spark.table(f"{prefix}_big").unionByName(m["big"])
+                  .groupBy("w1", "w2")
+                  .agg(F.sum("cb").cast("long").alias("cb"))
+                  .localCheckpoint(eager=True))
+    vocab = merged_uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    names = [f"{prefix}_{s}" for s in ("big", "uni", "vocab")]
+    invalidate_manifest(spark, prefix)  # transaction open
+    write_bucketed(merged_big, f"{prefix}_big", "w1", nb, sort_col="w1")
+    write_bucketed(merged_uni, f"{prefix}_uni", "w", nb)
+    save_as_table(vocab.write.mode("overwrite").format("parquet"),
+                  f"{prefix}_vocab")
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)
+    write_manifest(spark, prefix, names)  # transaction commit
+    return int(n_batch)
 
 
 def lm_read_model(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:

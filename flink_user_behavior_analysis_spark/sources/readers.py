@@ -262,6 +262,21 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     save_as_table(w.format("parquet"), table)
 
 
+def table_num_buckets(spark, table: str) -> int | None:
+    """Bucket count of a catalog table (None if unbucketed) — read
+    from DESCRIBE EXTENDED so an APPEND can reuse the exact spec the
+    build wrote instead of trusting a hyperparameter to match (a
+    mismatched bucketBy on append is a catalog error; a silently
+    different one would be worse)."""
+    for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if r.col_name == "Num Buckets":
+            try:
+                return int(r.data_type)
+            except (TypeError, ValueError):
+                return None
+    return None
+
+
 def save_as_table(writer, table: str) -> None:
     """``saveAsTable`` that survives an orphaned warehouse location.
 

@@ -392,6 +392,124 @@ def test_semdedup_compact_probe_identical_and_race_guard(spark, sf_dir,
     _drop_prefix(spark, prefix)
 
 
+def test_bm25_append_equals_rebuild_on_union(spark, sf_dir,
+                                             monkeypatch):
+    """Text-index ingestion: build on 70% of the docs, APPEND the
+    rest — post-append probe scores must be BIT-IDENTICAL to a
+    one-shot build on the full corpus (df counts are additive,
+    avgdl recomputed from the merged dl table). Re-delivery of the
+    committed batch is a no-op; a crash mid-append leaves the index
+    not-ready (the manifest bracket is the transaction) and a
+    rebuild recovers."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        bm25_append_to_index,
+        bm25_read_index,
+        bm25_store_index,
+        bm25_topk_from_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    docs = _docs(spark, sf_dir)
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    base, extra = docs.where(h >= 3), docs.where(h < 3)
+    queries = (docs.where(F.col("doc_id") < 5)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.col("text").alias("query_text")))
+
+    for p in ("t_bm25_app", "t_bm25_full"):
+        _drop_prefix(spark, p)
+    bm25_store_index(base, "t_bm25_app")
+    n = bm25_append_to_index(spark, "t_bm25_app", extra, batch_id="t1")
+    assert n == extra.count() and n > 0
+    got = sorted(map(tuple, bm25_topk_from_index(
+        bm25_read_index(spark, "t_bm25_app"), queries, 5).collect()))
+
+    bm25_store_index(docs, "t_bm25_full")
+    want = sorted(map(tuple, bm25_topk_from_index(
+        bm25_read_index(spark, "t_bm25_full"), queries, 5).collect()))
+    assert got == want, "append diverged from one-shot rebuild"
+
+    # the zero-exchange tf-dl join survives the bucketed append: the
+    # appended files carry the table's own bucket spec (read back
+    # from the catalog), so the probe still plans shuffle-free on
+    # the stored sides
+    tf_dl_plan = (
+        spark.table("t_bm25_app_tf")
+        .join(spark.table("t_bm25_app_dl"), "doc_id")
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in tf_dl_plan, (
+        "bucketed append broke the exchange-free stored-probe join"
+    )
+
+    # committed re-delivery -> no-op
+    n_tf = spark.table("t_bm25_app_tf").count()
+    assert bm25_append_to_index(spark, "t_bm25_app", extra,
+                                batch_id="t1") == 0
+    assert spark.table("t_bm25_app_tf").count() == n_tf
+
+    # torn append: crash during the df merge -> not ready -> rebuild
+    def crashing(*a, **kw):
+        raise RuntimeError("simulated crash mid-append")
+
+    monkeypatch.setattr(readers, "save_as_table", crashing)
+    with pytest.raises(RuntimeError, match="mid-append"):
+        bm25_append_to_index(spark, "t_bm25_app", extra, batch_id="t2")
+    monkeypatch.undo()
+    assert not index_ready(spark, "t_bm25_app")
+    # rebuild recovers and clears the ledger (t1's data is regenerated
+    # from source, so its entry must not block a future re-ingest)
+    bm25_store_index(docs, "t_bm25_app")
+    assert index_ready(spark, "t_bm25_app")
+    assert not readers.append_recorded(spark, "t_bm25_app", "t1")
+    for p in ("t_bm25_app", "t_bm25_full"):
+        _drop_prefix(spark, p)
+
+
+def test_lm_append_equals_rebuild_on_union(spark, sf_dir):
+    """Stored-LM ingestion: fold a batch into the count tables
+    (additive merge, never re-tokenizing the corpus) — post-append
+    scores bit-identical to a one-shot rebuild on the union;
+    committed re-delivery a no-op; the probe's exchange-free w1
+    join survives the rewrite (bucket spec read from the
+    catalog)."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        lm_append_to_model,
+        lm_read_model,
+        lm_score_from_model,
+        lm_store_model,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    base, extra = docs.where(h >= 3), docs.where(h < 3)
+    probe = docs.where(F.col("doc_id") < 50)
+
+    for p in ("t_lm_app", "t_lm_full"):
+        _drop_prefix(spark, p)
+    lm_store_model(base, "t_lm_app")
+    n = lm_append_to_model(spark, "t_lm_app", extra, batch_id="L1")
+    assert n == extra.count() and n > 0
+    got = sorted(map(tuple, lm_score_from_model(
+        lm_read_model(spark, "t_lm_app"), probe).collect()))
+
+    lm_store_model(docs, "t_lm_full")
+    want = sorted(map(tuple, lm_score_from_model(
+        lm_read_model(spark, "t_lm_full"), probe).collect()))
+    assert got == want, "LM append diverged from one-shot rebuild"
+
+    assert lm_append_to_model(spark, "t_lm_app", extra,
+                              batch_id="L1") == 0
+    assert index_ready(spark, "t_lm_app")
+    for p in ("t_lm_app", "t_lm_full"):
+        _drop_prefix(spark, p)
+
+
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
     """Each *_store_* builder writes its manifest LAST and
     index_ready turns true exactly after a full build — exercised for
