@@ -428,9 +428,11 @@ def span_store_counts(corpus: DataFrame, prefix: str,
     fingerprints only itself and probes (probe ≡ inline,
     test-asserted). At real scale this table is also the thing a
     merge job updates per accepted batch (counts are additive)."""
-    from ..sources.readers import invalidate_manifest, write_bucketed
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, write_bucketed)
 
     invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
+    clear_append_ledger(corpus.sparkSession, prefix)  # new generation
     occ = span_fp_counts(corpus, span_tokens, id_col, text_col)
     write_bucketed(occ, f"{prefix}_spancounts", "fp", n_buckets)
     names = [f"{prefix}_spancounts"]
@@ -438,6 +440,53 @@ def span_store_counts(corpus: DataFrame, prefix: str,
 
     write_manifest(corpus.sparkSession, prefix, names)  # commit marker LAST
     return names
+
+
+def span_append_counts(spark, prefix: str, accepted: DataFrame,
+                       batch_id: str | None = None,
+                       span_tokens: int = 16,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> int:
+    """The merge job span_store_counts' docstring promises: fold an
+    accepted batch's span-fingerprint counts into the stored
+    additive table — fingerprint ONLY the batch, merge-rewrite the
+    fp-keyed counts one-row-per-key under the catalog's own bucket
+    spec (a blind append would leave duplicate fp keys, and the
+    probe join reads counts as single rows, not sums). Append cost
+    is O(count table + batch text); probing after the append equals
+    probing a one-shot store of the union (test-asserted — counts
+    are additive over disjoint doc sets).
+
+    Same manifest-bracket transaction + batch_id ledger as every
+    other stored family: crash -> not-ready -> gated rebuild (ledger
+    cleared); committed re-delivery -> no-op."""
+    from ..sources.readers import (append_recorded, index_ready,
+                                   invalidate_manifest, record_append,
+                                   table_num_buckets, write_bucketed,
+                                   write_manifest)
+
+    if not index_ready(spark, prefix):
+        raise ValueError(f"span_append_counts: {prefix} is not a "
+                         f"committed counts table — build it first "
+                         f"(span_store_counts)")
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0
+    n_batch = accepted.count()
+    batch_counts = span_fp_counts(accepted, span_tokens, id_col, text_col)
+    nb = table_num_buckets(spark, f"{prefix}_spancounts") or 8
+    merged = (spark.table(f"{prefix}_spancounts")
+              .unionByName(batch_counts)
+              .groupBy("fp")
+              .agg(F.sum("n_corpus").cast("long").alias("n_corpus"))
+              .localCheckpoint(eager=True))
+
+    names = [f"{prefix}_spancounts"]
+    invalidate_manifest(spark, prefix)  # transaction open
+    write_bucketed(merged, f"{prefix}_spancounts", "fp", nb)
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)
+    write_manifest(spark, prefix, names)  # transaction commit
+    return int(n_batch)
 
 
 def duplicated_spans_incremental_from_store(

@@ -584,9 +584,11 @@ def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
     and shingles ONLY ITSELF and probes these tables
     (dedup_incremental with corpus_buckets/corpus_shingles, probe ≡
     inline test-asserted)."""
-    from ..sources.readers import invalidate_manifest, write_bucketed
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, write_bucketed)
 
     invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
+    clear_append_ledger(corpus.sparkSession, prefix)  # new generation
     sigs = minhash_signatures(corpus, k, id_col, text_col, n)
     bc = band_buckets(sigs, k, bands, id_col)
     write_bucketed(bc, f"{prefix}_buckets", "bucket", n_buckets)
@@ -598,6 +600,56 @@ def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
 
     write_manifest(corpus.sparkSession, prefix, names)  # commit marker LAST
     return names
+
+
+def dedup_append_corpus(spark, prefix: str, accepted: DataFrame,
+                        batch_id: str | None = None, k: int = 12,
+                        bands: int = 4, n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> int:
+    """Fold accepted documents into the stored incremental-dedup
+    corpus artifacts — the accept side of the probe -> keep ->
+    append loop for the minhash family: sign and shingle ONLY the
+    batch and append its rows to the bucketed {prefix}_buckets /
+    {prefix}_shingles tables under their own catalog bucket specs
+    (rows are per-doc — no key collisions, so plain appends keep the
+    probe joins co-partitioned). ``k/bands/n`` MUST match the store
+    (the hyperparameter contract documented on dedup_store_corpus);
+    signatures computed under different parameters would silently
+    never collide with the stored buckets.
+
+    Same transaction/ledger shape as the other stored families:
+    manifest invalidated first and recommitted last (crash anywhere
+    -> not-ready -> gated rebuild, which clears the ledger), batch
+    ledger recorded just before the recommit -> exactly-once."""
+    from ..sources.readers import (append_recorded, index_ready,
+                                   invalidate_manifest, record_append,
+                                   table_num_buckets, write_manifest)
+
+    if not index_ready(spark, prefix):
+        raise ValueError(f"dedup_append_corpus: {prefix} is not a "
+                         f"committed corpus — build it first "
+                         f"(dedup_store_corpus)")
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0
+    n_batch = accepted.count()
+    sigs = minhash_signatures(accepted, k, id_col, text_col, n)
+    bc = band_buckets(sigs, k, bands, id_col)
+    sh = with_shingles(accepted, id_col, text_col, n).select(
+        F.col(id_col), F.col("shingles"))
+    nb_b = table_num_buckets(spark, f"{prefix}_buckets") or 8
+    nb_s = table_num_buckets(spark, f"{prefix}_shingles") or 8
+
+    names = [f"{prefix}_buckets", f"{prefix}_shingles"]
+    invalidate_manifest(spark, prefix)  # transaction open
+    bc.write.mode("append").format("parquet") \
+        .bucketBy(nb_b, "bucket").saveAsTable(f"{prefix}_buckets")
+    sh.write.mode("append").format("parquet") \
+        .bucketBy(nb_s, id_col).saveAsTable(f"{prefix}_shingles")
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)
+    write_manifest(spark, prefix, names)  # transaction commit
+    return int(n_batch)
 
 
 def dedup_incremental_from_store(spark, prefix: str, delta: DataFrame,

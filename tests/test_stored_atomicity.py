@@ -510,6 +510,80 @@ def test_lm_append_equals_rebuild_on_union(spark, sf_dir):
         _drop_prefix(spark, p)
 
 
+def test_dedup_append_corpus_equals_bigger_store(spark, sf_dir):
+    """Minhash-family accept loop: corpus A + appended keepers B must
+    give a later probe the same view as storing A∪B in one shot;
+    committed re-delivery is a no-op."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        dedup_append_corpus,
+        dedup_incremental_from_store,
+        dedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    part_a = docs.where(h >= 5)
+    part_b = docs.where((h >= 2) & (h < 5))
+    probe_c = docs.where(h < 2)
+
+    for p in ("t_dd_app", "t_dd_full"):
+        _drop_prefix(spark, p)
+    dedup_store_corpus(part_a, "t_dd_app")
+    n = dedup_append_corpus(spark, "t_dd_app", part_b, batch_id="d1")
+    assert n == part_b.count() and n > 0
+    assert dedup_append_corpus(spark, "t_dd_app", part_b,
+                               batch_id="d1") == 0
+
+    dedup_store_corpus(part_a.unionByName(part_b), "t_dd_full")
+    got = sorted(map(tuple, dedup_incremental_from_store(
+        spark, "t_dd_app", probe_c, 0.8).collect()))
+    want = sorted(map(tuple, dedup_incremental_from_store(
+        spark, "t_dd_full", probe_c, 0.8).collect()))
+    assert got == want and got
+    for p in ("t_dd_app", "t_dd_full"):
+        _drop_prefix(spark, p)
+
+
+def test_span_append_counts_equals_bigger_store(spark, sf_dir):
+    """Span-count accept loop: additive merge of a batch's
+    fingerprint counts == one-shot store of the union, probed by
+    the incremental span detector; re-delivery a no-op."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        duplicated_spans_incremental_from_store,
+        span_append_counts,
+        span_store_counts,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    part_a = docs.where(h >= 5)
+    part_b = docs.where((h >= 2) & (h < 5))
+    probe_c = docs.where(h < 2)
+
+    for p in ("t_sp_app", "t_sp_full"):
+        _drop_prefix(spark, p)
+    span_store_counts(part_a, "t_sp_app")
+    n = span_append_counts(spark, "t_sp_app", part_b, batch_id="s1")
+    assert n == part_b.count() and n > 0
+    assert span_append_counts(spark, "t_sp_app", part_b,
+                              batch_id="s1") == 0
+
+    span_store_counts(part_a.unionByName(part_b), "t_sp_full")
+    got = sorted(map(tuple, duplicated_spans_incremental_from_store(
+        spark, "t_sp_app", probe_c).collect()))
+    want = sorted(map(tuple, duplicated_spans_incremental_from_store(
+        spark, "t_sp_full", probe_c).collect()))
+    assert got == want and got
+    for p in ("t_sp_app", "t_sp_full"):
+        _drop_prefix(spark, p)
+
+
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
     """Each *_store_* builder writes its manifest LAST and
     index_ready turns true exactly after a full build — exercised for
