@@ -460,33 +460,29 @@ def span_append_counts(spark, prefix: str, accepted: DataFrame,
     Same manifest-bracket transaction + batch_id ledger as every
     other stored family: crash -> not-ready -> gated rebuild (ledger
     cleared); committed re-delivery -> no-op."""
-    from ..sources.readers import (append_recorded, index_ready,
-                                   invalidate_manifest, record_append,
-                                   table_num_buckets, write_bucketed,
-                                   write_manifest)
+    from ..sources.readers import (append_recorded, require_bucket_count,
+                                   require_index_ready,
+                                   transactional_append, write_bucketed)
 
-    if not index_ready(spark, prefix):
-        raise ValueError(f"span_append_counts: {prefix} is not a "
-                         f"committed counts table — build it first "
-                         f"(span_store_counts)")
+    require_index_ready(spark, prefix, "span_append_counts")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
-        return 0
+        return 0  # committed re-delivery: skip BEFORE any batch compute
     n_batch = accepted.count()
     batch_counts = span_fp_counts(accepted, span_tokens, id_col, text_col)
-    nb = table_num_buckets(spark, f"{prefix}_spancounts") or 8
+    nb = require_bucket_count(spark, f"{prefix}_spancounts")
     merged = (spark.table(f"{prefix}_spancounts")
               .unionByName(batch_counts)
               .groupBy("fp")
               .agg(F.sum("n_corpus").cast("long").alias("n_corpus"))
               .localCheckpoint(eager=True))
 
-    names = [f"{prefix}_spancounts"]
-    invalidate_manifest(spark, prefix)  # transaction open
-    write_bucketed(merged, f"{prefix}_spancounts", "fp", nb)
-    if batch_id is not None:
-        record_append(spark, prefix, batch_id)
-    write_manifest(spark, prefix, names)  # transaction commit
-    return int(n_batch)
+    def _write():
+        write_bucketed(merged, f"{prefix}_spancounts", "fp", nb)
+
+    ran = transactional_append(
+        spark, prefix, [f"{prefix}_spancounts"], batch_id,
+        "span_append_counts", _write)
+    return int(n_batch) if ran else 0
 
 
 def duplicated_spans_incremental_from_store(

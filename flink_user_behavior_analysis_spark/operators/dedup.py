@@ -622,34 +622,30 @@ def dedup_append_corpus(spark, prefix: str, accepted: DataFrame,
     manifest invalidated first and recommitted last (crash anywhere
     -> not-ready -> gated rebuild, which clears the ledger), batch
     ledger recorded just before the recommit -> exactly-once."""
-    from ..sources.readers import (append_recorded, index_ready,
-                                   invalidate_manifest, record_append,
-                                   table_num_buckets, write_manifest)
+    from ..sources.readers import (append_bucketed, append_recorded,
+                                   require_bucket_count,
+                                   require_index_ready,
+                                   transactional_append)
 
-    if not index_ready(spark, prefix):
-        raise ValueError(f"dedup_append_corpus: {prefix} is not a "
-                         f"committed corpus — build it first "
-                         f"(dedup_store_corpus)")
+    require_index_ready(spark, prefix, "dedup_append_corpus")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
-        return 0
+        return 0  # committed re-delivery: skip BEFORE any batch compute
     n_batch = accepted.count()
     sigs = minhash_signatures(accepted, k, id_col, text_col, n)
     bc = band_buckets(sigs, k, bands, id_col)
     sh = with_shingles(accepted, id_col, text_col, n).select(
         F.col(id_col), F.col("shingles"))
-    nb_b = table_num_buckets(spark, f"{prefix}_buckets") or 8
-    nb_s = table_num_buckets(spark, f"{prefix}_shingles") or 8
+    nb_b = require_bucket_count(spark, f"{prefix}_buckets")
+    nb_s = require_bucket_count(spark, f"{prefix}_shingles")
 
-    names = [f"{prefix}_buckets", f"{prefix}_shingles"]
-    invalidate_manifest(spark, prefix)  # transaction open
-    bc.write.mode("append").format("parquet") \
-        .bucketBy(nb_b, "bucket").saveAsTable(f"{prefix}_buckets")
-    sh.write.mode("append").format("parquet") \
-        .bucketBy(nb_s, id_col).saveAsTable(f"{prefix}_shingles")
-    if batch_id is not None:
-        record_append(spark, prefix, batch_id)
-    write_manifest(spark, prefix, names)  # transaction commit
-    return int(n_batch)
+    def _write():
+        append_bucketed(bc, f"{prefix}_buckets", "bucket", nb_b)
+        append_bucketed(sh, f"{prefix}_shingles", id_col, nb_s)
+
+    ran = transactional_append(
+        spark, prefix, [f"{prefix}_buckets", f"{prefix}_shingles"],
+        batch_id, "dedup_append_corpus", _write)
+    return int(n_batch) if ran else 0
 
 
 def dedup_incremental_from_store(spark, prefix: str, delta: DataFrame,

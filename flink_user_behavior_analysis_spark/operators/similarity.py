@@ -1856,8 +1856,13 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
       the build-time corpus); recall certification after appends
       needs a fresh truth pass.
     """
-    from ..sources.readers import append_recorded, record_append
+    from ..sources.readers import (append_recorded, record_append,
+                                   require_index_ready)
 
+    # appending onto a torn-rebuild index would report success and
+    # then lose the batch when the gated reader rebuilds — same gate
+    # as the manifest-bracket families
+    require_index_ready(spark, prefix, "ivfpq_append_to_index")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
         return 0
     model, _ = ivfpq_read_index(spark, prefix)
@@ -2280,6 +2285,10 @@ def _compact_index_family(spark, prefix: str, table_suffix: str) -> dict:
     manifest = [r.artifact
                 for r in spark.table(f"{prefix}_manifest").collect()]
     before = _ledger_ids()
+    # invalidating first ALSO closes most of the race window: every
+    # append is gated on index_ready, so once the manifest is gone
+    # new appends refuse to start — the only exposure left is an
+    # append already past its gate when the invalidation lands
     invalidate_manifest(spark, prefix)
     stats = compact_partitioned_table(
         spark, f"{prefix}_{table_suffix}", ["cell"])
@@ -2287,8 +2296,9 @@ def _compact_index_family(spark, prefix: str, table_suffix: str) -> dict:
     if raced:
         raise RuntimeError(
             f"append(s) {sorted(raced)} committed during compaction of "
-            f"{prefix}_{table_suffix} and their data was erased by the "
-            f"rewrite — re-ingest those batches under NEW batch ids "
+            f"{prefix}_{table_suffix} — depending on timing their rows "
+            f"were either erased by the rewrite or absorbed into it; "
+            f"verify presence before re-ingesting under NEW batch ids "
             f"(the old ids are burned in the ledger); the manifest is "
             f"left invalidated so gated readers rebuild")
     write_manifest(spark, prefix, manifest)
@@ -2414,8 +2424,10 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
     frozen-model caveat and same EXACTLY-ONCE ``batch_id`` contract
     as ivfpq_append_to_index (ledger-gated idempotent dynamic
     partition overwrite; None -> plain at-least-once append)."""
-    from ..sources.readers import append_recorded, record_append
+    from ..sources.readers import (append_recorded, record_append,
+                                   require_index_ready)
 
+    require_index_ready(spark, prefix, "semdedup_append_corpus")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
         return 0
     cells = _semdedup_assigned(accepted, centroids, id_col, vec_col) \

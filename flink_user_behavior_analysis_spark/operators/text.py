@@ -515,48 +515,49 @@ def bm25_append_to_index(spark: SparkSession, prefix: str,
     partitioned vector indexes there is no per-batch overwrite here
     — the bracket IS the idempotence mechanism, bought at
     rebuild-on-crash recovery cost."""
-    from ..sources.readers import (append_recorded, index_ready,
-                                   invalidate_manifest, record_append,
-                                   save_as_table, table_num_buckets,
-                                   write_manifest)
+    from ..sources.readers import (append_bucketed, append_recorded,
+                                   require_bucket_count,
+                                   require_index_ready, save_as_table,
+                                   transactional_append)
 
-    if not index_ready(spark, prefix):
-        raise ValueError(f"bm25_append_to_index: {prefix} is not a "
-                         f"committed index — build it first "
-                         f"(bm25_store_index)")
+    require_index_ready(spark, prefix, "bm25_append_to_index")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
-        return 0
-    idx = bm25_index(new_docs, id_col=id_col, text_col=text_col)
+        return 0  # committed re-delivery: skip BEFORE any batch compute
     n_batch = new_docs.count()
-    nb = table_num_buckets(spark, f"{prefix}_tf") or 8
+    nb = require_bucket_count(spark, f"{prefix}_tf")
     old_n_docs = spark.table(f"{prefix}_consts").collect()[0].n_docs
+    # checkpoint the batch postings: they feed both the tf append and
+    # the df merge (via re-aggregation off the blocks) — one tokenize
+    # scan instead of re-deriving the subtree per consumer
+    idx = bm25_index(new_docs, id_col=id_col, text_col=text_col)
+    tf_b = idx["tf"].localCheckpoint(eager=True)
+    df_b = tf_b.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
 
-    names = [f"{prefix}_{s}" for s in ("tf", "dl", "df", "consts")]
-    invalidate_manifest(spark, prefix)  # transaction open
-    idx["tf"].write.mode("append").format("parquet") \
-        .bucketBy(nb, id_col).saveAsTable(f"{prefix}_tf")
-    idx["dl"].write.mode("append").format("parquet") \
-        .bucketBy(nb, id_col).saveAsTable(f"{prefix}_dl")
-    merged = (spark.table(f"{prefix}_df").unionByName(idx["df"])
-              .groupBy("token")
-              .agg(F.sum("df").cast("long").alias("df"))
-              .localCheckpoint(eager=True))
-    save_as_table(merged.write.mode("overwrite").format("parquet"),
-                  f"{prefix}_df")
-    stats = spark.table(f"{prefix}_dl").agg(
-        F.sum("dl").cast("double").alias("_tot"),
-        F.count(F.lit(1)).cast("double").alias("_nd")).collect()[0]
-    consts = spark.createDataFrame(
-        [(int(old_n_docs) + int(n_batch),
-          float(stats._tot) / float(stats._nd))],
-        "n_docs BIGINT, avgdl DOUBLE")
-    save_as_table(consts.write.mode("overwrite").format("parquet"),
-                  f"{prefix}_consts")
-    if batch_id is not None:
-        record_append(spark, prefix, batch_id)  # before the commit:
-        # a crash here -> manifest missing -> rebuild clears ledger
-    write_manifest(spark, prefix, names)  # transaction commit
-    return int(n_batch)
+    def _write():
+        append_bucketed(tf_b, f"{prefix}_tf", id_col, nb)
+        append_bucketed(idx["dl"], f"{prefix}_dl", id_col, nb)
+        merged = (spark.table(f"{prefix}_df").unionByName(df_b)
+                  .groupBy("token")
+                  .agg(F.sum("df").cast("long").alias("df"))
+                  .localCheckpoint(eager=True))
+        save_as_table(merged.write.mode("overwrite").format("parquet"),
+                      f"{prefix}_df")
+        stats = spark.table(f"{prefix}_dl").agg(
+            F.sum("dl").cast("double").alias("_tot"),
+            F.count(F.lit(1)).cast("double").alias("_nd")).collect()[0]
+        consts = spark.createDataFrame(
+            [(int(old_n_docs) + int(n_batch),
+              float(stats._tot) / float(stats._nd))],
+            "n_docs BIGINT, avgdl DOUBLE")
+        save_as_table(consts.write.mode("overwrite").format("parquet"),
+                      f"{prefix}_consts")
+
+    ran = transactional_append(
+        spark, prefix, [f"{prefix}_{s}" for s in ("tf", "dl", "df",
+                                                  "consts")],
+        batch_id, "bm25_append_to_index", _write)
+    return int(n_batch) if ran else 0
 
 
 def bm25_topk_from_index(index: dict[str, DataFrame], queries: DataFrame,
@@ -787,20 +788,16 @@ def lm_append_to_model(spark: SparkSession, prefix: str,
     inside the manifest bracket, ledger recorded just before the
     recommit — crash anywhere -> not-ready -> gated rebuild (which
     clears the ledger); committed re-delivery -> no-op."""
-    from ..sources.readers import (append_recorded, index_ready,
-                                   invalidate_manifest, record_append,
-                                   save_as_table, table_num_buckets,
-                                   write_bucketed, write_manifest)
+    from ..sources.readers import (append_recorded, require_bucket_count,
+                                   require_index_ready, save_as_table,
+                                   transactional_append, write_bucketed)
 
-    if not index_ready(spark, prefix):
-        raise ValueError(f"lm_append_to_model: {prefix} is not a "
-                         f"committed model — build it first "
-                         f"(lm_store_model)")
+    require_index_ready(spark, prefix, "lm_append_to_model")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
-        return 0
+        return 0  # committed re-delivery: skip BEFORE any batch compute
     m = lm_model(new_docs, id_col=id_col, text_col=text_col)
     n_batch = new_docs.count()
-    nb = table_num_buckets(spark, f"{prefix}_big") or 8
+    nb = require_bucket_count(spark, f"{prefix}_big")
 
     merged_uni = (spark.table(f"{prefix}_uni").unionByName(m["uni"])
                   .groupBy("w").agg(F.sum("cw").cast("long").alias("cw"))
@@ -811,16 +808,17 @@ def lm_append_to_model(spark: SparkSession, prefix: str,
                   .localCheckpoint(eager=True))
     vocab = merged_uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
 
-    names = [f"{prefix}_{s}" for s in ("big", "uni", "vocab")]
-    invalidate_manifest(spark, prefix)  # transaction open
-    write_bucketed(merged_big, f"{prefix}_big", "w1", nb, sort_col="w1")
-    write_bucketed(merged_uni, f"{prefix}_uni", "w", nb)
-    save_as_table(vocab.write.mode("overwrite").format("parquet"),
-                  f"{prefix}_vocab")
-    if batch_id is not None:
-        record_append(spark, prefix, batch_id)
-    write_manifest(spark, prefix, names)  # transaction commit
-    return int(n_batch)
+    def _write():
+        write_bucketed(merged_big, f"{prefix}_big", "w1", nb,
+                       sort_col="w1")
+        write_bucketed(merged_uni, f"{prefix}_uni", "w", nb)
+        save_as_table(vocab.write.mode("overwrite").format("parquet"),
+                      f"{prefix}_vocab")
+
+    ran = transactional_append(
+        spark, prefix, [f"{prefix}_{s}" for s in ("big", "uni", "vocab")],
+        batch_id, "lm_append_to_model", _write)
+    return int(n_batch) if ran else 0
 
 
 def lm_read_model(spark: SparkSession, prefix: str) -> dict[str, DataFrame]:

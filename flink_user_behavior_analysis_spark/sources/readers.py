@@ -381,15 +381,89 @@ def append_recorded(spark, prefix: str, batch_id: str) -> bool:
 
 
 def record_append(spark, prefix: str, batch_id: str) -> None:
-    """Commit ``batch_id`` to the append ledger, AFTER the data write.
-    Marker-last means a crash between data and marker re-runs the
-    append on retry — which is safe because the data write itself is
-    an idempotent dynamic-partition overwrite keyed on the batch
-    (re-delivery replaces that batch's partitions, never duplicates
-    them)."""
+    """Commit ``batch_id`` to the append ledger, AFTER the data
+    write. Marker-last means a crash between data and marker re-runs
+    the append on retry — safe under either of the two recovery
+    modes a stored family must pick (do NOT write a marker-last
+    append without one of them):
+
+    1. IDEMPOTENT DATA WRITE (ivfpq/semdedup): the write is a
+       dynamic-partition overwrite keyed on the batch, so a retry
+       replaces that batch's partitions, never duplicates them.
+    2. MANIFEST-BRACKET TRANSACTION (bm25/lm/minhash/spans, via
+       transactional_append): the whole append runs between
+       invalidate_manifest and write_manifest, with the marker
+       recorded just before the recommit — a crash anywhere leaves
+       the index not-ready, the gated reader rebuilds from source,
+       and the rebuild clears this ledger; the retry then lands on
+       the fresh index."""
     spark.createDataFrame([(batch_id,)], "batch_id STRING") \
         .write.mode("append").format("parquet") \
         .saveAsTable(f"{prefix}_appends")
+
+
+def require_index_ready(spark, prefix: str, caller: str) -> None:
+    """Gate every append on a COMMITTED index: appending onto a
+    torn-rebuild index (artifacts present, manifest missing) would
+    report success, record the ledger, and then lose the batch
+    forever when the gated reader rebuilds — with upstream believing
+    it delivered."""
+    if not index_ready(spark, prefix):
+        raise ValueError(f"{caller}: {prefix} is not a committed "
+                         f"index — build it first")
+
+
+def require_bucket_count(spark, table: str) -> int:
+    """table_num_buckets that RAISES instead of guessing: a rewrite
+    that silently re-specs a stored table to a default bucket count
+    would cost the probe its exchange-free join with no error
+    anywhere — exactly the failure reading the spec back from the
+    catalog exists to prevent."""
+    nb = table_num_buckets(spark, table)
+    if nb is None:
+        raise ValueError(f"cannot read bucket spec of {table} from "
+                         f"the catalog — refusing to rewrite it "
+                         f"under a guessed bucket count")
+    return nb
+
+
+def append_bucketed(df, table: str, bucket_col: str,
+                    n_buckets: int) -> None:
+    """Append rows to an existing bucketed table under an explicit
+    bucket spec (read it with require_bucket_count first — Spark
+    errors loudly on a mismatched spec, which is the safe
+    failure)."""
+    df.write.mode("append").format("parquet") \
+        .bucketBy(n_buckets, bucket_col).saveAsTable(table)
+
+
+def transactional_append(spark, prefix: str, names: list[str],
+                         batch_id: str | None, caller: str,
+                         write_fn) -> bool:
+    """THE shared skeleton of a manifest-bracket transactional append
+    — one implementation so the six stored families cannot drift:
+
+      1. refuse if the index is not committed (require_index_ready);
+      2. ledger hit -> return False (committed re-delivery no-op);
+      3. invalidate the manifest (transaction open);
+      4. ``write_fn()`` performs the family's data writes;
+      5. record the ledger entry (just BEFORE the recommit: a crash
+         here reads as not-ready -> rebuild -> ledger cleared);
+      6. recommit the manifest (transaction close).
+
+    A crash at any point between 3 and 6 leaves the index not-ready;
+    the gated reader rebuilds from source and clears the ledger, so
+    a retry of the batch lands exactly once. Returns True if the
+    append ran, False if it was a ledger-skipped re-delivery."""
+    require_index_ready(spark, prefix, caller)
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return False
+    invalidate_manifest(spark, prefix)
+    write_fn()
+    if batch_id is not None:
+        record_append(spark, prefix, batch_id)
+    write_manifest(spark, prefix, names)
+    return True
 
 
 def compact_partitioned_table(spark, table: str,

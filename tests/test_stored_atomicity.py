@@ -384,7 +384,7 @@ def test_semdedup_compact_probe_identical_and_race_guard(spark, sf_dir,
         return out
 
     monkeypatch.setattr(readers, "compact_partitioned_table", racing)
-    with pytest.raises(RuntimeError, match="re-ingest those batches"):
+    with pytest.raises(RuntimeError, match="re-ingesting under NEW"):
         semdedup_compact_corpus(spark, prefix)
     assert not index_ready(spark, prefix), (
         "manifest must stay invalidated after a raced compaction"
@@ -582,6 +582,42 @@ def test_span_append_counts_equals_bigger_store(spark, sf_dir):
     assert got == want and got
     for p in ("t_sp_app", "t_sp_full"):
         _drop_prefix(spark, p)
+
+
+def test_appends_refuse_uncommitted_index(spark, sf_dir):
+    """Every append path — idempotent-overwrite families included —
+    must REFUSE a not-ready index: appending onto a torn rebuild
+    would record the ledger, report success upstream, and then lose
+    the batch when the gated reader rebuilds."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_store_index,
+        semdedup_append_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    prefix = "t_gate_app"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding").limit(40)
+    # no index at all -> refuse
+    with pytest.raises(ValueError, match="not a committed index"):
+        ivfpq_append_to_index(spark, prefix, embs, batch_id="x")
+    with pytest.raises(ValueError, match="not a committed index"):
+        semdedup_append_corpus(spark, prefix, embs,
+                               _semdedup_read_centroids_or_fit(spark),
+                               batch_id="x")
+    # torn rebuild (artifacts present, manifest missing) -> refuse
+    ivfpq_store_index(embs, prefix, n_centroids=4, m=8, codes=16)
+    _drop(spark, f"{prefix}_manifest")
+    with pytest.raises(ValueError, match="not a committed index"):
+        ivfpq_append_to_index(spark, prefix, embs, batch_id="x")
+    assert not spark.catalog.tableExists(f"{prefix}_appends")
+    _drop_prefix(spark, prefix)
 
 
 def test_every_store_builder_commits_a_manifest(spark, sf_dir):
