@@ -481,7 +481,7 @@ def span_append_counts(spark, prefix: str, accepted: DataFrame,
 
     ran = transactional_append(
         spark, prefix, [f"{prefix}_spancounts"], batch_id,
-        "span_append_counts", _write)
+        "span_append_counts", _write, pre_checked=True)
     return int(n_batch) if ran else 0
 
 

@@ -644,7 +644,7 @@ def dedup_append_corpus(spark, prefix: str, accepted: DataFrame,
 
     ran = transactional_append(
         spark, prefix, [f"{prefix}_buckets", f"{prefix}_shingles"],
-        batch_id, "dedup_append_corpus", _write)
+        batch_id, "dedup_append_corpus", _write, pre_checked=True)
     return int(n_batch) if ran else 0
 
 

@@ -1666,15 +1666,19 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
     from ..sources.readers import (clear_append_ledger,
                                    invalidate_manifest, save_as_table)
 
-    invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
-    # new generation: previously appended batches are NOT in it, so
-    # their ledger entries must go or re-delivery would skip them
-    clear_append_ledger(corpus.sparkSession, prefix)
     model = ivfpq_fit(corpus, n_centroids=n_centroids, m=m,
                       codes=codes, coarse_iters=coarse_iters,
                       pq_iters=pq_iters, id_col=id_col,
                       vec_col=vec_col)
     spark = corpus.sparkSession
+    # rebuild bracket opens AFTER the driver-side fit: the fit writes
+    # nothing, so invalidating first would only leave a previously
+    # good index not-ready (readers re-triggering rebuilds, appends
+    # refused) for the whole k-means duration. Ledger cleared inside
+    # the bracket: the new generation lacks appended batches' data,
+    # so stale entries would turn re-delivery into silent loss.
+    invalidate_manifest(spark, prefix)
+    clear_append_ledger(spark, prefix)
     cent_rows = [
         (c, d, model["centroids"][c][d])
         for c in range(len(model["centroids"]))
@@ -1909,10 +1913,12 @@ def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
     from ..sources.readers import (invalidate_manifest, save_as_table,
                                    write_bucketed)
 
-    invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
     model = pq_fit(corpus, m=m, codes=codes, iters=iters,
                    vec_col=vec_col)
     spark = corpus.sparkSession
+    # bracket opens after the driver-side fit (writes nothing) — see
+    # ivfpq_store_index for the not-ready-window rationale
+    invalidate_manifest(spark, prefix)
     rows = [
         (j, c, d, model["codebooks"][j][c][d])
         for j in range(model["m"])
@@ -2272,9 +2278,18 @@ def _compact_index_family(spark, prefix: str, table_suffix: str) -> dict:
     concurrent append raises, naming the batch ids that must be
     re-ingested under NEW ids (their data is gone, their old ids are
     burned). A transactional table format is the real cure on a
-    shared cluster."""
+    shared cluster. NOTE: the guard sees only LEDGERED appends — an
+    adhoc append (batch_id=None) committing mid-rewrite is erased
+    with no detection, which is within its stated at-least-once
+    contract: use batch ids for anything you cannot lose."""
     from ..sources.readers import (compact_partitioned_table,
-                                   invalidate_manifest, write_manifest)
+                                   invalidate_manifest,
+                                   require_index_ready, write_manifest)
+
+    # same gate as the appends: compacting an uncommitted index gets
+    # the designed ValueError, not a raw catalog error from the
+    # manifest read below
+    require_index_ready(spark, prefix, "compact_index")
 
     def _ledger_ids() -> set:
         if not spark.catalog.tableExists(f"{prefix}_appends"):
@@ -2424,10 +2439,19 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
     frozen-model caveat and same EXACTLY-ONCE ``batch_id`` contract
     as ivfpq_append_to_index (ledger-gated idempotent dynamic
     partition overwrite; None -> plain at-least-once append)."""
-    from ..sources.readers import (append_recorded, record_append,
-                                   require_index_ready)
+    from ..sources.readers import append_recorded, record_append
 
-    require_index_ready(spark, prefix, "semdedup_append_corpus")
+    # model-identity gate, not just manifest presence: appending cells
+    # assigned under a refit model into an old-model index would mix
+    # two assignments in one table and silently corrupt every later
+    # probe — the same stale-cells hole semdedup_index_current closes
+    # on the read path
+    if not semdedup_index_current(spark, prefix, centroids):
+        raise ValueError(
+            f"semdedup_append_corpus: {prefix} is not a committed "
+            f"index under THESE centroids — the model was refit (or "
+            f"the index is torn); rebuild with semdedup_store_corpus "
+            f"before appending")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
         return 0
     cells = _semdedup_assigned(accepted, centroids, id_col, vec_col) \

@@ -534,9 +534,14 @@ def bm25_append_to_index(spark: SparkSession, prefix: str,
     df_b = tf_b.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
 
+    # dl derives from the checkpointed postings (dl == sum of tf per
+    # doc), so the batch tokenize scan truly runs once per append
+    dl_b = tf_b.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("dl"))
+
     def _write():
         append_bucketed(tf_b, f"{prefix}_tf", id_col, nb)
-        append_bucketed(idx["dl"], f"{prefix}_dl", id_col, nb)
+        append_bucketed(dl_b, f"{prefix}_dl", id_col, nb)
         merged = (spark.table(f"{prefix}_df").unionByName(df_b)
                   .groupBy("token")
                   .agg(F.sum("df").cast("long").alias("df"))
@@ -556,7 +561,7 @@ def bm25_append_to_index(spark: SparkSession, prefix: str,
     ran = transactional_append(
         spark, prefix, [f"{prefix}_{s}" for s in ("tf", "dl", "df",
                                                   "consts")],
-        batch_id, "bm25_append_to_index", _write)
+        batch_id, "bm25_append_to_index", _write, pre_checked=True)
     return int(n_batch) if ran else 0
 
 
@@ -817,7 +822,7 @@ def lm_append_to_model(spark: SparkSession, prefix: str,
 
     ran = transactional_append(
         spark, prefix, [f"{prefix}_{s}" for s in ("big", "uni", "vocab")],
-        batch_id, "lm_append_to_model", _write)
+        batch_id, "lm_append_to_model", _write, pre_checked=True)
     return int(n_batch) if ran else 0
 
 

@@ -1493,24 +1493,31 @@ def distributed_quantile_cont(df: DataFrame, value_col: str,
     """
     import math
 
+    # drop NULLs before ranking — the F.percentile aggregate this
+    # replaces ignores them; ranking them (nulls-first) would shift
+    # every position and poison the boundary interpolation
     ranked, n, base = _global_rank_with_total(
-        df.select(F.col(value_col).alias("_val")),
+        df.select(F.col(value_col).alias("_val"))
+        .where(F.col("_val").isNotNull()),
         [F.col("_val").asc()], num_partitions=num_partitions,
         materialize="persist")
-    if n == 0:
+    try:
+        if n == 0:
+            return {p: None for p in probs}
+        targets: set[int] = set()
+        for p in probs:
+            lo = math.floor(p * (n - 1))
+            targets.add(lo + 1)
+            targets.add(min(lo + 2, n))
+        vals = {r._rnk: r._val
+                for r in ranked.where(
+                    F.col("_rnk").isin([int(t) for t in targets]))
+                .collect()}
+    finally:
+        # eager consumer: release the cache even on a failed collect
+        # (persist here, not checkpoint — the explicit unpersist is
+        # exact)
         base.unpersist()
-        return {p: None for p in probs}
-    targets: set[int] = set()
-    for p in probs:
-        lo = math.floor(p * (n - 1))
-        targets.add(lo + 1)
-        targets.add(min(lo + 2, n))
-    vals = {r._rnk: r._val
-            for r in ranked.where(
-                F.col("_rnk").isin([int(t) for t in targets])).collect()}
-    # eager consumer: the boundary rows are in hand, release the cache
-    # (persist here, not checkpoint — the explicit unpersist is exact)
-    base.unpersist()
     out = {}
     for p in probs:
         pos = p * (n - 1)

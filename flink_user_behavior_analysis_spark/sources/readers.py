@@ -439,7 +439,7 @@ def append_bucketed(df, table: str, bucket_col: str,
 
 def transactional_append(spark, prefix: str, names: list[str],
                          batch_id: str | None, caller: str,
-                         write_fn) -> bool:
+                         write_fn, pre_checked: bool = False) -> bool:
     """THE shared skeleton of a manifest-bracket transactional append
     — one implementation so the six stored families cannot drift:
 
@@ -454,10 +454,16 @@ def transactional_append(spark, prefix: str, names: list[str],
     A crash at any point between 3 and 6 leaves the index not-ready;
     the gated reader rebuilds from source and clears the ledger, so
     a retry of the batch lands exactly once. Returns True if the
-    append ran, False if it was a ledger-skipped re-delivery."""
-    require_index_ready(spark, prefix, caller)
-    if batch_id is not None and append_recorded(spark, prefix, batch_id):
-        return False
+    append ran, False if it was a ledger-skipped re-delivery.
+
+    ``pre_checked``: the caller already ran steps 1-2 itself (to
+    skip its batch compute on a re-delivery) — don't pay the
+    manifest and ledger scans twice per append."""
+    if not pre_checked:
+        require_index_ready(spark, prefix, caller)
+        if (batch_id is not None
+                and append_recorded(spark, prefix, batch_id)):
+            return False
     invalidate_manifest(spark, prefix)
     write_fn()
     if batch_id is not None:

@@ -93,3 +93,24 @@ def test_distributed_quantile_cont_empty(spark):
 
     df = spark.range(0).select(F.col("id").cast("double").alias("v"))
     assert distributed_quantile_cont(df, "v", [0.5]) == {0.5: None}
+
+
+def test_distributed_quantile_cont_ignores_nulls(spark):
+    """percentile ignores NULLs; the distributed form must too —
+    ranking them (nulls-first) would shift every boundary position
+    and poison the interpolation with None arithmetic."""
+    from flink_user_behavior_analysis_spark.queries import (
+        distributed_quantile_cont,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (10.0,)], "v DOUBLE")
+    probs = [0.0, 0.5, 1.0]
+    got = distributed_quantile_cont(df, "v", probs, num_partitions=4)
+    ref = df.agg(*[F.percentile("v", p).alias(f"p{i}")
+                   for i, p in enumerate(probs)]).collect()[0]
+    for i, p in enumerate(probs):
+        assert got[p] == ref[i], (p, got[p], ref[i])
+    # all-null column behaves like empty
+    dfn = spark.createDataFrame([(None,), (None,)], "v DOUBLE")
+    assert distributed_quantile_cont(dfn, "v", [0.5]) == {0.5: None}
