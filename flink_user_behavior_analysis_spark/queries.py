@@ -1851,6 +1851,52 @@ GROUP BY c_mktsegment
 """
 
 
+Q16_SIZES = (1, 5, 9, 13, 21, 34)
+
+
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped (parts/supplier relationship): how many
+    DISTINCT suppliers ship parts of each (brand, size), for selected
+    sizes, excluding flagged suppliers (negative account balance
+    standing in for Q16's complaints NOT IN — this corpus has no
+    comment column). The supplier link rides the lineitem fact (no
+    partsupp table here).
+
+    Shapes this adds to the staged set: NOT IN as a LEFT ANTI join
+    against a broadcast exclusion list, and a count(DISTINCT) whose
+    expand/dedupe Spark plans as the standard two-level distinct
+    aggregate — partial per-partition dedupe before the (brand, size)
+    exchange, no global distinct funnel. Part dim filtered FIRST and
+    broadcast into the fact scan."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(*Q16_SIZES)).select(
+        "p_partkey", "p_brand", "p_size")
+    excl = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long")
+             .alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_VARIETY_SQL = f"""
+SELECT p.p_brand, p.p_size::BIGINT AS p_size,
+       count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size IN {Q16_SIZES}
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
+
+
 def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` payload
     (get_json_object stays inside codegen — no Python), top-5 ``k``
@@ -1978,16 +2024,16 @@ _GATE_HEAD: list[str] = [
     # nation_trade_flows — never gated before).
     #
     # ROUND-8 ROTATION PLAN: swap head and tail again (current tail
-    # = r6-green, must re-window in r8), and register the SIX
+    # = r6-green, must re-window in r8), and register the SEVEN
     # STAGED queries (q_dedup_semantic_stored,
-    # q_ann_topk_filtered_stored, q_semdedup_drift, and the three
+    # q_ann_topk_filtered_stored, q_semdedup_drift, and the four
     # staged relational shapes small_qty_revenue /
-    # sole_late_suppliers / idle_rich_customers — all already
-    # oracle-compared at sf0.01 in pytest,
-    # tests/test_relational_staged.py + test_pipeline_ops).
-    # Capacity math: 49 tail + 6 staged = 55 > 50, so register all
-    # six, fill the r8 window with the 44 stalest tail entries plus
-    # the 6 new, and widen test_tail_entries_were_green_recently's
+    # sole_late_suppliers / idle_rich_customers /
+    # supplier_part_variety — all already oracle-compared at sf0.01
+    # in pytest, tests/test_relational_staged.py + test_pipeline_ops).
+    # Capacity math: 49 tail + 7 staged = 56 > 50, so register all
+    # seven, fill the r8 window with the 43 stalest tail entries plus
+    # the 7 new, and widen test_tail_entries_were_green_recently's
     # horizon from 2 to ceil(n_queries / 50) = 3 rounds — which
     # preserves the guard's intent (every query re-certified as
     # often as the 50-row driver window permits) now that the

@@ -86,13 +86,15 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
         idle_rich_customers,
         small_qty_revenue,
         sole_late_suppliers,
+        supplier_part_variety,
     )
     from flink_user_behavior_analysis_spark.queries_pipeline import (
         q_semdedup_drift,
     )
 
     for fn in (small_qty_revenue, sole_late_suppliers,
-               idle_rich_customers, q_semdedup_drift):
+               idle_rich_customers, supplier_part_variety,
+               q_semdedup_drift):
         plan = fn(spark, SF_DIR)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__

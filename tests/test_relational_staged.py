@@ -14,9 +14,11 @@ from flink_user_behavior_analysis_spark.queries import (
     IDLE_RICH_CUSTOMERS_SQL,
     SMALL_QTY_REVENUE_SQL,
     SOLE_LATE_SUPPLIERS_SQL,
+    SUPPLIER_PART_VARIETY_SQL,
     idle_rich_customers,
     small_qty_revenue,
     sole_late_suppliers,
+    supplier_part_variety,
 )
 
 from .oracle_util import compare
@@ -41,6 +43,14 @@ def test_sole_late_suppliers_matches_oracle(spark, oracle_sf_dir):
 def test_idle_rich_customers_matches_oracle(spark, oracle_sf_dir):
     df = idle_rich_customers(spark, oracle_sf_dir)
     compare(df, IDLE_RICH_CUSTOMERS_SQL, oracle_sf_dir)
+
+
+def test_supplier_part_variety_matches_oracle(spark, oracle_sf_dir):
+    """Q16 shape: NOT IN -> broadcast left-anti, count(DISTINCT) as
+    the two-level distinct aggregate."""
+    df = supplier_part_variety(spark, oracle_sf_dir)
+    compare(df, SUPPLIER_PART_VARIETY_SQL, oracle_sf_dir)
+    assert df.count() > 0
 
 
 # (plan hygiene for the staged queries lives in test_plan_audit.py's
