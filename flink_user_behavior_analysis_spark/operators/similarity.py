@@ -1815,13 +1815,23 @@ def _dynamic_overwrite_insert(spark, aligned: DataFrame,
     otherwise restore 'static' under each other and truncate an
     index. The lock covers every writer that goes through this
     helper (all in-repo append paths); code outside it flipping the
-    same conf concurrently is not protected — on a shared cluster
-    use a table format with a transactional replaceWhere instead."""
+    same conf concurrently cannot be excluded by the lock — so the
+    conf is RE-READ and asserted 'dynamic' immediately before the
+    insertInto (ADVICE r7): a raced flip then fails loudly instead
+    of truncating the whole table. On a shared cluster use a table
+    format with a transactional replaceWhere instead."""
     key = "spark.sql.sources.partitionOverwriteMode"
     with _DYNAMIC_OVERWRITE_LOCK:
         prev = spark.conf.get(key, "static")
         spark.conf.set(key, "dynamic")
         try:
+            actual = spark.conf.get(key)
+            if actual.lower() != "dynamic":
+                raise RuntimeError(
+                    f"partitionOverwriteMode flipped to {actual!r} "
+                    f"under the overwrite lock — refusing the "
+                    f"insertInto into {table}: a static overwrite "
+                    f"here would truncate the whole table")
             aligned.write.insertInto(table, overwrite=True)
         finally:
             spark.conf.set(key, prev)

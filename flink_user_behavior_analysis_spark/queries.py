@@ -1657,11 +1657,12 @@ GROUP BY 1, 2, 3
 """
 
 
-# ---- STAGED for r8 registration (see the _GATE_HEAD rotation plan):
-# three relational shapes the registry did not yet cover — correlated
+# ---- Registered r8 (staged in r7 behind the gate-window capacity):
+# relational shapes the registry did not previously cover — correlated
 # per-group aggregate (Q17), EXISTS + NOT-EXISTS double correlation
-# (Q21), scalar subquery + anti join (Q22). Each is pytest-gated
-# against its DuckDB oracle at the driver's sf0.01 until registered
+# (Q21), scalar subquery + anti join (Q22), distinct-count variety
+# with NOT-IN exclusion (Q16). Each is also pytest-gated against its
+# DuckDB oracle at the driver's sf0.01
 # (tests/test_relational_staged.py).
 
 Q17_BRAND = "Brand#4"
@@ -1801,28 +1802,38 @@ QUALIFY rnk <= 10
 """
 
 
+Q22_CUTOFF = "2000-01-01"
+
+
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped (global sales opportunity): customers with
     an account balance above the average POSITIVE balance who have
-    never placed an order, rolled up by market segment (standing in
-    for Q22's phone country code).
+    placed no order since {Q22_CUTOFF} (Q22's "no orders in 7
+    years" recency predicate — this corpus gives every customer
+    SOME order, so an unscoped NOT EXISTS is vacuously empty),
+    rolled up by market segment (standing in for Q22's phone
+    country code).
 
     The scalar subquery (global avg balance) is a 1-row aggregate
     cross-joined back as a broadcast — no collect, stays one lazy
-    plan; the NOT EXISTS is a LEFT ANTI join against the orders
-    fact, shuffled on custkey on both sides. Balances fold to
-    integer cents BEFORE the avg so the threshold is an exact
-    integer sum / exact count on both engines — comparing doubles
-    summed in engine order would flip boundary customers."""
+    plan; the NOT EXISTS is a LEFT ANTI join against the
+    date-filtered orders fact (filter pushed to the scan BEFORE the
+    custkey shuffle), shuffled on custkey on both sides. Balances
+    fold to integer cents BEFORE the avg so the threshold is an
+    exact integer sum / exact count on both engines — comparing
+    doubles summed in engine order would flip boundary customers."""
     cents = F.round(F.col("c_acctbal") * 100).cast("long")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", cents.alias("_bc"))
     avg_bal = cust.where(F.col("_bc") > 0).agg(
         F.avg("_bc").alias("_avg_bc"))
+    recent = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("date"))
+              .select("o_custkey"))
     idle = (
         cust.join(F.broadcast(avg_bal))
         .where(F.col("_bc") > F.col("_avg_bc"))
-        .join(load_table(spark, sf_dir, "orders").select("o_custkey"),
+        .join(recent,
               F.col("c_custkey") == F.col("o_custkey"), "left_anti")
     )
     return (
@@ -1834,7 +1845,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IDLE_RICH_CUSTOMERS_SQL = """
+IDLE_RICH_CUSTOMERS_SQL = f"""
 WITH cust AS (
     SELECT c_custkey, c_mktsegment,
            round(c_acctbal * 100)::BIGINT AS bc
@@ -1846,7 +1857,8 @@ SELECT c_mktsegment,
 FROM cust c
 WHERE c.bc > (SELECT avg(bc) FROM cust WHERE bc > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey)
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{Q22_CUTOFF}')
 GROUP BY c_mktsegment
 """
 
@@ -2012,149 +2024,93 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_deciles": revenue_deciles,
     "nation_trade_flows": nation_trade_flows,
     "props_topk": props_topk,
+    "small_qty_revenue": small_qty_revenue,
+    "sole_late_suppliers": sole_late_suppliers,
+    "idle_rich_customers": idle_rich_customers,
+    "supplier_part_variety": supplier_part_variety,
     **PIPELINE_QUERIES,
 }
 
-_GATE_HEAD: list[str] = [
-    # round-7 rotation (VERDICT r6 next-round #4): the 47 queries
-    # whose freshest green row is r5 (the r6 tail) return for fresh
-    # driver rows, plus revenue_deciles (decile assignment rewritten
-    # distributed this round — must re-certify against the unchanged
-    # oracle) and this round's two new queries (dedup_semantic,
-    # nation_trade_flows — never gated before).
-    #
-    # ROUND-8 ROTATION PLAN: swap head and tail again (current tail
-    # = r6-green, must re-window in r8), and register the SEVEN
-    # STAGED queries (q_dedup_semantic_stored,
-    # q_ann_topk_filtered_stored, q_semdedup_drift, and the four
-    # staged relational shapes small_qty_revenue /
-    # sole_late_suppliers / idle_rich_customers /
-    # supplier_part_variety — all already oracle-compared at sf0.01
-    # in pytest, tests/test_relational_staged.py + test_pipeline_ops).
-    # Capacity math: 49 tail + 7 staged = 56 > 50, so register all
-    # seven, fill the r8 window with the 43 stalest tail entries plus
-    # the 7 new, and widen test_tail_entries_were_green_recently's
-    # horizon from 2 to ceil(n_queries / 50) = 3 rounds — which
-    # preserves the guard's intent (every query re-certified as
-    # often as the 50-row driver window permits) now that the
-    # registry exceeds 100 entries.
-    "login_fail_cep",
-    "login_fail_fb",
-    "view_then_purchase",
-    "order_timeout",
-    "tx_interval_join",
-    "tx_match",
-    "sessionize_users",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers_per_segment",
-    "revenue_rollup",
-    "purchase_attribution",
-    "shipping_priority",
-    "returned_customers",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_keeper_quality",
-    "lang_centroids",
-    "stratified_sample",
-    "chunk_docs",
-    "pack_sequences",
-    "doc_fingerprints",
-    "multimodal_meta",
-    "multimodal_decode",
-    "media_resize",
-    "frame_sample",
-    "duplicated_spans_inc",
-    "hybrid_retrieval",
-    "ann_topk_pq_stored",
-    "ann_topk_ivf_trained",
-    "ann_topk_pq",
-    "bm25_topk_stored",
-    "lm_score_stored",
-    "pca_embed",
-    "gopher_quality",
-    "duplicated_spans",
-    "source_quantiles",
-    "error_spikes",
-    "hot_items",
-    "hot_pages",
-    "page_views",
-    "unique_visitors",
-    "marketing_by_channel",
-    "marketing_total",
-    "funnel_conversion",
-    "retention_weekly",
-    "revenue_deciles",
-    "dedup_semantic",
-    "nation_trade_flows",
-]
+# ----------------------------------------------------------- gate rotation
+#
+# The external driver compares only the FIRST 50 registry entries
+# against their DuckDB oracles each round (CORRECTNESS_r{N}.json).
+# With >100 registered queries, hand-curating which 50 re-certify
+# each round became an error-prone per-round edit (VERDICT r7 #2),
+# so the window is now DERIVED: order every query by the round of
+# its freshest hash-green driver row (never-green first, then
+# stalest, name as the total-order tiebreak) and gate the first
+# GATE_WINDOW. The committed CORRECTNESS_r*.json files are the
+# schedule's single input, so the order is deterministic for a
+# given checkout and rotates automatically when the driver lands a
+# new round's file: every query re-certifies at least once every
+# ceil(len(QUERIES) / 50) rounds.
+#
+# _FORCE_WINDOW pins queries whose SEMANTICS changed this round
+# ahead of the staleness order — a changed query must re-certify
+# against its (unchanged) oracle immediately, not when its turn
+# comes up.
 
-_GATE_TAIL: list[str] = [
-    # all hash-green in CORRECTNESS_r06 and UNCHANGED this round —
-    # each can sit out exactly one round (the two-round staleness
-    # test forces them back by r8). The stored-twin gates now check
-    # the crash-atomic manifest, but their output semantics are
-    # identical, so their r6 rows remain valid.
-    "unique_visitors_approx",
-    "ad_stats_by_province",
-    "login_fail",
-    "blacklist_warnings",
-    "blacklist_filtered",
-    "sessionize_users_native",
-    "heavy_hitters",
-    "dedup_ngram_jaccard",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_lsh",
-    "dedup_embedding_cosine_lsh_mt",
-    "doc_split",
-    "sample_docs",
-    "ann_topk",
-    "ann_topk_lsh",
-    "ann_topk_lsh_mp",
-    "ann_topk_ivf",
-    "quantize_embeddings",
-    "text_stats",
-    "language_id",
-    "token_vocab",
-    "corpus_quantiles",
-    "corpus_quantiles_approx",
-    "repetition_stats",
-    "tfidf_top_terms",
-    "contamination",
-    "bm25_topk",
-    "source_stats",
-    "chunk_containment",
-    "dedup_clusters_star",
-    "mixture_sample",
-    "lm_score",
-    "winnow_fingerprints",
-    "winnow_overlap",
-    "remove_dup_spans",
-    "hybrid_retrieval_stored",
-    "ann_topk_ivfpq_stored",
-    "large_volume_orders",
-    "priority_late_orders",
-    "dau_stickiness",
-    "session_stats",
-    "props_topk",
-    "dedup_incremental_stored",
-    "duplicated_spans_inc_stored",
-    "source_overlap",
-    "curation_pipeline",
-    "ann_topk_ivfpq",
-]
+GATE_WINDOW = 50
+
+_FORCE_WINDOW: list[str] = []
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def freshest_green_rounds() -> dict[str, int]:
+    """name -> latest round whose CORRECTNESS file hash-greened it.
+
+    Malformed or unreadable files are skipped (the schedule degrades
+    to "treat everything as never-green", which only over-rotates —
+    never hides a query from the window).
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    fresh: dict[str, int] = {}
+    pat = re.compile(r"CORRECTNESS_r(\d+)\.json$")
+    for p in sorted(glob.glob(os.path.join(_repo_root(),
+                                           "CORRECTNESS_r*.json"))):
+        m = pat.search(p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                fresh[name] = max(fresh.get(name, -1), rnd)
+    return fresh
+
+
+def rotation_order(names) -> list[str]:
+    """Deterministic gate order: forced re-certifications first, then
+    never-green, then by staleness (ascending freshest-green round),
+    name-tiebroken."""
+    fresh = freshest_green_rounds()
+    forced = set(_FORCE_WINDOW)
+    return sorted(names,
+                  key=lambda n: (n not in forced, fresh.get(n, -1), n))
+
+
+_GATE_ORDER: list[str] = rotation_order(_ALL_QUERIES)
+_GATE_HEAD: list[str] = _GATE_ORDER[:GATE_WINDOW]
+_GATE_TAIL: list[str] = _GATE_ORDER[GATE_WINDOW:]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    name: _ALL_QUERIES[name]
-    for name in (
-        _GATE_HEAD
-        + [n for n in _ALL_QUERIES
-           if n not in set(_GATE_HEAD) | set(_GATE_TAIL)]
-        + _GATE_TAIL
-    )
+    name: _ALL_QUERIES[name] for name in _GATE_ORDER
 }
 
 ORACLES: dict[str, str] = {
@@ -2195,5 +2151,9 @@ ORACLES: dict[str, str] = {
     "revenue_deciles": REVENUE_DECILES_SQL,
     "nation_trade_flows": NATION_TRADE_FLOWS_SQL,
     "props_topk": PROPS_TOPK_SQL,
+    "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+    "sole_late_suppliers": SOLE_LATE_SUPPLIERS_SQL,
+    "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
+    "supplier_part_variety": SUPPLIER_PART_VARIETY_SQL,
     **PIPELINE_ORACLES,
 }

@@ -2755,7 +2755,7 @@ def q_ann_topk_filtered_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PartitionFilters for probed cells + PushedFilters for the
     label, test-asserted); no metadata join at query time.
 
-    STAGED for r8 registration (same window-capacity reason as
+    Registered r8 (staged in r7 behind the window capacity, same as
     q_dedup_semantic_stored). Certificate shape: exact query count,
     every returned neighbor satisfies the predicate (label_ok),
     contiguous per-query ranks (ranks_ok) — the DuckDB-verifiable
@@ -2885,12 +2885,10 @@ def q_dedup_semantic_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     in (semdedup_probe). Statuses mirror dedup_incremental's
     contract (dup_corpus / dup_delta / kept + n_corpus_matches).
 
-    STAGED for r8 registration: r7's 50-entry gate window is fully
-    occupied by the mandated rotation plus dedup_semantic and
-    nation_trade_flows — registering this now would push an ungated
-    query past the window (tests/test_registry_gate.py forbids it).
-    Until then it is pytest-gated (probe vs pure-Python reference in
-    tests/test_pipeline_ops.py)."""
+    Registered r8: r7's 50-entry gate window was fully occupied by
+    the mandated rotation, so this sat pytest-gated (probe vs
+    pure-Python reference in tests/test_pipeline_ops.py) for one
+    round before entering the driver window."""
     from .operators.sampling import hash_uniform
     from .operators.similarity import (semdedup_index_current,
                                        semdedup_probe,
@@ -2933,9 +2931,8 @@ def q_semdedup_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two queries share the stored cells artifact (and its
     model-fingerprint gate).
 
-    STAGED for r8 registration with the other five (see the
-    _GATE_HEAD rotation plan); pytest-gated against a full-recompute
-    DuckDB oracle until then."""
+    Registered r8 with the other staged queries; pytest-gated
+    against a full-recompute DuckDB oracle through r7."""
     from .operators.sampling import hash_uniform
     from .operators.similarity import (semdedup_drift,
                                        semdedup_index_current,
@@ -3196,6 +3193,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "pca_embed": q_pca_embed,
+    "dedup_semantic_stored": q_dedup_semantic_stored,
+    "ann_topk_filtered_stored": q_ann_topk_filtered_stored,
+    "semdedup_drift": q_semdedup_drift,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3267,4 +3267,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     # builds — probe-only ≡ inline-build is exactly the claim
     "bm25_topk_stored": _bm25_sql(),
     "lm_score_stored": _lm_score_sql(),
+    # registered r8 (previously staged behind the r7 window capacity)
+    "dedup_semantic_stored": _dedup_semantic_stored_sql(),
+    "ann_topk_filtered_stored": ANN_TOPK_FILTERED_STORED_SQL,
+    "semdedup_drift": _semdedup_drift_sql(),
 }

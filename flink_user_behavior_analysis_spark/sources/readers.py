@@ -355,7 +355,7 @@ def index_ready(spark, prefix: str) -> bool:
     return all(spark.catalog.tableExists(t) for t in listed)
 
 
-def clear_append_ledger(spark, prefix: str) -> None:
+def clear_append_ledger(spark, prefix: str) -> list[str]:
     """Drop ``{prefix}_appends`` — REBUILDS must call this (builders
     do, inside their invalidate-first bracket): a rebuilt index is a
     new generation containing only the source corpus, so previously
@@ -363,8 +363,30 @@ def clear_append_ledger(spark, prefix: str) -> None:
     survived, an at-least-once re-delivery would be skipped and the
     loss made permanent. COMPACTION must NOT call this: it absorbs
     batch data into the base generation, so absorbed ids must keep
-    deduplicating re-delivery."""
+    deduplicating re-delivery.
+
+    DELIVERY CONTRACT (ADVICE r7): a rebuild therefore DISCARDS every
+    previously committed batch whose rows are not in the rebuild's
+    source corpus — the delivery source must be able to RE-DELIVER
+    every batch it was ever told was committed, not merely the
+    unacked tail (stronger than plain at-least-once). To make the
+    loss observable instead of silent, the cleared batch ids are
+    returned AND logged at warning level; an orchestrator should
+    requeue exactly these ids after the rebuild commits."""
+    import logging
+
+    cleared: list[str] = []
+    if spark.catalog.tableExists(f"{prefix}_appends"):
+        cleared = [r.batch_id
+                   for r in spark.table(f"{prefix}_appends")
+                   .select("batch_id").distinct().collect()]
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_appends")
+    if cleared:
+        logging.getLogger(__name__).warning(
+            "%s: rebuild cleared %d committed append batch(es) %s — "
+            "these must be re-delivered against the new generation",
+            prefix, len(cleared), sorted(cleared))
+    return cleared
 
 
 def append_recorded(spark, prefix: str, batch_id: str) -> bool:

@@ -470,6 +470,9 @@ def consecutive_fail_tws(
                     columns=["user_id", "first_fail_us", "last_fail_us"])
 
         def close(self):
+            # Required StatefulProcessor lifecycle hook (not a
+            # swallowed exception): we hold no resources outside the
+            # state store, so teardown is a no-op.
             pass
 
     prepared = events.select(

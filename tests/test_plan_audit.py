@@ -101,6 +101,15 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
         hits = [n for n in ARROW_NODES if n in plan]
         assert not hits, f"{fn.__name__}: unexpected Python stage {hits}"
         assert "CartesianProduct" not in plan, fn.__name__
+        if fn is supplier_part_variety:
+            # Q16's NOT-IN exclusion must stay a BROADCAST anti join
+            # (the exclusion list is a filtered dim): a shuffled or
+            # nested-loop anti here would exchange the lineitem fact
+            # on suppkey purely to drop a handful of suppliers.
+            assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+                "Q16's NOT-IN no longer compiles to a broadcast "
+                "anti join")
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
         if fn is sole_late_suppliers:
             assert "TakeOrderedAndProject" in plan, (
                 "Q21's rnk<=10 filter no longer pushes down to a "

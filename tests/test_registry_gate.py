@@ -12,18 +12,28 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
+import re
 
 from flink_user_behavior_analysis_spark.queries import (
     _ALL_QUERIES,
+    _FORCE_WINDOW,
     _GATE_HEAD,
     _GATE_TAIL,
+    GATE_WINDOW,
     ORACLES,
     QUERIES,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GATE_WINDOW = 50
+
+# Every query must re-enter the 50-row driver window at least this
+# often.  ceil(n/50) is the fastest cadence the window size permits:
+# with 106 registered queries the driver can re-certify each one at
+# best every 3rd round, so demanding "green within the last 2" would
+# manufacture failures the rotation cannot prevent.
+STALENESS_HORIZON = max(2, math.ceil(len(QUERIES) / GATE_WINDOW))
 
 # Queries with no oracle SQL: their driver row is rows-only and can
 # never be hash-green, so the window gains nothing. Empty since r5 —
@@ -85,28 +95,58 @@ def test_tail_entries_all_have_prior_green_rows():
 def test_tail_entries_were_green_recently():
     """Staleness guard (ADVICE r3): 'prior green' is not 'currently
     green'.  A query may only sit past the window if it was hash-green
-    (or is rows-only by design) within the LAST TWO correctness
-    rounds.  Two rounds, not one: entries demoted THIS round are by
-    construction green in the previous round's file but cannot have a
-    row in the upcoming one, so a one-round horizon would start every
-    next round red; the two-round horizon still forces rotation
-    (anything left in the tail for two consecutive rounds trips it)
-    without manufacturing failures."""
+    (or is rows-only by design) within the last STALENESS_HORIZON
+    correctness rounds.  The horizon is ceil(n/50) (>=2): entries
+    demoted this round are green in the previous round's file but
+    cannot have a row in the upcoming one, and with >100 registered
+    queries the 50-row window physically cannot re-certify everything
+    every 2 rounds — ceil(n/50) is the fastest cadence the rotation
+    can deliver, and the staleness-sorted window achieves exactly it."""
     paths = sorted(glob.glob(os.path.join(REPO_ROOT,
                                           "CORRECTNESS_r*.json")))
     if not paths:
         return
     fresh = set(ROWS_ONLY_BY_DESIGN)
-    for path in paths[-2:]:
+    for path in paths[-STALENESS_HORIZON:]:
         with open(path) as fh:
             rows = json.load(fh)
         fresh |= {name for name, row in rows.items()
                   if row.get("hash_match") is True}
     stale = [n for n in list(QUERIES)[GATE_WINDOW:] if n not in fresh]
     assert not stale, (
-        f"tail entries with no green row in the last two rounds: "
-        f"{stale} — rotate them back into the window"
+        f"tail entries with no green row in the last "
+        f"{STALENESS_HORIZON} rounds: {stale} — rotate them back "
+        f"into the window"
     )
+
+
+def test_registry_order_is_the_derived_rotation():
+    """VERDICT r7 #2: the window must be DERIVED from the committed
+    CORRECTNESS files, not hand-curated.  Re-implement the schedule
+    independently here (freshest-green round per query, never-green
+    first, then stalest, name tiebreak, _FORCE_WINDOW pinned ahead)
+    and assert the registry order matches it exactly — a manual edit
+    to the order, or a rotation-logic regression, trips this."""
+    fresh: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO_ROOT,
+                                              "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if row.get("hash_match") is True:
+                fresh[name] = max(fresh.get(name, -1), int(m.group(1)))
+    forced = set(_FORCE_WINDOW)
+    expected = sorted(
+        _ALL_QUERIES,
+        key=lambda n: (n not in forced, fresh.get(n, -1), n))
+    assert list(QUERIES) == expected
+    assert _GATE_HEAD == expected[:GATE_WINDOW]
+    assert _GATE_TAIL == expected[GATE_WINDOW:]
+
+
+def test_forced_window_names_are_registered():
+    assert set(_FORCE_WINDOW) <= set(_ALL_QUERIES)
 
 
 def test_oracle_keys_subset_of_queries():

@@ -43,6 +43,10 @@ def test_sole_late_suppliers_matches_oracle(spark, oracle_sf_dir):
 def test_idle_rich_customers_matches_oracle(spark, oracle_sf_dir):
     df = idle_rich_customers(spark, oracle_sf_dir)
     compare(df, IDLE_RICH_CUSTOMERS_SQL, oracle_sf_dir)
+    # the recency-scoped NOT EXISTS must not be vacuously empty (the
+    # unscoped version was: every customer in this corpus has SOME
+    # order, so r7's formulation certified nothing)
+    assert df.count() > 0
 
 
 def test_supplier_part_variety_matches_oracle(spark, oracle_sf_dir):

@@ -249,6 +249,25 @@ def test_rebuild_clears_append_ledger(spark, sf_dir):
     _drop_prefix(spark, prefix)
 
 
+def test_clear_append_ledger_surfaces_cleared_batch_ids(spark):
+    """ADVICE r7: a rebuild discards committed batches, so the
+    delivery source must re-deliver them — the clear must RETURN the
+    dropped ids (and log them) instead of silently erasing the only
+    record of what was lost."""
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_ledger_surface"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_appends")
+    # empty / missing ledger clears to nothing
+    assert readers.clear_append_ledger(spark, prefix) == []
+    readers.record_append(spark, prefix, "b1")
+    readers.record_append(spark, prefix, "b2")
+    readers.record_append(spark, prefix, "b2")  # duplicate marker rows
+    cleared = readers.clear_append_ledger(spark, prefix)
+    assert sorted(cleared) == ["b1", "b2"]
+    assert not spark.catalog.tableExists(f"{prefix}_appends")
+
+
 def test_semdedup_append_batch_id_is_exactly_once(spark, sf_dir):
     """Same ledger/overwrite contract on the SemDeDup cells table:
     double delivery of the same batch_id leaves exactly one copy."""
