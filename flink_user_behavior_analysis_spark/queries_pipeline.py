@@ -2912,6 +2912,17 @@ def _semdedup_read_centroids_or_fit(spark: SparkSession) -> list[list[float]]:
 
     path = _semdedup_centroid_path()
     if not _os.path.exists(path):
+        # Fail fast with the actual remedy (ADVICE r7): on a checkout
+        # without the committed artifact, falling through to a read
+        # of a missing train dir surfaces as an opaque parquet error
+        # far from the real cause.
+        train = _os.path.join(SEMDEDUP_TRAIN_DIR, "embeddings.parquet")
+        if not _os.path.exists(train):
+            raise FileNotFoundError(
+                f"SemDeDup centroid artifact {path} is missing and the "
+                f"training corpus {train} does not exist — commit the "
+                f"artifact, or point SPARK_GRAFT_SEMDEDUP_TRAIN_DIR at "
+                f"a directory containing embeddings.parquet to refit")
         from .operators.similarity import kmeans_fit
 
         cents = kmeans_fit(_embs(spark, SEMDEDUP_TRAIN_DIR),

@@ -264,17 +264,32 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
 
 def table_num_buckets(spark, table: str) -> int | None:
     """Bucket count of a catalog table (None if unbucketed) — read
-    from DESCRIBE EXTENDED so an APPEND can reuse the exact spec the
+    from the catalog so an APPEND can reuse the exact spec the
     build wrote instead of trusting a hyperparameter to match (a
     mismatched bucketBy on append is a catalog error; a silently
-    different one would be worse)."""
+    different one would be worse).
+
+    Primary source is DESCRIBE EXTENDED's ``Num Buckets`` row; since
+    that is human-readable output a Spark version could reformat
+    (ADVICE r7), fall back to parsing SHOW CREATE TABLE's
+    ``CLUSTERED BY (...) INTO n BUCKETS`` clause before concluding
+    the table is unbucketed. A unit test pins both parses against
+    the running Spark version (tests/test_stored_atomicity.py)."""
+    import re
+
     for r in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
         if r.col_name == "Num Buckets":
             try:
                 return int(r.data_type)
             except (TypeError, ValueError):
-                return None
-    return None
+                break
+    try:
+        ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+    except Exception:  # noqa: BLE001 — fallback only; primary already missed
+        return None
+    m = re.search(r"CLUSTERED BY\s*\(.*?\)\s*INTO\s+(\d+)\s+BUCKETS",
+                  ddl, re.IGNORECASE | re.DOTALL)
+    return int(m.group(1)) if m else None
 
 
 def save_as_table(writer, table: str) -> None:
@@ -497,7 +512,8 @@ def transactional_append(spark, prefix: str, names: list[str],
 def compact_partitioned_table(spark, table: str,
                               partition_cols: list[str],
                               batch_col: str = "_batch",
-                              base_value: str = "base") -> dict:
+                              base_value: str = "base",
+                              collect_stats: bool = True) -> dict:
     """Absorb appended ingestion batches back into the base
     generation of a (partition, batch)-partitioned catalog table —
     the maintenance job the exactly-once append path needs over
@@ -514,26 +530,36 @@ def compact_partitioned_table(spark, table: str,
     re-open the exactly-once window. Caller owns the crash-atomicity
     bracket (invalidate manifest first, recommit last) so a torn
     compaction reads as not-ready instead of serving a half-rewrite.
-    Returns {"rows", "files_before", "files_after"}.
+    Returns {"rows", "files_before", "files_after"} — the stats are
+    two extra full-table jobs (count + file listing), so pass
+    ``collect_stats=False`` on a maintenance cadence where only the
+    rewrite matters (ADVICE r7); stats then come back as None. The
+    staging table is dropped in a ``finally`` so a crash between the
+    stage write and the final overwrite does not leave it squatting
+    in the catalog until the next compaction (ADVICE r7).
     """
     from pyspark.sql import functions as F
 
     stage = f"{table}_stage"
-    files_before = len(spark.table(table).inputFiles())
-    rows = spark.table(table).count()
+    files_before = (len(spark.table(table).inputFiles())
+                    if collect_stats else None)
+    rows = spark.table(table).count() if collect_stats else None
     df = (spark.table(table)
           .withColumn(batch_col, F.lit(base_value))
           .repartition(*partition_cols))
-    save_as_table(
-        df.write.mode("overwrite").format("parquet")
-        .partitionBy(*partition_cols, batch_col), stage)
-    save_as_table(
-        spark.table(stage).write.mode("overwrite").format("parquet")
-        .partitionBy(*partition_cols, batch_col), table)
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    try:
+        save_as_table(
+            df.write.mode("overwrite").format("parquet")
+            .partitionBy(*partition_cols, batch_col), stage)
+        save_as_table(
+            spark.table(stage).write.mode("overwrite").format("parquet")
+            .partitionBy(*partition_cols, batch_col), table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
     return {"rows": rows,
             "files_before": files_before,
-            "files_after": len(spark.table(table).inputFiles())}
+            "files_after": (len(spark.table(table).inputFiles())
+                            if collect_stats else None)}
 
 
 def compact_parquet(spark, path: str, target_bytes: int = 128 * 1024 * 1024,

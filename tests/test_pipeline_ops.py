@@ -1671,3 +1671,22 @@ def test_semdedup_append_corpus_equals_bigger_store(spark, sf_dir):
     for t in spark.catalog.listTables():
         if t.name.startswith("t_semdd_a"):
             spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_semdedup_missing_artifact_and_train_dir_fails_fast(
+        spark, monkeypatch, tmp_path):
+    """ADVICE r7: on a checkout missing BOTH the committed centroid
+    artifact and the training corpus, the fit path must fail with an
+    actionable message naming the remedy, not an opaque parquet read
+    error from inside kmeans."""
+    import pytest as _pytest
+
+    from flink_user_behavior_analysis_spark import queries_pipeline as qp
+
+    monkeypatch.setattr(qp, "_semdedup_centroid_path",
+                        lambda: str(tmp_path / "nope" / "c.parquet"))
+    monkeypatch.setattr(qp, "SEMDEDUP_TRAIN_DIR",
+                        str(tmp_path / "no_such_sf_dir"))
+    with _pytest.raises(FileNotFoundError,
+                        match="SPARK_GRAFT_SEMDEDUP_TRAIN_DIR"):
+        qp._semdedup_read_centroids_or_fit(spark)

@@ -665,3 +665,92 @@ def test_every_store_builder_commits_a_manifest(spark, sf_dir):
                   for r in spark.table(f"{prefix}_manifest").collect()}
         assert listed == set(tables)
         _drop_prefix(spark, prefix)
+
+
+def test_table_num_buckets_primary_and_ddl_fallback(spark):
+    """Pin BOTH bucket-spec parses against the running Spark version
+    (ADVICE r7): the primary reads DESCRIBE EXTENDED's human-readable
+    'Num Buckets' row, the fallback reads SHOW CREATE TABLE's
+    CLUSTERED BY ... INTO n BUCKETS clause. If a Spark upgrade
+    reformats either surface, this fails here instead of hard-failing
+    every append path at runtime."""
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    table = "t_bucket_parse"
+    _drop(spark, table)
+    (spark.range(100).withColumnRenamed("id", "k")
+     .write.format("parquet").bucketBy(7, "k").saveAsTable(table))
+    try:
+        assert readers.table_num_buckets(spark, table) == 7
+        # the fallback alone must also resolve the spec (simulates a
+        # DESCRIBE format drift by parsing the DDL directly)
+        ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+        import re
+        m = re.search(r"CLUSTERED BY\s*\(.*?\)\s*INTO\s+(\d+)\s+BUCKETS",
+                      ddl, re.IGNORECASE | re.DOTALL)
+        assert m and int(m.group(1)) == 7, ddl
+        assert readers.require_bucket_count(spark, table) == 7
+    finally:
+        _drop(spark, table)
+    # unbucketed table -> None (not a crash)
+    _drop(spark, table)
+    spark.range(10).write.format("parquet").saveAsTable(table)
+    try:
+        assert readers.table_num_buckets(spark, table) is None
+    finally:
+        _drop(spark, table)
+
+
+def test_compact_partitioned_table_stage_cleanup_and_optional_stats(
+        spark, monkeypatch):
+    """ADVICE r7 on compact_partitioned_table: (1) collect_stats=False
+    skips the two extra full-table jobs and returns None stats while
+    still compacting; (2) a crash between the stage write and the
+    final overwrite drops the staging table instead of leaving it
+    squatting in the catalog."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    table = "t_compact_stage"
+    _drop(spark, table)
+    _drop(spark, f"{table}_stage")
+    base = (spark.range(200)
+            .withColumn("cell", (F.col("id") % 4).cast("int"))
+            .withColumn("_batch", F.lit("base")))
+    for b in range(3):  # a few appended batches -> many files
+        (base.withColumn("_batch", F.lit(f"b{b}"))
+         .write.mode("append").format("parquet")
+         .partitionBy("cell", "_batch").saveAsTable(table))
+    base.write.mode("append").format("parquet") \
+        .partitionBy("cell", "_batch").saveAsTable(table)
+    before = spark.table(table).count()
+
+    stats = readers.compact_partitioned_table(
+        spark, table, ["cell"], collect_stats=False)
+    assert stats == {"rows": None, "files_before": None,
+                     "files_after": None}
+    assert spark.table(table).count() == before
+    assert {r._batch for r in
+            spark.table(table).select("_batch").distinct().collect()} \
+        == {"base"}
+    assert not spark.catalog.tableExists(f"{table}_stage")
+
+    # crash INSIDE the final overwrite: stage table must still be gone
+    orig = readers.save_as_table
+    calls = {"n": 0}
+
+    def crashing(writer, name):
+        calls["n"] += 1
+        if calls["n"] == 2:  # second call = final overwrite
+            raise RuntimeError("injected crash mid-overwrite")
+        return orig(writer, name)
+
+    monkeypatch.setattr(readers, "save_as_table", crashing)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        readers.compact_partitioned_table(spark, table, ["cell"],
+                                          collect_stats=False)
+    monkeypatch.setattr(readers, "save_as_table", orig)
+    assert not spark.catalog.tableExists(f"{table}_stage")
+    _drop(spark, table)
