@@ -126,6 +126,23 @@ FAST_HASH_QUERIES = [
     "dedup_incremental",
 ]
 
+# Train-vs-serve split (VERDICT r7 #3): these inline entries refit
+# their model — and rescan brute-force truth — on EVERY call; they are
+# self-certifying correctness forms, not the serving path. Their
+# stored twins are the serving path: the twin's FIRST timed run at the
+# bench SF is build-inclusive (fresh session -> empty catalog -> the
+# gated rebuild fires), the min-of-2 is the steady-state probe. The
+# JSON's "train_vs_serve" block reports all three walls so the 2x
+# perf gate can track the probe (what a cluster serves) while the
+# fit cost stays visible instead of polluting the headline row.
+TRAIN_INCLUSIVE = {
+    "ann_topk_pq": "ann_topk_pq_stored",
+    "ann_topk_ivfpq": "ann_topk_ivfpq_stored",
+    "hybrid_retrieval": "hybrid_retrieval_stored",
+    "bm25_topk": "bm25_topk_stored",
+    "lm_score": "lm_score_stored",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,6 +186,7 @@ def main() -> None:
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     per_query: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is None:
@@ -178,11 +196,13 @@ def main() -> None:
         # the reproducible number (plans are warmed above, so neither
         # run pays JIT)
         best, n = None, 0
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             dt = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = dt
             best = dt if best is None else min(best, dt)
             # drop persisted signature frames between timings — a
             # long-lived session must not accumulate blocks, and run 2
@@ -190,6 +210,25 @@ def main() -> None:
             release_signature_cache()
         per_query[name] = round(best, 3)
         print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
+
+    # fit/probe decomposition for the train-per-call entries: the
+    # stored twin's first run rebuilt the index (build + probe), so
+    # build ~= first_run - steady probe. A near-zero build means the
+    # artifact was shared with an earlier entry (hybrid reuses bm25's
+    # index) — honest, since the serving fleet shares it too.
+    train_vs_serve: dict[str, dict[str, float]] = {}
+    for inline, stored in TRAIN_INCLUSIVE.items():
+        if inline not in per_query or stored not in per_query:
+            continue
+        build = max(0.0, first_run.get(stored, 0.0) - per_query[stored])
+        train_vs_serve[inline] = {
+            "inline_fit_inclusive": per_query[inline],
+            "stored_build": round(build, 3),
+            "serving_probe": per_query[stored],
+        }
+        print(f"# train_vs_serve {inline}: inline={per_query[inline]:.3f}s "
+              f"build={build:.3f}s probe={per_query[stored]:.3f}s",
+              file=sys.stderr)
 
     # Production-hash column (VERDICT r4 item 8): re-time the queries
     # whose signatures route through the sig_hash seam with
@@ -233,6 +272,7 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "fast_hash": fast_hash,
+        "train_vs_serve": train_vs_serve,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload)
