@@ -509,6 +509,33 @@ def transactional_append(spark, prefix: str, names: list[str],
     return True
 
 
+def files_per_partition(spark, table: str,
+                        partition_col: str = "cell") -> dict:
+    """File-count health of a partitioned catalog table — the
+    compaction TRIGGER signal (VERDICT r7 #5): every exactly-once
+    append lands its own file set per touched cell, so files/cell
+    grows ~1 per append and scan throughput dies on per-file open
+    overhead long before data volume matters. Driver-side: counts
+    the catalog's file listing (metadata, no data read), grouping by
+    the ``{partition_col}=`` path component. Returns {"cells",
+    "files", "max_per_cell", "avg_per_cell"}; PERF.md's rule of
+    thumb is to compact when max_per_cell exceeds a small multiple
+    of the executor count."""
+    import re
+
+    counts: dict[str, int] = {}
+    pat = re.compile(rf"/{re.escape(partition_col)}=([^/]+)/")
+    for path in spark.table(table).inputFiles():
+        m = pat.search(path)
+        key = m.group(1) if m else "_unpartitioned"
+        counts[key] = counts.get(key, 0) + 1
+    total = sum(counts.values())
+    return {"cells": len(counts), "files": total,
+            "max_per_cell": max(counts.values()) if counts else 0,
+            "avg_per_cell": round(total / len(counts), 2) if counts
+            else 0.0}
+
+
 def compact_partitioned_table(spark, table: str,
                               partition_cols: list[str],
                               batch_col: str = "_batch",

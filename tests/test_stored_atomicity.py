@@ -754,3 +754,67 @@ def test_compact_partitioned_table_stage_cleanup_and_optional_stats(
     monkeypatch.setattr(readers, "save_as_table", orig)
     assert not spark.catalog.tableExists(f"{table}_stage")
     _drop(spark, table)
+
+
+def test_append_loop_auto_compacts_and_stays_bounded(spark, sf_dir):
+    """VERDICT r7 #5: the append path triggers its own compaction —
+    50 exactly-once appends with auto_compact_files_per_cell set must
+    keep the codes table's per-cell file count bounded WITHOUT any
+    manual compact call, while probes stay identical to a fresh
+    build on the same union and absorbed batches keep deduplicating
+    re-delivery."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        ivfpq_append_to_index,
+        ivfpq_store_index,
+        ivfpq_topk_from_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    n_batches, threshold = 50, 6
+    prefix = "t_auto_compact"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    h = F.abs(F.xxhash64("vec_id") % (2 * n_batches))
+    base = embs.where(h >= n_batches)
+    queries = embs.where(F.col("vec_id") < 4)
+    ivfpq_store_index(base, prefix, n_centroids=4, m=4, codes=8)
+
+    worst = 0
+    for i in range(n_batches):
+        ivfpq_append_to_index(spark, prefix, embs.where(h == i),
+                              batch_id=f"b{i}",
+                              auto_compact_files_per_cell=threshold)
+        worst = max(worst, readers.files_per_partition(
+            spark, f"{prefix}_codes")["max_per_cell"])
+    # bounded: one append can overshoot by its own file set before
+    # the trigger fires, but the loop never accumulates past
+    # threshold + one batch's worth of files per cell
+    assert worst <= threshold + 2, worst
+    health = readers.files_per_partition(spark, f"{prefix}_codes")
+    assert health["max_per_cell"] <= threshold + 2, health
+
+    # absorbed batches still dedupe re-delivery (ledger survived
+    # every auto-compaction)
+    assert ivfpq_append_to_index(spark, prefix, embs.where(h == 0),
+                                 batch_id="b0") == 0
+
+    # probe identical to a no-compaction control under the SAME
+    # frozen model: rebuild on the same base (deterministic fit ->
+    # same quantizers), append all 50 batches as one un-compacted
+    # batch — auto-compaction must change file layout only, never
+    # results
+    got = ivfpq_topk_from_index(spark, prefix, queries, 3, nprobe=4)
+    ref_prefix = "t_auto_compact_ref"
+    _drop_prefix(spark, ref_prefix)
+    ivfpq_store_index(base, ref_prefix, n_centroids=4, m=4, codes=8)
+    ivfpq_append_to_index(spark, ref_prefix, embs.where(h < n_batches),
+                          batch_id="all",
+                          auto_compact_files_per_cell=None)
+    ref = ivfpq_topk_from_index(spark, ref_prefix, queries, 3, nprobe=4)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, ref.collect()))
+    _drop_prefix(spark, prefix)
+    _drop_prefix(spark, ref_prefix)
