@@ -2236,7 +2236,8 @@ def semdedup_index_current(spark, prefix: str,
 def semdedup_probe(spark, prefix: str, batch: DataFrame,
                    centroids: list[list[float]], eps: float,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   vs_delta: bool = True) -> DataFrame:
     """Probe-only incremental SemDeDup: dedup an arriving batch
     against the stored corpus cells AND itself, without touching the
     corpus-side assignment. Per-batch wall is a function of the
@@ -2255,7 +2256,17 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
                    the same cell (priority = cent_sim asc, id asc —
                    semantic_dedup's rule)
       kept       — otherwise
-    """
+
+    ``vs_delta=False`` skips the within-batch pair join and emits
+    dup_corpus/kept only — each row's verdict then depends on that
+    row and the frozen corpus alone, so the result is invariant to
+    how the batch is split (the streaming micro-batch twin,
+    streaming/jobs.semdedup_probe_stream, relies on exactly this;
+    the within-delta rule is NOT split-invariant because a dominator
+    dropped in an earlier micro-batch is invisible to later ones —
+    cross-micro-batch dedup belongs to the accept side of the
+    ingest loop, which appends keepers to the corpus between
+    batches)."""
     # three consumers of the batch assignment (corpus join, pair
     # join, final status select) — checkpoint so the batch is
     # assigned exactly once (batch-sized blocks, GC-freed)
@@ -2287,13 +2298,26 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
         .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_matches"))
     )
 
-    vs_delta = _semdedup_dropped_within(b, eps, id_col) \
+    if not vs_delta:
+        return (
+            b.join(vs_corpus, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("n_corpus_matches").isNotNull(),
+                       F.lit("dup_corpus"))
+                .otherwise(F.lit("kept")).alias("status"),
+                F.coalesce(F.col("n_corpus_matches"), F.lit(0))
+                .cast("long").alias("n_corpus_matches"),
+            )
+        )
+
+    delta_drops = _semdedup_dropped_within(b, eps, id_col) \
         .select(F.col("_did").alias("_bdid"))
 
     return (
         b
         .join(vs_corpus, id_col, "left")
-        .join(vs_delta, b[id_col] == F.col("_bdid"), "left")
+        .join(delta_drops, b[id_col] == F.col("_bdid"), "left")
         .select(
             F.col(id_col),
             F.when(F.col("n_corpus_matches").isNotNull(),

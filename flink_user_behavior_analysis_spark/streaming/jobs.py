@@ -275,6 +275,95 @@ def props_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_probe_foreach_batch(raw_sdf: DataFrame, probe_fn) -> DataFrame:
+    """Drain a bounded stream of probe inputs via foreachBatch,
+    running ``probe_fn`` (batch DataFrame -> DataFrame) against
+    STORED serving artifacts per micro-batch, and return the union
+    of the per-batch results — the harness for the stored-index
+    serving twins (SemDeDup corpus probe, filtered ANN). The probe
+    functions are stateless per row/query given the frozen
+    artifacts, so the drained union equals the one-shot batch probe
+    whatever the micro-batch split (test-asserted).
+
+    Bounded-replay harness (like run_topn_foreach_batch): per-batch
+    results are collected to the driver. An unbounded production run
+    writes each micro-batch's probe result straight to a keyed sink
+    from inside foreachBatch instead — the probe plan itself is
+    identical."""
+    spark = raw_sdf.sparkSession
+    holder: dict = {"rows": [], "schema": None}
+
+    def _probe(batch_df: DataFrame, _bid: int) -> None:
+        out = probe_fn(batch_df)
+        holder["rows"].extend(out.collect())
+        holder["schema"] = out.schema
+
+    q = (
+        raw_sdf.writeStream.outputMode("append")
+        .foreachBatch(_probe)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(holder["rows"], holder["schema"])
+
+
+def semdedup_probe_stream(spark: SparkSession, sf_dir: str,
+                          prefix: str, centroids: list, eps: float,
+                          delta_pred=None) -> DataFrame:
+    """Streaming micro-batch probe against the STORED SemDeDup corpus
+    (VERDICT r7 #4): arriving vectors replay as a stream and each
+    micro-batch runs the cell-partition-pruned corpus probe
+    (operators/similarity.semdedup_probe, vs_delta=False) against the
+    frozen {prefix}_cells artifact — dup_corpus / n_corpus_matches
+    per vector, exactly the batch result under any micro-batch split
+    (each verdict depends on the row and the frozen corpus alone).
+
+    The within-delta half is deliberately NOT on the wire: its
+    dominance rule is order-sensitive across micro-batches, so
+    cross-batch dedup belongs to the ingest loop's accept side
+    (probe -> append keepers -> next batch sees them —
+    tests/test_streaming.py::test_semdedup_ingest_loop covers it).
+    ``delta_pred``: optional Column filtering the replayed
+    embeddings down to the delta."""
+    from ..operators.similarity import semdedup_probe
+
+    ensure_utc(spark)
+    embs = file_replay_stream(spark, sf_dir, "embeddings")
+    if delta_pred is not None:
+        embs = embs.where(delta_pred)
+    return run_probe_foreach_batch(
+        embs,
+        lambda batch: semdedup_probe(spark, prefix, batch, centroids,
+                                     eps, vs_delta=False))
+
+
+def ann_filtered_probe_stream(spark: SparkSession, sf_dir: str,
+                              prefix: str, predicate, k: int,
+                              nprobe: int = 8,
+                              query_pred=None) -> DataFrame:
+    """Streaming filtered vector search over the STORED IVFADC index
+    (VERDICT r7 #4): query vectors replay as a stream; each
+    micro-batch routes against the stored coarse centroids and
+    ADC-ranks only the probed cell partitions with the metadata
+    predicate pushed into the scan
+    (operators/similarity.ivfpq_topk_filtered_from_index). Per-query
+    top-k is independent of every other query, so the drained union
+    equals the one-shot batch search under any micro-batch split.
+    ``query_pred``: optional Column selecting the query subset from
+    the replayed embeddings."""
+    from ..operators.similarity import ivfpq_topk_filtered_from_index
+
+    ensure_utc(spark)
+    embs = file_replay_stream(spark, sf_dir, "embeddings")
+    if query_pred is not None:
+        embs = embs.where(query_pred)
+    return run_probe_foreach_batch(
+        embs,
+        lambda batch: ivfpq_topk_filtered_from_index(
+            spark, prefix, batch, k, predicate, nprobe=nprobe))
+
+
 def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 streaming: stream-stream interval join with watermarks
     (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner
