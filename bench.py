@@ -114,6 +114,9 @@ HEADLINE = [
     # cluster-local pair join) and the Q7-shape broadcast-dim rollup
     "dedup_semantic",
     "nation_trade_flows",
+    # round-8 addition: regex PII redaction (shuffle-free scan
+    # projection — the map-only floor for a text pass)
+    "pii_scrub",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -1227,3 +1227,47 @@ def group_quantiles(docs: DataFrame, group_col: str = "source",
         aggs.append(F.round(F.percentile("_nc", p), 4).alias(f"chars_p{tag}"))
         aggs.append(F.round(F.percentile("_nt", p), 4).alias(f"tokens_p{tag}"))
     return measured.groupBy(group_col).agg(*aggs)
+
+
+# ------------------------------------------------------------------ PII
+
+# Engine-portable PII patterns: no backreferences or lookaround, so
+# the same pattern compiles identically under Java regex (Spark) and
+# RE2 (DuckDB) — the cross-engine contract every oracle-gated regex
+# in this repo follows (TOKEN_RE precedent).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{2}-\d{3}-\d{3}-\d{4}\b",   # TPC-H c_phone shape
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              patterns: dict[str, str] | None = None) -> DataFrame:
+    """Rule-based PII redaction — the scrubbing pass every public
+    pre-training corpus runs before tokenization (C4 removed
+    offensive lines; Dolma/FineWeb redact emails, phone numbers and
+    IPs with exactly this regex-rules shape). Per document: count
+    each PII class in the raw text, then replace every occurrence
+    with its ``<CLASS>`` placeholder, applying the classes in
+    deterministic dict order (email before phone before ip by
+    default — the patterns are disjoint on real text, but the order
+    is still fixed so engines can't disagree on overlaps).
+
+    Pure per-row projection (regexp_count + chained regexp_replace,
+    all JVM codegen): shuffle-free, no UDF, runs at parquet scan
+    speed with only the text column read — at 100 TB this is a
+    map-only pass that fuses into whatever scan feeds it. Returns
+    (id, n_<class>... , scrubbed) — counts long, scrubbed the
+    redacted text."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    cols = [F.col(id_col)]
+    for name, pat in pats.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                    .cast("long").alias(f"n_{name}"))
+    scrubbed = F.col(text_col)
+    for name, pat in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    cols.append(scrubbed.alias("scrubbed"))
+    return docs.select(*cols)

@@ -3139,6 +3139,92 @@ FROM assign a LEFT JOIN dropped d ON a.vec_id = d.did
 """
 
 
+# ------------------------------------------------------------------- PII
+
+# Deterministic PII injection: the synthetic documents carry no PII,
+# so the query embeds a derived email, a TPC-H-shaped phone number,
+# and an IPv4 into each doc, all computed arithmetically from doc_id
+# — both engines construct the identical augmented text, making the
+# redaction certificate non-vacuous (every doc has exactly one of
+# each class to find and scrub) while the whole query stays a pure
+# scan projection.
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII redaction over the corpus (operators/text.py:
+    pii_scrub — the Dolma/FineWeb-style regex scrub pass; the
+    reference has no analogue, this is the LLM-data-pipeline
+    mandate). Per document: counts per PII class on the raw text,
+    then every occurrence replaced with its <CLASS> placeholder in a
+    fixed class order; the certificate pins the md5 and length of
+    the SCRUBBED text per doc, so replacement semantics — not just
+    counts — are oracle-verified.
+
+    Scale: the injection and the scrub are both shuffle-free
+    JVM-codegen projections that fuse into the scan — a map-only
+    pass at 100 TB."""
+    from .operators.text import pii_scrub
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            (d % 1000).cast("string"), F.lit("@example.com ph "),
+            (10 + d % 89).cast("string"), F.lit("-"),
+            F.lpad(((d * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 13) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(((d * 29) % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10."),
+            (d % 256).cast("string"), F.lit("."),
+            (d % 199).cast("string"), F.lit(".4"),
+        ).alias("text"),
+    )
+    out = pii_scrub(aug)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.length("scrubbed").cast("long").alias("scrub_len"),
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from .operators.text import PII_PATTERNS
+
+    em, ph, ip = (PII_PATTERNS["email"], PII_PATTERNS["phone"],
+                  PII_PATTERNS["ip"])
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR)
+           || '@example.com ph '
+           || CAST(10 + doc_id % 89 AS VARCHAR) || '-'
+           || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST((doc_id * 29) % 10000 AS VARCHAR), 4, '0')
+           || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST(doc_id % 199 AS VARCHAR) || '.4' AS text
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{em}'))::BIGINT AS n_email,
+       len(regexp_extract_all(text, '{ph}'))::BIGINT AS n_phone,
+       len(regexp_extract_all(text, '{ip}'))::BIGINT AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           text, '{em}', '<EMAIL>', 'g'),
+                 '{ph}', '<PHONE>', 'g'),
+                 '{ip}', '<IP>', 'g')) AS scrub_md5,
+       length(regexp_replace(regexp_replace(regexp_replace(
+           text, '{em}', '<EMAIL>', 'g'),
+                 '{ph}', '<PHONE>', 'g'),
+                 '{ip}', '<IP>', 'g'))::BIGINT AS scrub_len
+FROM aug
+"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3207,6 +3293,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_stored": q_dedup_semantic_stored,
     "ann_topk_filtered_stored": q_ann_topk_filtered_stored,
     "semdedup_drift": q_semdedup_drift,
+    "pii_scrub": q_pii_scrub,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3282,4 +3369,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_semantic_stored": _dedup_semantic_stored_sql(),
     "ann_topk_filtered_stored": ANN_TOPK_FILTERED_STORED_SQL,
     "semdedup_drift": _semdedup_drift_sql(),
+    "pii_scrub": _pii_scrub_sql(),
 }

@@ -1690,3 +1690,41 @@ def test_semdedup_missing_artifact_and_train_dir_fails_fast(
     with _pytest.raises(FileNotFoundError,
                         match="SPARK_GRAFT_SEMDEDUP_TRAIN_DIR"):
         qp._semdedup_read_centroids_or_fit(spark)
+
+
+def test_pii_scrub_counts_and_placeholders(spark, sf_dir):
+    """pii_scrub: known synthetic rows scrub to exact placeholder
+    text with exact per-class counts; and the registered query's
+    injection makes the certificate non-vacuous (every doc finds
+    and redacts at least one of each class)."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        pii_scrub,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        q_pii_scrub,
+    )
+
+    rows = [
+        (1, "mail a.b%c@x-y.co and 12-345-678-9012 at 192.168.0.1 ok"),
+        (2, "no pii here at all"),
+        (3, "two mails p@q.io r@s.de one ip 8.8.8.8"),
+        (4, "version 1.2.3 is not an ip, 1.2.3.4 is; 123-456-789-0123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ip) == (1, 1, 1)
+    assert got[1].scrubbed == "mail <EMAIL> and <PHONE> at <IP> ok"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ip) == (0, 0, 0)
+    assert got[2].scrubbed == "no pii here at all"
+    assert (got[3].n_email, got[3].n_ip) == (2, 1)
+    assert got[3].scrubbed == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    # 1.2.3 is not an IPv4; 123-456-789-0123 is not the \b2-3-3-4\b
+    # phone shape (3-digit prefix) — the word boundaries must hold
+    assert (got[4].n_phone, got[4].n_ip) == (0, 1)
+    assert "1.2.3 is not an ip" in got[4].scrubbed
+    assert "<IP> is" in got[4].scrubbed
+
+    cert = q_pii_scrub(spark, sf_dir)
+    mins = cert.agg(F.min("n_email"), F.min("n_phone"),
+                    F.min("n_ip")).first()
+    assert tuple(mins) == (1, 1, 1), "injection left a doc vacuous"
