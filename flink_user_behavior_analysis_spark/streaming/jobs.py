@@ -275,6 +275,22 @@ def props_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PII redaction: operators/text.pii_scrub applied to a
+    replayed document stream. The scrub is a pure per-row projection
+    (regex counts + chained placeholder replaces, JVM codegen), so
+    it runs stateless in append mode — each arriving document is
+    redacted independently and the drained output equals the batch
+    scrub row-for-row (test-asserted). The production shape for
+    scrub-on-ingest: redact BEFORE the first durable write, so raw
+    PII never lands in the lake."""
+    from ..operators.text import pii_scrub
+
+    ensure_utc(spark)
+    docs = file_replay_stream(spark, sf_dir, "documents")
+    return pii_scrub(docs)
+
+
 def run_probe_foreach_batch(raw_sdf: DataFrame, probe_fn) -> DataFrame:
     """Drain a bounded stream of probe inputs via foreachBatch,
     running ``probe_fn`` (batch DataFrame -> DataFrame) against

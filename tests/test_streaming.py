@@ -828,3 +828,23 @@ def test_ann_filtered_probe_stream_equals_batch(spark, sf_dir, tmp_path):
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix):
             spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_pii_scrub_stream_equals_batch(spark, sf_dir):
+    """Streaming PII redaction == batch scrub row-for-row: the scrub
+    is a stateless per-row projection, so an append-mode replay must
+    redact identically to the batch pass over the same documents."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        pii_scrub,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        pii_scrub_stream,
+        run_available_now,
+    )
+
+    streamed = run_available_now(pii_scrub_stream(spark, sf_dir),
+                                 output_mode="append")
+    batch = pii_scrub(_docs(spark, sf_dir))
+    cols = ["doc_id", "n_email", "n_phone", "n_ip", "scrubbed"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
