@@ -114,9 +114,14 @@ HEADLINE = [
     # cluster-local pair join) and the Q7-shape broadcast-dim rollup
     "dedup_semantic",
     "nation_trade_flows",
-    # round-8 addition: regex PII redaction (shuffle-free scan
-    # projection — the map-only floor for a text pass)
+    # round-8 additions: regex PII redaction (shuffle-free scan
+    # projection — the map-only floor for a text pass) and the
+    # second-batch relational shapes (Q15 scalar-max reuse, Q19
+    # disjunctive pushdown, Q2 per-group-min decorrelation)
     "pii_scrub",
+    "top_revenue_supplier",
+    "discounted_band_revenue",
+    "cheapest_supplier_per_part",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

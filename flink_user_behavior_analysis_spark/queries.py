@@ -1909,6 +1909,202 @@ GROUP BY 1, 2
 """
 
 
+# ---- Registered r8 (second batch): three more classic relational
+# plan shapes the registry did not cover — self-referencing scalar
+# MAX over a derived aggregate (Q15), disjunctive OR-of-ANDs join
+# predicate (Q19), per-group-min decorrelation with join-back (Q2).
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped (top supplier): supplier(s) with the maximum
+    total revenue over one quarter. Q15's view + scalar
+    ``= (SELECT max(...) FROM view)`` decorrelates into: one
+    per-supplier aggregate frame, its 1-row global max cross-joined
+    back as a broadcast, and an equality filter — the aggregate is
+    built once and consumed twice (max + filter), which AQE serves
+    from a reused exchange instead of recomputing the scan. Revenue
+    folds to integer cents BEFORE the sums so the max-equality
+    boundary cannot flip on double summation order."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("date"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("date")))
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(rev_cents).alias("_total_cents")))
+    mx = rev.agg(F.max("_total_cents").alias("_mx"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("_total_cents") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name",
+                (F.col("_total_cents").cast("double") / 100)
+                .alias("total_revenue"))
+    )
+
+
+TOP_REVENUE_SUPPLIER_SQL = f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{Q15_START}'
+      AND l_shipdate < DATE '{Q15_END}'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(r.total_cents AS DOUBLE) / 100 AS total_revenue
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+"""
+
+
+Q19_BANDS = (("Brand#12", 5, 1, 11), ("Brand#23", 10, 10, 20),
+             ("Brand#34", 15, 20, 30))
+
+
+def discounted_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped (discounted revenue): total revenue over an
+    OR of three (brand, size-band, quantity-band) conjunctions — the
+    canonical disjunctive-predicate plan test. Catalyst extracts the
+    common conjuncts from the OR (p_size upper bound, l_quantity
+    range) and pushes them into BOTH parquet scans, so the join sees
+    pre-filtered sides and only the residual disjunction runs as the
+    join filter; the part side stays a broadcast. The certificate
+    carries the matched row count so an engine that silently drops a
+    band cannot still hash-match on a vacuous sum."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, max_size, qlo, qhi in Q19_BANDS:
+        c = ((F.col("p_brand") == brand)
+             & F.col("p_size").between(1, max_size)
+             & F.col("l_quantity").between(qlo, qhi))
+        cond = c if cond is None else (cond | c)
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg((F.sum(rev_cents).cast("double") / 100).alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+def _q19_where() -> str:
+    bands = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {ms} "
+        f"AND l_quantity BETWEEN {ql} AND {qh})"
+        for b, ms, ql, qh in Q19_BANDS)
+    return bands
+
+
+DISCOUNTED_BAND_REVENUE_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE {_q19_where()}
+"""
+
+
+Q2_SIZE_LO, Q2_SIZE_HI, Q2_TYPE, Q2_REGION = 10, 20, "LARGE", "EUROPE"
+
+
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped (minimum-cost supplier): for each selected
+    part, the EUROPE supplier(s) offering it at the lowest observed
+    price. Q2's correlated ``= (SELECT min(ps_supplycost) ...)``
+    decorrelates into: per-(part, supplier) min price, a per-part
+    global min, and an equality join-back — two aggregates and one
+    join instead of a per-row subquery. Supply prices ride the
+    lineitem fact (no partsupp table in this corpus) and fold to
+    integer cents before any min, so the min-equality boundary is
+    exact on both engines. All three dims (filtered part, EUROPE
+    supplier roster, nation) broadcast; the fact shuffles once on
+    the (part, supplier) aggregate key."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI)
+        & (F.col("p_type") == Q2_TYPE)
+    ).select("p_partkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q2_REGION).select("r_regionkey")
+    eur = (load_table(spark, sf_dir, "supplier")
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(reg),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("_price_cents"))
+    costs = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("_price_cents").alias("_cost_cents"))
+    )
+    part_min = costs.groupBy(F.col("l_partkey").alias("_mp")).agg(
+        F.min("_cost_cents").alias("_min_cents"))
+    return (
+        costs.join(part_min, (F.col("l_partkey") == F.col("_mp"))
+                   & (F.col("_cost_cents") == F.col("_min_cents")))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                "s_name", "s_acctbal", "n_name",
+                (F.col("_cost_cents").cast("double") / 100)
+                .alias("supply_cost"))
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = f"""
+WITH eur AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = '{Q2_REGION}'
+), sel_parts AS (
+    SELECT p_partkey FROM part
+    WHERE p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+          AND p_type = '{Q2_TYPE}'
+), costs AS (
+    SELECT l_partkey, l_suppkey,
+           min(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS cost_cents
+    FROM lineitem
+    JOIN sel_parts ON p_partkey = l_partkey
+    JOIN eur ON s_suppkey = l_suppkey
+    GROUP BY 1, 2
+)
+SELECT c.l_partkey AS p_partkey, e.s_name, e.s_acctbal, e.n_name,
+       CAST(c.cost_cents AS DOUBLE) / 100 AS supply_cost
+FROM costs c
+JOIN eur e ON e.s_suppkey = c.l_suppkey
+WHERE c.cost_cents = (SELECT min(cost_cents) FROM costs c2
+                      WHERE c2.l_partkey = c.l_partkey)
+"""
+
+
 def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` payload
     (get_json_object stays inside codegen — no Python), top-5 ``k``
@@ -2028,6 +2224,9 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_late_suppliers": sole_late_suppliers,
     "idle_rich_customers": idle_rich_customers,
     "supplier_part_variety": supplier_part_variety,
+    "top_revenue_supplier": top_revenue_supplier,
+    "discounted_band_revenue": discounted_band_revenue,
+    "cheapest_supplier_per_part": cheapest_supplier_per_part,
     **PIPELINE_QUERIES,
 }
 
@@ -2155,5 +2354,8 @@ ORACLES: dict[str, str] = {
     "sole_late_suppliers": SOLE_LATE_SUPPLIERS_SQL,
     "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
     "supplier_part_variety": SUPPLIER_PART_VARIETY_SQL,
+    "top_revenue_supplier": TOP_REVENUE_SUPPLIER_SQL,
+    "discounted_band_revenue": DISCOUNTED_BAND_REVENUE_SQL,
+    "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
     **PIPELINE_ORACLES,
 }

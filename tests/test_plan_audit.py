@@ -83,10 +83,13 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
     window-group-limit pushdown), NOT a fact-sized single-partition
     window sort."""
     from flink_user_behavior_analysis_spark.queries import (
+        cheapest_supplier_per_part,
+        discounted_band_revenue,
         idle_rich_customers,
         small_qty_revenue,
         sole_late_suppliers,
         supplier_part_variety,
+        top_revenue_supplier,
     )
     from flink_user_behavior_analysis_spark.queries_pipeline import (
         q_semdedup_drift,
@@ -94,7 +97,8 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
 
     for fn in (small_qty_revenue, sole_late_suppliers,
                idle_rich_customers, supplier_part_variety,
-               q_semdedup_drift):
+               q_semdedup_drift, top_revenue_supplier,
+               discounted_band_revenue, cheapest_supplier_per_part):
         plan = fn(spark, SF_DIR)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__
@@ -115,6 +119,21 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
                 "Q21's rnk<=10 filter no longer pushes down to a "
                 "top-k — the global window would sort every supplier "
                 "in one task")
+        if fn is discounted_band_revenue:
+            # Q19: the disjunction's common conjuncts must reach the
+            # lineitem scan as pushed filters — an un-extracted OR
+            # would scan every lineitem row into the join
+            assert "PushedFilters: [" in plan and "l_quantity" in plan, (
+                "Q19's quantity bounds no longer push to the scan")
+            assert "BroadcastHashJoin" in plan, fn.__name__
+        if fn is cheapest_supplier_per_part:
+            # Q2's join-back is an equi join on (part, cost) — a
+            # nested-loop here would pair every cost row with every
+            # per-part min. (top_revenue_supplier legitimately
+            # carries one BNLJ: the broadcast 1-row global-max cross
+            # join.)
+            assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+            assert "BroadcastHashJoin" in plan, fn.__name__
 
 
 def test_revenue_deciles_has_no_global_window(spark):

@@ -1,11 +1,11 @@
-"""STAGED r8 relational queries (see the _GATE_HEAD rotation plan in
-queries.py): three TPC-H shapes the registry did not yet cover —
-Q17 correlated per-group aggregate, Q21 EXISTS + NOT-EXISTS double
-correlation, Q22 scalar subquery + anti join. Until the r8 rotation
-registers them, each runs the exact driver-style comparison against
-its DuckDB oracle here; the oracles deliberately keep the textbook
-correlated-subquery forms so the rows also prove the Spark-side
-decorrelations equivalent.
+"""Relational TPC-H shapes beyond the round-6 core, each compared
+driver-style against its DuckDB oracle: Q17 correlated per-group
+aggregate, Q21 EXISTS + NOT-EXISTS double correlation, Q22 scalar
+subquery + anti join, Q16 NOT-IN distinct-count (all registered r8),
+plus the r8 second batch — Q15 scalar-max over a derived aggregate,
+Q19 disjunctive join predicate, Q2 per-group-min decorrelation. The
+oracles deliberately keep the textbook correlated-subquery forms so
+the rows also prove the Spark-side decorrelations equivalent.
 """
 
 from __future__ import annotations
@@ -60,3 +60,53 @@ def test_supplier_part_variety_matches_oracle(spark, oracle_sf_dir):
 # (plan hygiene for the staged queries lives in test_plan_audit.py's
 # test_staged_queries_free_of_python_and_cartesian — one audit, not
 # two drifting copies)
+
+
+def test_top_revenue_supplier_matches_oracle(spark, oracle_sf_dir):
+    """Q15 shape: scalar MAX over a derived per-supplier aggregate,
+    decorrelated into a broadcast 1-row cross join + equality
+    filter."""
+    from flink_user_behavior_analysis_spark.queries import (
+        TOP_REVENUE_SUPPLIER_SQL,
+        top_revenue_supplier,
+    )
+
+    df = top_revenue_supplier(spark, oracle_sf_dir)
+    compare(df, TOP_REVENUE_SUPPLIER_SQL, oracle_sf_dir)
+    assert df.count() >= 1
+
+
+def test_discounted_band_revenue_matches_oracle(spark, oracle_sf_dir):
+    """Q19 shape: OR-of-ANDs join predicate; the n_items certificate
+    column must be non-zero, or a dropped band could hash-match on a
+    vacuous sum."""
+    from flink_user_behavior_analysis_spark.queries import (
+        DISCOUNTED_BAND_REVENUE_SQL,
+        discounted_band_revenue,
+    )
+
+    df = discounted_band_revenue(spark, oracle_sf_dir)
+    compare(df, DISCOUNTED_BAND_REVENUE_SQL, oracle_sf_dir)
+    row = df.first()
+    assert row.n_items > 0 and row.revenue > 0
+
+
+def test_cheapest_supplier_per_part_matches_oracle(spark, oracle_sf_dir):
+    """Q2 shape: correlated per-group MIN decorrelated into
+    aggregate + join-back; every returned (part, supplier) must
+    carry that part's minimum cost."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.queries import (
+        CHEAPEST_SUPPLIER_PER_PART_SQL,
+        cheapest_supplier_per_part,
+    )
+
+    df = cheapest_supplier_per_part(spark, oracle_sf_dir)
+    compare(df, CHEAPEST_SUPPLIER_PER_PART_SQL, oracle_sf_dir)
+    assert df.count() > 0
+    # per-part min uniqueness: one distinct supply_cost per part
+    multi = (df.groupBy("p_partkey")
+             .agg(F.countDistinct("supply_cost").alias("n"))
+             .where(F.col("n") > 1).count())
+    assert multi == 0
