@@ -692,3 +692,114 @@ def test_semantic_dedup_matches_python_reference(spark, vecs, cents,
         )
         expected[i] = (cell, cs, "dropped" if dropped else "kept")
     assert got == expected
+
+
+# fragments that exercise every boundary of the PII patterns: full
+# matches, near-misses (bad phone grouping, 3-part dotted version
+# numbers), and plain words the scrub must pass through untouched
+_pii_frag = st.sampled_from([
+    "hello", "a.b@x.co", "u_1%z@mail-srv.example.org", "not@an",
+    "12-345-678-9012", "123-456-789-0123", "1-23-456-7890",
+    "10.0.0.1", "256.1.2.3", "1.2.3", "ver 1.2.3.4beta", "x@y.z",
+    "...", "@", "dot.", "9.9.9.9", "99-999-999-9999",
+])
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frags=st.lists(_pii_frag, min_size=0, max_size=12))
+def test_pii_scrub_matches_python_re(spark, frags):
+    """pii_scrub on arbitrary fragment soup equals Python's re module
+    applying the same patterns in the same class order — Java regex
+    and python re agree on this construct subset (character classes,
+    bounded repetition, \\b), so a divergence means the Spark-side
+    chaining or counting broke."""
+    import re
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        PII_PATTERNS,
+        pii_scrub,
+    )
+
+    text = " ".join(frags)
+    df = spark.createDataFrame([(0, text)], "doc_id LONG, text STRING")
+    row = pii_scrub(df).collect()[0]
+
+    expected_counts = {name: len(re.findall(pat, text))
+                       for name, pat in PII_PATTERNS.items()}
+    scrubbed = text
+    for name, pat in PII_PATTERNS.items():
+        scrubbed = re.sub(pat, f"<{name.upper()}>", scrubbed)
+    got_counts = {name: row[f"n_{name}"] for name in PII_PATTERNS}
+    assert got_counts == expected_counts, text
+    assert row.scrubbed == scrubbed, text
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=14),
+    split=st.integers(min_value=0, max_value=100),
+)
+def test_semdedup_corpus_probe_is_split_invariant(spark, vecs, split):
+    """The streaming twin's load-bearing claim
+    (streaming/jobs.semdedup_probe_stream): with vs_delta=False the
+    probe verdict is per-row against the frozen corpus, so probing
+    any 2-way split of a batch and unioning the results must equal
+    probing the whole batch at once — for arbitrary vectors,
+    including zero vectors and exact duplicates."""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    half = (split * len(rows)) // 101
+    corpus_rows, batch_rows = rows[: max(1, len(rows) // 2)], rows
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    prefix = "t_prop_probe"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+    semdedup_store_corpus(corpus, cents, prefix)
+
+    def probe(rs):
+        if not rs:
+            return []
+        df = spark.createDataFrame(
+            rs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        return semdedup_probe(spark, prefix, df, cents, 0.8,
+                              vs_delta=False).collect()
+
+    whole = sorted(map(tuple, probe(batch_rows)))
+    parts = sorted(map(tuple, probe(batch_rows[:half])
+                       + probe(batch_rows[half:])))
+    assert whole == parts
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_rotation_order_invariants():
+    """The derived gate rotation (queries.rotation_order): forced
+    names first, then never-green, then ascending freshest-green
+    round, name-tiebroken — and total (every registered name appears
+    exactly once)."""
+    from flink_user_behavior_analysis_spark.queries import (
+        _ALL_QUERIES,
+        _FORCE_WINDOW,
+        freshest_green_rounds,
+        rotation_order,
+    )
+
+    order = rotation_order(_ALL_QUERIES)
+    assert sorted(order) == sorted(_ALL_QUERIES)
+    fresh = freshest_green_rounds()
+    forced = set(_FORCE_WINDOW)
+    keys = [(n not in forced, fresh.get(n, -1), n) for n in order]
+    assert keys == sorted(keys)
