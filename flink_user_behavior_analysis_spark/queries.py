@@ -1922,11 +1922,14 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     total revenue over one quarter. Q15's view + scalar
     ``= (SELECT max(...) FROM view)`` decorrelates into: one
     per-supplier aggregate frame, its 1-row global max cross-joined
-    back as a broadcast, and an equality filter — the aggregate is
-    built once and consumed twice (max + filter), which AQE serves
-    from a reused exchange instead of recomputing the scan. Revenue
-    folds to integer cents BEFORE the sums so the max-equality
-    boundary cannot flip on double summation order."""
+    back as a broadcast, and an equality filter. The aggregate is
+    consumed twice (max + filter), and Catalyst does NOT reuse the
+    exchange across the two subtrees (measured: without
+    materialization the plan scans lineitem twice), so the frame is
+    localCheckpoint'ed — it is supplier-cardinality (dimension-
+    sized, never fact-sized), and the fact scans exactly once.
+    Revenue folds to integer cents BEFORE the sums so the
+    max-equality boundary cannot flip on double summation order."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit(Q15_START).cast("date"))
         & (F.col("l_shipdate") < F.lit(Q15_END).cast("date")))
@@ -1934,7 +1937,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
     ).cast("long")
     rev = (li.groupBy("l_suppkey")
-           .agg(F.sum(rev_cents).alias("_total_cents")))
+           .agg(F.sum(rev_cents).alias("_total_cents"))
+           .localCheckpoint(eager=True))
     mx = rev.agg(F.max("_total_cents").alias("_mx"))
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_nationkey")
