@@ -224,18 +224,25 @@ def main() -> None:
     # build ~= first_run - steady probe. A near-zero build means the
     # artifact was shared with an earlier entry (hybrid reuses bm25's
     # index) — honest, since the serving fleet shares it too.
-    train_vs_serve: dict[str, dict[str, float]] = {}
+    train_vs_serve: dict[str, dict[str, float | None]] = {}
+    # when the warmup fell back to sf_dir, the warmup pass already
+    # built every stored artifact at the bench SF, so first-run minus
+    # probe measures nothing — report the build as unknown (None)
+    # rather than a misleading ~0
+    build_measurable = warm_dir != sf_dir
     for inline, stored in TRAIN_INCLUSIVE.items():
         if inline not in per_query or stored not in per_query:
             continue
-        build = max(0.0, first_run.get(stored, 0.0) - per_query[stored])
+        build = (round(max(0.0, first_run.get(stored, 0.0)
+                           - per_query[stored]), 3)
+                 if build_measurable else None)
         train_vs_serve[inline] = {
             "inline_fit_inclusive": per_query[inline],
-            "stored_build": round(build, 3),
+            "stored_build": build,
             "serving_probe": per_query[stored],
         }
         print(f"# train_vs_serve {inline}: inline={per_query[inline]:.3f}s "
-              f"build={build:.3f}s probe={per_query[stored]:.3f}s",
+              f"build={build} probe={per_query[stored]:.3f}s",
               file=sys.stderr)
 
     # Production-hash column (VERDICT r4 item 8): re-time the queries

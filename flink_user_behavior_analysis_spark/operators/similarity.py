@@ -1815,11 +1815,13 @@ def _dynamic_overwrite_insert(spark, aligned: DataFrame,
     otherwise restore 'static' under each other and truncate an
     index. The lock covers every writer that goes through this
     helper (all in-repo append paths); code outside it flipping the
-    same conf concurrently cannot be excluded by the lock — so the
+    same conf concurrently cannot be excluded by the lock — the
     conf is RE-READ and asserted 'dynamic' immediately before the
-    insertInto (ADVICE r7): a raced flip then fails loudly instead
-    of truncating the whole table. On a shared cluster use a table
-    format with a transactional replaceWhere instead."""
+    insertInto (ADVICE r7), which NARROWS the race window to the
+    instant between this check and the write but cannot close it (a
+    flip landing inside that instant still truncates). On a shared
+    cluster use a table format with a transactional replaceWhere —
+    that is the real cure, not this check."""
     key = "spark.sql.sources.partitionOverwriteMode"
     with _DYNAMIC_OVERWRITE_LOCK:
         prev = spark.conf.get(key, "static")
@@ -1842,7 +1844,7 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
                           vec_col: str = "embedding",
                           meta_cols: list[str] | None = None,
                           batch_id: str | None = None,
-                          auto_compact_files_per_cell: int | None = 64
+                          auto_compact_files_per_cell: int | None = None
                           ) -> int:
     """Append a new vector batch to a stored IVFADC index WITHOUT
     refitting — the serving-index ingestion path: encode the batch
@@ -1871,11 +1873,16 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
     so a long-running ingest loop keeps its file count bounded
     without an external maintenance scheduler. The check is one
     driver-side catalog listing per append (files_per_partition, no
-    data read). Default 64 ≈ 2x the local executor count, PERF.md's
-    rule of thumb; None disables (run compaction on your own
-    cadence). Single-writer contract applies: the triggered
-    compaction inherits _compact_index_family's concurrent-append
-    guard.
+    data read). OPT-IN (default None — a default-on rewrite would
+    silently change every existing ingest loop's append latency
+    profile); PERF.md's rule of thumb is ~2x the executor count.
+    Single-writer contract applies: the triggered compaction
+    inherits _compact_index_family's concurrent-append guard. A
+    compaction failure is raised as its own labeled error — the
+    append itself HAS committed by then (data + ledger), so the
+    caller must NOT re-ingest the batch; the torn compaction leaves
+    the manifest invalidated and gated readers rebuild, identical
+    to a crashed manual compaction.
 
     Remaining caveats, by design:
     - quantization error for drifted data grows until the next refit
@@ -1941,7 +1948,15 @@ def _maybe_auto_compact(spark, prefix: str, table: str,
     from ..sources.readers import files_per_partition
 
     if files_per_partition(spark, table)["max_per_cell"] > threshold:
-        compact_fn()
+        try:
+            compact_fn()
+        except Exception as exc:
+            raise RuntimeError(
+                f"auto-compaction of {table} failed AFTER the append "
+                f"committed (data + ledger) — do NOT re-ingest the "
+                f"batch; the index is left not-ready and gated "
+                f"readers will rebuild (or finish the compaction "
+                f"manually)") from exc
 
 
 def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
@@ -2499,7 +2514,7 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            batch_id: str | None = None,
-                           auto_compact_files_per_cell: int | None = 64
+                           auto_compact_files_per_cell: int | None = None
                            ) -> int:
     """The accept side of the incremental-SemDeDup loop: after
     semdedup_probe marks a batch, the KEPT members join the corpus —

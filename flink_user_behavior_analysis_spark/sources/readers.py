@@ -561,9 +561,15 @@ def compact_partitioned_table(spark, table: str,
     two extra full-table jobs (count + file listing), so pass
     ``collect_stats=False`` on a maintenance cadence where only the
     rewrite matters (ADVICE r7); stats then come back as None. The
-    staging table is dropped in a ``finally`` so a crash between the
-    stage write and the final overwrite does not leave it squatting
-    in the catalog until the next compaction (ADVICE r7).
+    staging table is dropped on success and on a crash DURING the
+    stage write (it is garbage then), so it never squats in the
+    catalog across healthy runs (ADVICE r7) — but a crash during
+    the FINAL overwrite keeps the stage: at that point the target is
+    torn and the stage is the only intact copy of the compacted data
+    (the caller's manifest bracket reads not-ready either way; the
+    stage lets an operator finish the overwrite instead of paying
+    the gated full rebuild, which discards committed append
+    batches).
     """
     from pyspark.sql import functions as F
 
@@ -574,15 +580,19 @@ def compact_partitioned_table(spark, table: str,
     df = (spark.table(table)
           .withColumn(batch_col, F.lit(base_value))
           .repartition(*partition_cols))
+    stage_written = overwrite_done = False
     try:
         save_as_table(
             df.write.mode("overwrite").format("parquet")
             .partitionBy(*partition_cols, batch_col), stage)
+        stage_written = True
         save_as_table(
             spark.table(stage).write.mode("overwrite").format("parquet")
             .partitionBy(*partition_cols, batch_col), table)
+        overwrite_done = True
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        if overwrite_done or not stage_written:
+            spark.sql(f"DROP TABLE IF EXISTS {stage}")
     return {"rows": rows,
             "files_before": files_before,
             "files_after": (len(spark.table(table).inputFiles())

@@ -321,6 +321,11 @@ def run_probe_foreach_batch(raw_sdf: DataFrame, probe_fn) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if holder["schema"] is None:
+        # zero micro-batches (empty replay source): derive the output
+        # schema by probing an empty batch, so callers get an empty
+        # frame of the right shape instead of a schema-inference error
+        return probe_fn(spark.createDataFrame([], raw_sdf.schema))
     return spark.createDataFrame(holder["rows"], holder["schema"])
 
 

@@ -705,9 +705,11 @@ def test_compact_partitioned_table_stage_cleanup_and_optional_stats(
         spark, monkeypatch):
     """ADVICE r7 on compact_partitioned_table: (1) collect_stats=False
     skips the two extra full-table jobs and returns None stats while
-    still compacting; (2) a crash between the stage write and the
-    final overwrite drops the staging table instead of leaving it
-    squatting in the catalog."""
+    still compacting; (2) a crash DURING the stage write drops the
+    garbage staging table, but a crash during the FINAL overwrite
+    KEEPS the stage — the target is torn then and the stage is the
+    only intact copy (r8 review) — and the next successful
+    compaction clears it."""
     from pyspark.sql import functions as F
 
     from flink_user_behavior_analysis_spark.sources import readers
@@ -736,23 +738,47 @@ def test_compact_partitioned_table_stage_cleanup_and_optional_stats(
         == {"base"}
     assert not spark.catalog.tableExists(f"{table}_stage")
 
-    # crash INSIDE the final overwrite: stage table must still be gone
+    import pytest as _pytest
+
     orig = readers.save_as_table
+
+    # crash DURING the stage write: the half-written stage is garbage
+    # and must be dropped
+    def crash_first(writer, name):
+        raise RuntimeError("injected crash mid-stage-write")
+
+    monkeypatch.setattr(readers, "save_as_table", crash_first)
+    with _pytest.raises(RuntimeError, match="mid-stage-write"):
+        readers.compact_partitioned_table(spark, table, ["cell"],
+                                          collect_stats=False)
+    monkeypatch.setattr(readers, "save_as_table", orig)
+    assert not spark.catalog.tableExists(f"{table}_stage")
+
+    # crash INSIDE the final overwrite: the target may be torn, so
+    # the stage must SURVIVE as the only intact compacted copy
     calls = {"n": 0}
 
-    def crashing(writer, name):
+    def crash_second(writer, name):
         calls["n"] += 1
         if calls["n"] == 2:  # second call = final overwrite
             raise RuntimeError("injected crash mid-overwrite")
         return orig(writer, name)
 
-    monkeypatch.setattr(readers, "save_as_table", crashing)
-    import pytest as _pytest
-    with _pytest.raises(RuntimeError, match="injected crash"):
+    monkeypatch.setattr(readers, "save_as_table", crash_second)
+    with _pytest.raises(RuntimeError, match="mid-overwrite"):
         readers.compact_partitioned_table(spark, table, ["cell"],
                                           collect_stats=False)
     monkeypatch.setattr(readers, "save_as_table", orig)
+    assert spark.catalog.tableExists(f"{table}_stage"), (
+        "recovery copy was destroyed")
+    # the stage holds the full compacted row set
+    assert spark.table(f"{table}_stage").count() == before
+
+    # the next successful compaction overwrites and then clears it
+    readers.compact_partitioned_table(spark, table, ["cell"],
+                                      collect_stats=False)
     assert not spark.catalog.tableExists(f"{table}_stage")
+    assert spark.table(table).count() == before
     _drop(spark, table)
 
 

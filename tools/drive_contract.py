@@ -1,23 +1,14 @@
 """Driver-simulation: consume __spark_entry__ exactly as the round driver does."""
-import hashlib
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-import duckdb
 import __spark_entry__ as e
-from pyspark.sql import SparkSession
 
-spark = (
-    SparkSession.builder.master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.driver.memory", "8g")
-    .appName("drive-contract")
-    .getOrCreate()
-)
-spark.sparkContext.setLogLevel("ERROR")
+from tools._driver_sim import make_duck, make_spark, value_hash
+
+spark = make_spark("drive-contract")
 
 # 1. entry() smoke — rows >= 0, stable schema across two calls
 df1 = e.entry(spark)
@@ -28,17 +19,7 @@ print(f"entry(): {len(rows)} rows, schema={[f.name for f in df1.schema.fields]}"
 
 # 2. queries() vs oracle_sql() at sf0.01 — driver-style hash compare
 SF = "/root/testdata/sf0.01"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-con = duckdb.connect()
-for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
-
-def value_hash(rows, cols):
-    cols = sorted(cols)
-    lines = sorted(
-        "|".join(repr(r[c]) for c in cols) for r in rows
-    )
-    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+con = make_duck(SF)
 
 qs, oracles = e.queries(), e.oracle_sql()
 assert set(oracles) <= set(qs), f"oracle keys not in queries: {set(oracles)-set(qs)}"

@@ -1,61 +1,47 @@
 """Driver-simulation for a SUBSET of the contract: same hash compare
-as tools/drive_contract.py but only for the query names given on the
-command line (or, with --window, the first 50 registry entries — the
-exact set the round driver gates).
+as tools/drive_contract.py (shared helpers in tools/_driver_sim.py)
+but only for the query names given on the command line (or, with
+--window, the first GATE_WINDOW registry entries — the exact set the
+round driver gates).
 
 Usage:
     python tools/drive_subset.py name1 name2 ...
     python tools/drive_subset.py --window
 """
-import hashlib
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-import duckdb
-import __spark_entry__ as e
-from pyspark.sql import SparkSession
+import __spark_entry__ as e  # noqa: E402
 
-
-def value_hash(rows, cols):
-    cols = sorted(cols)
-    lines = sorted("|".join(repr(r[c]) for c in cols) for r in rows)
-    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+from tools._driver_sim import (  # noqa: E402
+    SF_DEFAULT,
+    make_duck,
+    make_spark,
+    value_hash,
+)
 
 
 def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     names = sys.argv[1:]
     if names == ["--window"]:
-        names = list(qs)[:50]
+        from flink_user_behavior_analysis_spark.queries import GATE_WINDOW
+
+        names = list(qs)[:GATE_WINDOW]
     unknown = [n for n in names if n not in qs]
     if unknown:
         print("unknown queries:", unknown)
         return 2
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "8g")
-        .appName("drive-subset")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    sf = "/root/testdata/sf0.01"
-    tables = ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split()
-    con = duckdb.connect()
-    for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf}/{t}.parquet')")
+    spark = make_spark("drive-subset")
+    con = make_duck(SF_DEFAULT)
 
     fails = []
     for name in names:
         t0 = time.time()
-        sdf = qs[name](spark, sf)
+        sdf = qs[name](spark, SF_DEFAULT)
         srows = [r.asDict() for r in sdf.collect()]
         scols = sdf.columns
         if name not in oracles:
