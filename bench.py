@@ -122,6 +122,8 @@ HEADLINE = [
     "top_revenue_supplier",
     "discounted_band_revenue",
     "cheapest_supplier_per_part",
+    "promo_revenue_share",
+    "nation_market_share",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -2109,6 +2109,151 @@ WHERE c.cost_cents = (SELECT min(cost_cents) FROM costs c2
 """
 
 
+Q14_START, Q14_END = "1996-01-01", "1997-01-01"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped (promotion effect): the share of revenue from
+    PROMO-type parts over a period — the conditional-sum-ratio
+    aggregate (CASE inside two sums over one scan, no second pass).
+    Both sums fold to integer cents first, and the final percentage
+    is ONE double division of two exact longs rounded at 6dp, so the
+    engines cannot disagree on accumulation order. Single broadcast
+    join (part dim), single scan, one global aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_START).cast("date"))
+        & (F.col("l_shipdate") < F.lit(Q14_END).cast("date")))
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type")
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo_cents = F.when(F.col("p_type") == "PROMO", rev_cents) \
+        .otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.sum(promo_cents).alias("_p"), F.sum(rev_cents).alias("_t"))
+        .select(
+            F.round(F.lit(100.0) * F.col("_p").cast("double")
+                    / F.col("_t").cast("double"), 6)
+            .alias("promo_share_pct"),
+            (F.col("_p").cast("double") / 100).alias("promo_revenue"),
+            (F.col("_t").cast("double") / 100).alias("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH agg AS (
+    SELECT sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                    * 100) AS BIGINT)
+                    ELSE 0 END) AS p,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)) AS t
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '{Q14_START}'
+      AND l_shipdate < DATE '{Q14_END}'
+)
+SELECT round(100.0 * CAST(p AS DOUBLE) / CAST(t AS DOUBLE), 6)
+           AS promo_share_pct,
+       CAST(p AS DOUBLE) / 100 AS promo_revenue,
+       CAST(t AS DOUBLE) / 100 AS total_revenue
+FROM agg
+"""
+
+
+Q8_REGION, Q8_NATION = "ASIA", "NATION_9"
+Q8_START, Q8_END = "1995-01-01", "1999-01-01"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped (national market share): per order-year, the
+    share of {Q8_REGION}-customer revenue supplied by {Q8_NATION} —
+    the grouped conditional-ratio shape (Q14's ratio, but per group
+    and with the CASE keyed off a joined dimension attribute rather
+    than the row itself). Fact joins orders once on orderkey (the
+    lone fact-sized exchange); customer/nation/region and
+    supplier/nation legs are all broadcast dims; the share is one
+    double division of two exact per-year cent sums."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q8_START).cast("date"))
+        & (F.col("o_orderdate") < F.lit(Q8_END).cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == Q8_REGION).select("r_regionkey")
+    cust_in_region = (
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey")
+        .join(F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup_nation = (
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("_snk"),
+                                     F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("_snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    target_cents = F.when(F.col("supp_nation") == Q8_NATION, rev_cents) \
+        .otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_in_region),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup_nation),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(target_cents).alias("_n"), F.sum(rev_cents).alias("_t"))
+        .select(
+            "o_year",
+            F.round(F.col("_n").cast("double")
+                    / F.col("_t").cast("double"), 6).alias("mkt_share"),
+            (F.col("_t").cast("double") / 100).alias("region_revenue"),
+        )
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""
+WITH yr AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                    THEN CAST(round(l.l_extendedprice
+                                    * (1 - l.l_discount) * 100)
+                              AS BIGINT)
+                    ELSE 0 END) AS n,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS t
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE r.r_name = '{Q8_REGION}'
+      AND o.o_orderdate >= DATE '{Q8_START}'
+      AND o.o_orderdate < DATE '{Q8_END}'
+    GROUP BY 1
+)
+SELECT o_year,
+       round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mkt_share,
+       CAST(t AS DOUBLE) / 100 AS region_revenue
+FROM yr
+"""
+
+
 def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` payload
     (get_json_object stays inside codegen — no Python), top-5 ``k``
@@ -2231,6 +2376,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_supplier": top_revenue_supplier,
     "discounted_band_revenue": discounted_band_revenue,
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
+    "promo_revenue_share": promo_revenue_share,
+    "nation_market_share": nation_market_share,
     **PIPELINE_QUERIES,
 }
 
@@ -2361,5 +2508,7 @@ ORACLES: dict[str, str] = {
     "top_revenue_supplier": TOP_REVENUE_SUPPLIER_SQL,
     "discounted_band_revenue": DISCOUNTED_BAND_REVENUE_SQL,
     "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
+    "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
+    "nation_market_share": NATION_MARKET_SHARE_SQL,
     **PIPELINE_ORACLES,
 }

@@ -86,6 +86,8 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
         cheapest_supplier_per_part,
         discounted_band_revenue,
         idle_rich_customers,
+        nation_market_share,
+        promo_revenue_share,
         small_qty_revenue,
         sole_late_suppliers,
         supplier_part_variety,
@@ -98,7 +100,8 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
     for fn in (small_qty_revenue, sole_late_suppliers,
                idle_rich_customers, supplier_part_variety,
                q_semdedup_drift, top_revenue_supplier,
-               discounted_band_revenue, cheapest_supplier_per_part):
+               discounted_band_revenue, cheapest_supplier_per_part,
+               promo_revenue_share, nation_market_share):
         plan = fn(spark, SF_DIR)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__
@@ -126,6 +129,10 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
             assert "PushedFilters: [" in plan and "l_quantity" in plan, (
                 "Q19's quantity bounds no longer push to the scan")
             assert "BroadcastHashJoin" in plan, fn.__name__
+        if fn is nation_market_share:
+            # Q8: exactly ONE fact-sized exchange (li join orders on
+            # orderkey); every dim leg must stay broadcast
+            assert plan.count("BroadcastHashJoin") >= 4, fn.__name__
         if fn is cheapest_supplier_per_part:
             # Q2's join-back is an equi join on (part, cost) — a
             # nested-loop here would pair every cost row with every

@@ -110,3 +110,36 @@ def test_cheapest_supplier_per_part_matches_oracle(spark, oracle_sf_dir):
              .agg(F.countDistinct("supply_cost").alias("n"))
              .where(F.col("n") > 1).count())
     assert multi == 0
+
+
+def test_promo_revenue_share_matches_oracle(spark, oracle_sf_dir):
+    """Q14 shape: conditional-sum ratio in one scan; the share must
+    be a real fraction (0 < share < 100), or the CASE keyed off the
+    joined part type matched nothing."""
+    from flink_user_behavior_analysis_spark.queries import (
+        PROMO_REVENUE_SHARE_SQL,
+        promo_revenue_share,
+    )
+
+    df = promo_revenue_share(spark, oracle_sf_dir)
+    compare(df, PROMO_REVENUE_SHARE_SQL, oracle_sf_dir)
+    row = df.first()
+    assert 0 < row.promo_share_pct < 100
+    assert row.promo_revenue < row.total_revenue
+
+
+def test_nation_market_share_matches_oracle(spark, oracle_sf_dir):
+    """Q8 shape: grouped conditional ratio keyed off a joined dim
+    attribute; every year's share must be in (0, 1) — a 0 means the
+    supplier-nation CASE never fired, a 1 means the denominator
+    collapsed to the target nation only."""
+    from flink_user_behavior_analysis_spark.queries import (
+        NATION_MARKET_SHARE_SQL,
+        nation_market_share,
+    )
+
+    df = nation_market_share(spark, oracle_sf_dir)
+    compare(df, NATION_MARKET_SHARE_SQL, oracle_sf_dir)
+    rows = df.collect()
+    assert rows
+    assert all(0 < r.mkt_share < 1 for r in rows), rows
