@@ -124,6 +124,8 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "promo_revenue_share",
     "nation_market_share",
+    "forecast_revenue_change",
+    "customer_order_distribution",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

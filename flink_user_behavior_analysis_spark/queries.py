@@ -2254,6 +2254,91 @@ FROM yr
 """
 
 
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI, Q6_QTY_MAX = 0.05, 0.07, 24
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped (forecasting revenue change): revenue that
+    would vanish if discounts in a band were eliminated — the
+    canonical pure-pushdown query: three range predicates and two
+    columns, zero joins, one global sum. ALL THREE predicates and
+    the 4-column projection must reach the parquet scan
+    (plan-asserted PushedFilters); at 100 TB this query is
+    min/max-zone-map skipping plus a map-side partial sum, nothing
+    else. The product folds to integer 10^-4-cent units before the
+    sum (price x discount has 4 decimal digits of exactness)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit(Q6_START).cast("date"))
+                 & (F.col("l_shipdate") < F.lit(Q6_END).cast("date"))
+                 & F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI)
+                 & (F.col("l_quantity") < Q6_QTY_MAX))
+        .agg((F.sum(unit).cast("double") / 10000).alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000 AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= DATE '{Q6_START}'
+  AND l_shipdate < DATE '{Q6_END}'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_MAX}
+"""
+
+
+Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped (customer distribution): how many customers
+    have how many orders, counting only non-{Q13_EXCL_PRIORITY}
+    orders — the outer-join + histogram-of-counts double aggregate.
+    The priority exclusion must live in the JOIN condition, not a
+    WHERE: a post-join filter would delete the zero-order customers
+    the LEFT OUTER exists to keep (count(o_orderkey) then counts
+    matched rows only, so excluded-priority-only customers land in
+    the c_count=0 bucket). First aggregate shuffles on custkey; the
+    histogram re-aggregates the customer-sized result — both keyed,
+    no single-partition funnel."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(orders,
+                  (F.col("c_custkey") == F.col("o_custkey"))
+                  & (F.col("o_orderpriority") != Q13_EXCL_PRIORITY),
+                  "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = f"""
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON o.o_custkey = c.c_custkey
+     AND o.o_orderpriority <> '{Q13_EXCL_PRIORITY}'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
 def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` payload
     (get_json_object stays inside codegen — no Python), top-5 ``k``
@@ -2378,6 +2463,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cheapest_supplier_per_part": cheapest_supplier_per_part,
     "promo_revenue_share": promo_revenue_share,
     "nation_market_share": nation_market_share,
+    "forecast_revenue_change": forecast_revenue_change,
+    "customer_order_distribution": customer_order_distribution,
     **PIPELINE_QUERIES,
 }
 
@@ -2510,5 +2597,7 @@ ORACLES: dict[str, str] = {
     "cheapest_supplier_per_part": CHEAPEST_SUPPLIER_PER_PART_SQL,
     "promo_revenue_share": PROMO_REVENUE_SHARE_SQL,
     "nation_market_share": NATION_MARKET_SHARE_SQL,
+    "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
     **PIPELINE_ORACLES,
 }

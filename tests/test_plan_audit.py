@@ -85,6 +85,8 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
     from flink_user_behavior_analysis_spark.queries import (
         cheapest_supplier_per_part,
         discounted_band_revenue,
+        customer_order_distribution,
+        forecast_revenue_change,
         idle_rich_customers,
         nation_market_share,
         promo_revenue_share,
@@ -101,7 +103,8 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
                idle_rich_customers, supplier_part_variety,
                q_semdedup_drift, top_revenue_supplier,
                discounted_band_revenue, cheapest_supplier_per_part,
-               promo_revenue_share, nation_market_share):
+               promo_revenue_share, nation_market_share,
+               forecast_revenue_change, customer_order_distribution):
         plan = fn(spark, SF_DIR)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "BatchEvalPython" not in plan, fn.__name__

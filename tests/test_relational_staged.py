@@ -143,3 +143,42 @@ def test_nation_market_share_matches_oracle(spark, oracle_sf_dir):
     rows = df.collect()
     assert rows
     assert all(0 < r.mkt_share < 1 for r in rows), rows
+
+
+def test_forecast_revenue_change_matches_oracle(spark, oracle_sf_dir):
+    """Q6 shape: pure-pushdown scan-agg; all three predicates must
+    reach the parquet scan and the certificate must be non-vacuous."""
+    from flink_user_behavior_analysis_spark.queries import (
+        FORECAST_REVENUE_CHANGE_SQL,
+        forecast_revenue_change,
+    )
+
+    df = forecast_revenue_change(spark, oracle_sf_dir)
+    compare(df, FORECAST_REVENUE_CHANGE_SQL, oracle_sf_dir)
+    row = df.first()
+    assert row.n_items > 0 and row.revenue > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("PushedFilters")[1][:400], (
+            f"{col} predicate did not push to the scan")
+
+
+def test_customer_order_distribution_matches_oracle(spark, oracle_sf_dir):
+    """Q13 shape: the priority exclusion must stay in the OUTER
+    JOIN's ON clause — zero-order customers survive into the
+    c_count=0 bucket, and total custdist mass equals the customer
+    count."""
+    from flink_user_behavior_analysis_spark.queries import (
+        CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        customer_order_distribution,
+    )
+    from flink_user_behavior_analysis_spark.sources import load_table
+
+    df = customer_order_distribution(spark, oracle_sf_dir)
+    compare(df, CUSTOMER_ORDER_DISTRIBUTION_SQL, oracle_sf_dir)
+    rows = {r.c_count: r.custdist for r in df.collect()}
+    n_cust = load_table(spark, oracle_sf_dir, "customer").count()
+    assert sum(rows.values()) == n_cust, (
+        "histogram mass != customer count — the outer join dropped "
+        "zero-order customers")
