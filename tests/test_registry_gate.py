@@ -151,3 +151,32 @@ def test_forced_window_names_are_registered():
 
 def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rotation_schedule_converges_within_horizon():
+    """Simulate the derived rotation forward: each simulated round
+    greens the current window's head (what the driver does), then
+    re-derives the order from the accumulated green rounds. Every
+    registered query must receive a green round within
+    STALENESS_HORIZON simulated rounds, and from then on never go
+    longer than the horizon without one — the scheduling math the
+    staleness guard depends on, checked independently of the
+    committed CORRECTNESS files."""
+    names = sorted(_ALL_QUERIES)
+    fresh: dict[str, int] = {}
+
+    def order():
+        return sorted(names, key=lambda n: (fresh.get(n, -1), n))
+
+    horizon = STALENESS_HORIZON
+    last_green = {n: None for n in names}
+    for rnd in range(1, horizon * 3 + 1):
+        for n in order()[:GATE_WINDOW]:
+            fresh[n] = rnd
+            last_green[n] = rnd
+        if rnd >= horizon:
+            stale = [n for n, g in last_green.items()
+                     if g is None or rnd - g >= horizon]
+            assert not stale, (
+                f"round {rnd}: {len(stale)} queries not re-certified "
+                f"within {horizon} rounds: {stale[:5]}")
