@@ -133,9 +133,17 @@ def test_staged_queries_free_of_python_and_cartesian(spark):
                 "Q19's quantity bounds no longer push to the scan")
             assert "BroadcastHashJoin" in plan, fn.__name__
         if fn is nation_market_share:
-            # Q8: exactly ONE fact-sized exchange (li join orders on
-            # orderkey); every dim leg must stay broadcast
-            assert plan.count("BroadcastHashJoin") >= 4, fn.__name__
+            # Q8: at most ONE non-broadcast join (li⋈orders — at
+            # tiny SF even that broadcasts; at scale it is the lone
+            # fact exchange); all five dim legs must be broadcast
+            # hash joins. Counting BHJ alone would keep passing if
+            # one dim leg fell back to a shuffle (r8 review).
+            non_broadcast = (plan.count("SortMergeJoin")
+                             + plan.count("ShuffledHashJoin"))
+            assert non_broadcast <= 1, (
+                f"{fn.__name__}: {non_broadcast} shuffled joins — a "
+                f"dim leg lost its broadcast")
+            assert plan.count("BroadcastHashJoin") >= 5, fn.__name__
         if fn is cheapest_supplier_per_part:
             # Q2's join-back is an equi join on (part, cost) — a
             # nested-loop here would pair every cost row with every

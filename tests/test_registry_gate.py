@@ -164,9 +164,16 @@ def test_rotation_schedule_converges_within_horizon():
     committed CORRECTNESS files."""
     names = sorted(_ALL_QUERIES)
     fresh: dict[str, int] = {}
+    # simulate with the REAL rotation key, including forced pinning
+    # at the worst size the forced-set budget test below permits —
+    # a simulation without the forced tier would certify a schedule
+    # the rotation doesn't actually run (r8 review)
+    forced = set(names[:GATE_WINDOW // 5])
 
     def order():
-        return sorted(names, key=lambda n: (fresh.get(n, -1), n))
+        return sorted(names,
+                      key=lambda n: (n not in forced,
+                                     fresh.get(n, -1), n))
 
     horizon = STALENESS_HORIZON
     last_green = {n: None for n in names}
@@ -180,3 +187,16 @@ def test_rotation_schedule_converges_within_horizon():
             assert not stale, (
                 f"round {rnd}: {len(stale)} queries not re-certified "
                 f"within {horizon} rounds: {stale[:5]}")
+
+
+def test_forced_window_stays_small():
+    """The convergence proof above holds only while forced entries
+    occupy a bounded fraction of the window: every forced slot
+    shrinks the staleness-rotation capacity, and a forced set near
+    GATE_WINDOW would starve the tail past the horizon. Budget:
+    at most 1/5 of the window."""
+    assert len(_FORCE_WINDOW) <= GATE_WINDOW // 5, (
+        f"_FORCE_WINDOW has {len(_FORCE_WINDOW)} entries — more than "
+        f"1/5 of the {GATE_WINDOW}-row window; the staleness horizon "
+        f"guarantee no longer holds, widen the horizon or stage the "
+        f"changes across rounds")

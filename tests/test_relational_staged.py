@@ -157,11 +157,27 @@ def test_forecast_revenue_change_matches_oracle(spark, oracle_sf_dir):
     compare(df, FORECAST_REVENUE_CHANGE_SQL, oracle_sf_dir)
     row = df.first()
     assert row.n_items > 0 and row.revenue > 0
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan
-    for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert col in plan.split("PushedFilters")[1][:400], (
-            f"{col} predicate did not push to the scan")
+    # assert the actual RANGE predicates reached the scan — checking
+    # only for the column names would be satisfied by the derived
+    # IsNotNull filters even if every range comparison stopped
+    # pushing (r8 review). The plan string truncates metadata at 100
+    # chars by default, hiding the later predicates — widen it.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        plan = (forecast_revenue_change(spark, oracle_sf_dir)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    pushed = plan.split("PushedFilters")[1][:1000]
+    for pred in ("GreaterThanOrEqual(l_shipdate",
+                 "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount",
+                 "LessThanOrEqual(l_discount",
+                 "LessThan(l_quantity"):
+        assert pred in pushed, (
+            f"range predicate {pred} did not push to the scan: "
+            f"{pushed}")
 
 
 def test_customer_order_distribution_matches_oracle(spark, oracle_sf_dir):
