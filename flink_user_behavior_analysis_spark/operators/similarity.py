@@ -1893,6 +1893,7 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
       needs a fresh truth pass.
     """
     from ..sources.readers import (append_recorded, record_append,
+                                   require_appendable,
                                    require_index_ready)
 
     # appending onto a torn-rebuild index would report success and
@@ -1901,6 +1902,7 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
     require_index_ready(spark, prefix, "ivfpq_append_to_index")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
         return 0
+    require_appendable(spark, prefix, batch_id, "ivfpq_append_to_index")
     model, _ = ivfpq_read_index(spark, prefix)
     enc = ivfpq_encode(new_vecs, model, id_col, vec_col)
     if meta_cols:
@@ -1927,22 +1929,53 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
                 .saveAsTable(f"{prefix}_codes")
     finally:
         enc.unpersist()
+    # cross-session relation-cache refresh (see transactional_append):
+    # under foreachBatch the write ran in the micro-batch clone, and
+    # ``spark``'s cached listing for the codes table would stay stale
+    spark.catalog.refreshTable(f"{prefix}_codes")
     if batch_id is not None:
         record_append(spark, prefix, batch_id)  # ledger LAST
     _maybe_auto_compact(spark, prefix, f"{prefix}_codes",
                         auto_compact_files_per_cell,
-                        lambda: ivfpq_compact_index(spark, prefix))
+                        lambda: ivfpq_compact_index(spark, prefix),
+                        committed_rows=int(n))
     return int(n)
 
 
+class MaintenanceFailedError(RuntimeError):
+    """The APPEND COMMITTED (data + ledger) but the in-path
+    auto-compaction that followed it failed. Distinct type (ADVICE
+    r8) so orchestrators do not mark the batch failed: for ledgered
+    batch_id appends a blind retry is harmless (the ledger dedupes it
+    to 0) but unnecessary; for batch_id=None it would DUPLICATE rows.
+    Carries ``committed_rows`` — the count the append would have
+    returned — plus ``prefix``/``table`` for the maintenance ticket.
+    """
+
+    def __init__(self, prefix: str, table: str, committed_rows: int):
+        self.prefix = prefix
+        self.table = table
+        self.committed_rows = int(committed_rows)
+        super().__init__(
+            f"auto-compaction of {table} failed AFTER the append "
+            f"committed {self.committed_rows} row(s) (data + ledger) "
+            f"— do NOT re-ingest the batch; the index is left "
+            f"not-ready and gated readers will rebuild (or finish "
+            f"the compaction manually)")
+
+
 def _maybe_auto_compact(spark, prefix: str, table: str,
-                        threshold: int | None, compact_fn) -> None:
+                        threshold: int | None, compact_fn,
+                        committed_rows: int = 0) -> None:
     """Shared append-path compaction trigger: fire ``compact_fn``
     when any partition of ``table`` exceeds ``threshold`` files.
     Runs AFTER the ledger write, so the append is already committed
     — a crash mid-compaction leaves the manifest invalidated (gated
     readers rebuild; torn rewrites are never served), exactly the
-    bracket a manual compaction runs under."""
+    bracket a manual compaction runs under. A compaction failure
+    raises MaintenanceFailedError carrying ``committed_rows`` so the
+    caller's success (the append) is not reported as a failed
+    ingest."""
     if threshold is None:
         return
     from ..sources.readers import files_per_partition
@@ -1951,12 +1984,8 @@ def _maybe_auto_compact(spark, prefix: str, table: str,
         try:
             compact_fn()
         except Exception as exc:
-            raise RuntimeError(
-                f"auto-compaction of {table} failed AFTER the append "
-                f"committed (data + ledger) — do NOT re-ingest the "
-                f"batch; the index is left not-ready and gated "
-                f"readers will rebuild (or finish the compaction "
-                f"manually)") from exc
+            raise MaintenanceFailedError(prefix, table,
+                                         committed_rows) from exc
 
 
 def pq_store_index(corpus: DataFrame, prefix: str, m: int = 8,
@@ -2526,7 +2555,8 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
     plain at-least-once append), and same append-path compaction
     cadence (``auto_compact_files_per_cell``) as
     ivfpq_append_to_index."""
-    from ..sources.readers import append_recorded, record_append
+    from ..sources.readers import (append_recorded, record_append,
+                                   require_appendable)
 
     # model-identity gate, not just manifest presence: appending cells
     # assigned under a refit model into an old-model index would mix
@@ -2541,6 +2571,7 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
             f"before appending")
     if batch_id is not None and append_recorded(spark, prefix, batch_id):
         return 0
+    require_appendable(spark, prefix, batch_id, "semdedup_append_corpus")
     cells = _semdedup_assigned(accepted, centroids, id_col, vec_col) \
         .select(id_col, "cent_sim", F.col("_v").alias("embedding"),
                 "cell") \
@@ -2556,9 +2587,12 @@ def semdedup_append_corpus(spark, prefix: str, accepted: DataFrame,
     else:
         aligned.write.mode("append").format("parquet") \
             .partitionBy("cell", "_batch").saveAsTable(f"{prefix}_cells")
+    # cross-session relation-cache refresh (see transactional_append)
+    spark.catalog.refreshTable(f"{prefix}_cells")
     if batch_id is not None:
         record_append(spark, prefix, batch_id)  # ledger LAST
     _maybe_auto_compact(spark, prefix, f"{prefix}_cells",
                         auto_compact_files_per_cell,
-                        lambda: semdedup_compact_corpus(spark, prefix))
+                        lambda: semdedup_compact_corpus(spark, prefix),
+                        committed_rows=int(n))
     return int(n)

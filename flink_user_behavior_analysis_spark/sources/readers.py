@@ -238,9 +238,10 @@ def kafka_source(
         ) from exc
 
 
-def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_col: str | list[str],
                    n_buckets: int = 8,
-                   sort_col: str | None = None) -> None:
+                   sort_col: str | list[str] | None = None) -> None:
     """Materialize a DataFrame as a BUCKETED (and optionally
     sorted-within-bucket) managed table — the co-located-join
     preparation step for fact-to-fact joins at 100 TB: two tables
@@ -251,14 +252,20 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     and result parity vs the plain join). Sorting within buckets
     additionally removes the Sort from sort-merge joins.
 
+    ``bucket_col``/``sort_col`` accept a list for COMPOUND keys
+    (e.g. the Q9-shape lineitem⋈costs join on (partkey, suppkey));
+    the exchange-free property then requires the join condition to
+    cover the full bucket key in the same column order on both
+    sides.
+
     Spark bucketing requires saveAsTable (bucket metadata lives in
     the catalog); the table lands in the session's warehouse dir.
     """
-    w = df.write.mode("overwrite")
+    bcols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bcols)
     if sort_col is not None:
-        w = w.bucketBy(n_buckets, bucket_col).sortBy(sort_col)
-    else:
-        w = w.bucketBy(n_buckets, bucket_col)
+        scols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
+        w = w.sortBy(*scols)
     save_as_table(w.format("parquet"), table)
 
 
@@ -380,14 +387,18 @@ def clear_append_ledger(spark, prefix: str) -> list[str]:
     batch data into the base generation, so absorbed ids must keep
     deduplicating re-delivery.
 
-    DELIVERY CONTRACT (ADVICE r7): a rebuild therefore DISCARDS every
+    DELIVERY CONTRACT (closed in r9): a rebuild DISCARDS every
     previously committed batch whose rows are not in the rebuild's
-    source corpus — the delivery source must be able to RE-DELIVER
-    every batch it was ever told was committed, not merely the
-    unacked tail (stronger than plain at-least-once). To make the
-    loss observable instead of silent, the cleared batch ids are
-    returned AND logged at warning level; an orchestrator should
-    requeue exactly these ids after the rebuild commits."""
+    source corpus. The cleared ids are therefore QUARANTINED in
+    ``{prefix}_cleared`` (written BEFORE the ledger drop, so a crash
+    between the two can only over-quarantine, never lose the record);
+    every subsequent append of a NEW batch id refuses via
+    ``require_appendable`` until each quarantined id is either
+    re-delivered (its re-append puts it back in the ledger, which
+    lifts it out of pending automatically) or explicitly waived with
+    ``acknowledge_cleared`` (e.g. the rebuild's source corpus already
+    contained the appended rows, so nothing was lost). No batch can
+    be silently dropped AND no loss can be silently built past."""
     import logging
 
     cleared: list[str] = []
@@ -395,13 +406,97 @@ def clear_append_ledger(spark, prefix: str) -> list[str]:
         cleared = [r.batch_id
                    for r in spark.table(f"{prefix}_appends")
                    .select("batch_id").distinct().collect()]
+    if cleared:
+        spark.createDataFrame([(b,) for b in cleared],
+                              "batch_id STRING") \
+            .write.mode("append").format("parquet") \
+            .saveAsTable(f"{prefix}_cleared")
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_appends")
     if cleared:
         logging.getLogger(__name__).warning(
             "%s: rebuild cleared %d committed append batch(es) %s — "
-            "these must be re-delivered against the new generation",
-            prefix, len(cleared), sorted(cleared))
+            "quarantined in %s_cleared; new appends refuse until each "
+            "is re-delivered or acknowledge_cleared() waives it",
+            prefix, len(cleared), sorted(cleared), prefix)
     return cleared
+
+
+class QuarantinedBatchesError(RuntimeError):
+    """New appends are refused because a rebuild cleared committed
+    batches that have been neither re-delivered nor waived. Carries
+    ``prefix`` and the ``pending`` ids so an orchestrator can requeue
+    exactly those batches (or call ``acknowledge_cleared``)."""
+
+    def __init__(self, prefix: str, pending: list[str], caller: str):
+        self.prefix = prefix
+        self.pending = sorted(pending)
+        super().__init__(
+            f"{caller}: {prefix} has {len(pending)} quarantined "
+            f"batch(es) {self.pending} whose data a rebuild discarded "
+            f"— re-deliver them (append under the same batch_id) or "
+            f"waive with acknowledge_cleared() before committing new "
+            f"batches")
+
+
+def quarantined_batch_ids(spark, prefix: str) -> list[str]:
+    """Batch ids a rebuild discarded that are still PENDING: in
+    ``{prefix}_cleared`` but absent from the current append ledger.
+    Subtracting the ledger makes re-delivery self-healing — the
+    moment a quarantined id's re-append commits (record_append), it
+    stops pending with no extra bookkeeping write, and a crash between
+    the data write and any cleanup cannot strand it."""
+    if not spark.catalog.tableExists(f"{prefix}_cleared"):
+        return []
+    cleared = {r.batch_id
+               for r in spark.table(f"{prefix}_cleared")
+               .select("batch_id").distinct().collect()}
+    if spark.catalog.tableExists(f"{prefix}_appends"):
+        cleared -= {r.batch_id
+                    for r in spark.table(f"{prefix}_appends")
+                    .select("batch_id").distinct().collect()}
+    return sorted(cleared)
+
+
+def acknowledge_cleared(spark, prefix: str,
+                        batch_ids: list[str] | None = None) -> list[str]:
+    """Explicitly waive quarantined batch ids (all of them when
+    ``batch_ids`` is None): the orchestrator asserts the rebuild's
+    source corpus already covered those batches' rows, so nothing was
+    lost and re-delivery is unnecessary. Physically removes the ids
+    from ``{prefix}_cleared`` (a waiver must survive later rebuilds,
+    which would otherwise re-quarantine ledger ids they clear).
+    Returns the ids actually removed."""
+    t = f"{prefix}_cleared"
+    if not spark.catalog.tableExists(t):
+        return []
+    present = [r.batch_id
+               for r in spark.table(t).select("batch_id")
+               .distinct().collect()]
+    waived = present if batch_ids is None else \
+        [b for b in present if b in set(batch_ids)]
+    remaining = [b for b in present if b not in set(waived)]
+    if not remaining:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    elif waived:
+        # tiny O(#batches) rewrite via a driver-side list — the ids
+        # were already collected above, so no self-read-overwrite
+        spark.createDataFrame([(b,) for b in remaining],
+                              "batch_id STRING") \
+            .write.mode("overwrite").format("parquet").saveAsTable(t)
+    return sorted(waived)
+
+
+def require_appendable(spark, prefix: str, batch_id: str | None,
+                       caller: str) -> None:
+    """Refuse to commit a NEW batch while quarantined (rebuild-
+    discarded, un-redelivered, un-waived) ids are pending — silently
+    building past a known loss would launder it into the index's
+    history. A pending id itself IS allowed through: that is the
+    re-delivery path that drains the quarantine. ``batch_id=None``
+    (ad-hoc at-least-once append) counts as a new commit."""
+    pending = quarantined_batch_ids(spark, prefix)
+    if pending and (batch_id is None or batch_id not in set(pending)):
+        raise QuarantinedBatchesError(prefix, pending, caller)
 
 
 def append_recorded(spark, prefix: str, batch_id: str) -> bool:
@@ -501,8 +596,20 @@ def transactional_append(spark, prefix: str, names: list[str],
         if (batch_id is not None
                 and append_recorded(spark, prefix, batch_id)):
             return False
+    # always gated here (even pre_checked) so no family can commit a
+    # new batch past a rebuild-discarded one — see require_appendable
+    require_appendable(spark, prefix, batch_id, caller)
     invalidate_manifest(spark, prefix)
     write_fn()
+    # the write may have executed under a DIFFERENT SparkSession than
+    # ``spark`` (foreachBatch hands the ingest a per-query CLONE whose
+    # DataFrames carry it through every derived write) — sessions
+    # share the external catalog and the files but each caches table
+    # relations separately, so without a refresh the caller's session
+    # keeps serving the PRE-APPEND file listing for these tables
+    # (r9: streaming-ingest test caught exactly this)
+    for t in names:
+        spark.catalog.refreshTable(t)
     if batch_id is not None:
         record_append(spark, prefix, batch_id)
     write_manifest(spark, prefix, names)
@@ -540,7 +647,8 @@ def compact_partitioned_table(spark, table: str,
                               partition_cols: list[str],
                               batch_col: str = "_batch",
                               base_value: str = "base",
-                              collect_stats: bool = True) -> dict:
+                              collect_stats: bool = True,
+                              recover_from_stage: bool = False) -> dict:
     """Absorb appended ingestion batches back into the base
     generation of a (partition, batch)-partitioned catalog table —
     the maintenance job the exactly-once append path needs over
@@ -570,10 +678,33 @@ def compact_partitioned_table(spark, table: str,
     stage lets an operator finish the overwrite instead of paying
     the gated full rebuild, which discards committed append
     batches).
+
+    A PRE-EXISTING stage at entry therefore means a previous run
+    crashed around its final overwrite — recompacting would read the
+    possibly-torn target and DESTROY the recovery copy, so this
+    REFUSES by default (r9, ADVICE). Pass ``recover_from_stage=True``
+    to instead finish the interrupted overwrite (restore the target
+    from the stage, drop the stage) and then compact the restored
+    table; the stage's presence in the CATALOG implies its own write
+    committed (saveAsTable registers the entry after the data lands),
+    which is what makes the restore safe.
     """
     from pyspark.sql import functions as F
 
     stage = f"{table}_stage"
+    if spark.catalog.tableExists(stage):
+        if not recover_from_stage:
+            raise RuntimeError(
+                f"compact_partitioned_table: {stage} already exists — "
+                f"a previous compaction crashed around its final "
+                f"overwrite and the stage may be the only intact copy "
+                f"of {table}; rerun with recover_from_stage=True to "
+                f"restore {table} from it (or drop {stage} yourself "
+                f"if you have verified {table} is intact)")
+        save_as_table(
+            spark.table(stage).write.mode("overwrite").format("parquet")
+            .partitionBy(*partition_cols, batch_col), table)
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
     files_before = (len(spark.table(table).inputFiles())
                     if collect_stats else None)
     rows = spark.table(table).count() if collect_stats else None

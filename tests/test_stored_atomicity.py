@@ -266,6 +266,106 @@ def test_clear_append_ledger_surfaces_cleared_batch_ids(spark):
     cleared = readers.clear_append_ledger(spark, prefix)
     assert sorted(cleared) == ["b1", "b2"]
     assert not spark.catalog.tableExists(f"{prefix}_appends")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_cleared")
+
+
+def test_quarantine_ledger_lifecycle(spark):
+    """r9 close of the ADVICE-medium ledger-loss contract, unit level:
+    a rebuild's cleared ids land in ``{prefix}_cleared`` and stay
+    PENDING until re-delivered (ledger subtraction — self-healing, no
+    cleanup write in the re-append path to crash around) or waived;
+    require_appendable refuses NEW ids while anything pends but lets
+    the pending ids themselves through (the drain path)."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_quarantine"
+    for t in ("appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    readers.record_append(spark, prefix, "b1")
+    readers.record_append(spark, prefix, "b2")
+    assert sorted(readers.clear_append_ledger(spark, prefix)) \
+        == ["b1", "b2"]
+    assert readers.quarantined_batch_ids(spark, prefix) == ["b1", "b2"]
+
+    # new id refused, pending ids allowed, ad-hoc (None) refused
+    with pytest.raises(readers.QuarantinedBatchesError) as exc:
+        readers.require_appendable(spark, prefix, "b3", "t")
+    assert exc.value.pending == ["b1", "b2"]
+    with pytest.raises(readers.QuarantinedBatchesError):
+        readers.require_appendable(spark, prefix, None, "t")
+    readers.require_appendable(spark, prefix, "b1", "t")  # drain ok
+
+    # re-delivery of b1 (ledger commit) lifts it with no extra write
+    readers.record_append(spark, prefix, "b1")
+    assert readers.quarantined_batch_ids(spark, prefix) == ["b2"]
+
+    # explicit waiver of b2 clears the quarantine entirely
+    assert readers.acknowledge_cleared(spark, prefix, ["b2"]) == ["b2"]
+    assert readers.quarantined_batch_ids(spark, prefix) == []
+    readers.require_appendable(spark, prefix, "b3", "t")
+
+    # a SECOND rebuild re-quarantines what the ledger now holds (b1's
+    # re-delivered data is lost again) — the waiver of b2 survives
+    assert readers.clear_append_ledger(spark, prefix) == ["b1"]
+    assert readers.quarantined_batch_ids(spark, prefix) == ["b1"]
+    assert readers.acknowledge_cleared(spark, prefix) == ["b1"]
+    assert not spark.catalog.tableExists(f"{prefix}_cleared")
+    for t in ("appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_quarantine_blocks_new_appends_end_to_end(spark, sf_dir):
+    """r9 crash-rebuild-reingest scenario through a real stored
+    family: rebuild discards a committed batch -> appending a NEW
+    batch refuses (no silent loss laundered into history), the lost
+    batch's re-delivery is accepted and drains the quarantine, and
+    only then does the new batch commit. Covers both skeletons: the
+    manifest-bracket family (dedup/minhash) and the idempotent
+    dynamic-overwrite family (semdedup) share the gate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        dedup_append_corpus,
+        dedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    docs = _docs(spark, sf_dir)
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    part_a = docs.where(h >= 6)
+    part_b = docs.where((h >= 3) & (h < 6))
+    part_c = docs.where(h < 3)
+
+    prefix = "t_dd_quar"
+    _drop_prefix(spark, prefix)
+    dedup_store_corpus(part_a, prefix)
+    assert dedup_append_corpus(spark, prefix, part_b,
+                               batch_id="lost1") > 0
+
+    # rebuild from part_a only: lost1's rows are gone -> quarantined
+    dedup_store_corpus(part_a, prefix)
+    assert readers.quarantined_batch_ids(spark, prefix) == ["lost1"]
+
+    # a NEW batch must refuse — committing it would silently build
+    # past the known loss
+    with pytest.raises(readers.QuarantinedBatchesError):
+        dedup_append_corpus(spark, prefix, part_c, batch_id="new1")
+
+    # re-delivery of the lost batch is the drain path
+    assert dedup_append_corpus(spark, prefix, part_b,
+                               batch_id="lost1") > 0
+    assert readers.quarantined_batch_ids(spark, prefix) == []
+    # ...and is still exactly-once afterwards (no silent re-accept
+    # of a THIRD delivery as new data)
+    assert dedup_append_corpus(spark, prefix, part_b,
+                               batch_id="lost1") == 0
+    assert dedup_append_corpus(spark, prefix, part_c,
+                               batch_id="new1") > 0
+    _drop_prefix(spark, prefix)
 
 
 def test_semdedup_append_batch_id_is_exactly_once(spark, sf_dir):
@@ -780,6 +880,82 @@ def test_compact_partitioned_table_stage_cleanup_and_optional_stats(
     assert not spark.catalog.tableExists(f"{table}_stage")
     assert spark.table(table).count() == before
     _drop(spark, table)
+
+
+def test_maintenance_failure_carries_committed_rows(spark):
+    """ADVICE r8: a failed in-path compaction must surface as
+    'append committed, maintenance failed' — a dedicated type with
+    the committed row count — not as a generic failure an
+    orchestrator would mark the batch failed over."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        MaintenanceFailedError,
+        _maybe_auto_compact,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS t_maint")
+    for v in (1, 2):  # two appends -> 2 files in the cell
+        spark.createDataFrame([(v, "a")], "x long, cell string") \
+            .write.mode("append").format("parquet") \
+            .partitionBy("cell").saveAsTable("t_maint")
+
+    def boom():
+        raise RuntimeError("simulated compaction crash")
+
+    with pytest.raises(MaintenanceFailedError) as exc:
+        _maybe_auto_compact(spark, "t_m", "t_maint", 1, boom,
+                            committed_rows=7)
+    assert exc.value.committed_rows == 7
+    assert exc.value.table == "t_maint"
+    # threshold None / under-threshold never fires
+    _maybe_auto_compact(spark, "t_m", "t_maint", None, boom,
+                        committed_rows=7)
+    _maybe_auto_compact(spark, "t_m", "t_maint", 99, boom,
+                        committed_rows=7)
+    spark.sql("DROP TABLE IF EXISTS t_maint")
+
+
+def test_compaction_refuses_preexisting_stage_then_recovers(spark):
+    """ADVICE r8: a pre-existing {table}_stage means a previous
+    compaction crashed around its final overwrite — the stage may be
+    the ONLY intact copy, so a fresh run must refuse rather than
+    recompact the possibly-torn target over it; recover_from_stage
+    restores the target from the stage and proceeds."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.sources.readers import (
+        compact_partitioned_table,
+    )
+
+    for t in ("t_cmp", "t_cmp_stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    # stage = the intact compacted copy; target = torn (here: stale
+    # rows standing in for a half-finished overwrite)
+    good = spark.createDataFrame(
+        [(i, "c1", "base") for i in range(4)],
+        "x long, cell string, _batch string")
+    torn = spark.createDataFrame(
+        [(99, "c1", "base")], "x long, cell string, _batch string")
+    good.write.mode("overwrite").format("parquet") \
+        .partitionBy("cell", "_batch").saveAsTable("t_cmp_stage")
+    torn.write.mode("overwrite").format("parquet") \
+        .partitionBy("cell", "_batch").saveAsTable("t_cmp")
+
+    with pytest.raises(RuntimeError, match="stage already exists"):
+        compact_partitioned_table(spark, "t_cmp", ["cell"])
+    # target untouched, stage untouched by the refusal
+    assert spark.table("t_cmp").count() == 1
+    assert spark.table("t_cmp_stage").count() == 4
+
+    stats = compact_partitioned_table(spark, "t_cmp", ["cell"],
+                                      recover_from_stage=True)
+    assert stats["rows"] == 4, "target must be restored FROM the stage"
+    got = sorted(r.x for r in spark.table("t_cmp").collect())
+    assert got == [0, 1, 2, 3]
+    assert not spark.catalog.tableExists("t_cmp_stage")
+    for t in ("t_cmp", "t_cmp_stage"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_append_loop_auto_compacts_and_stays_bounded(spark, sf_dir):
