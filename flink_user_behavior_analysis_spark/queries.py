@@ -2339,6 +2339,138 @@ GROUP BY c_count
 """
 
 
+Q9_PART_TOKEN = "red"
+Q9_BUCKETS = 8
+
+
+def _q9_profit_rollup(spark: SparkSession, sf_dir: str,
+                      li: DataFrame, ps: DataFrame) -> DataFrame:
+    """Shared Q9 rollup over a lineitem projection ``li`` and a
+    per-(partkey, suppkey) cost table ``ps`` — the inline and
+    bucketed variants differ only in where those two sides come
+    from. Part filter and supplier→nation legs are broadcast dims;
+    profit folds to exact cents before the sum."""
+    red_parts = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like(f"%{Q9_PART_TOKEN}%")).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    sup_nat = (
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey")
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")
+                          .select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    amount_cents = rev_cents - F.col("ps_unitcost_cents") * qty
+    return (
+        li.join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .join(F.broadcast(red_parts),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup_nat),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.sum(amount_cents).cast("double") / 100).alias("profit"))
+    )
+
+
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (product-type profit): profit per supplier
+    nation × order year, where profit is revenue minus supply cost.
+    The testdata carries no partsupp table, so the cost side is
+    DERIVED — the cheapest observed unit price (exact cents) per
+    (partkey, suppkey) pair across all of lineitem — which keeps
+    Q9's defining topology intact: a COMPOUND-KEY FACT-TO-FACT join
+    (lineitem ⋈ per-pair costs on (partkey, suppkey)) where neither
+    side is broadcastable at scale. This inline form pays two
+    lineitem exchanges on the compound key (one to build the cost
+    agg, one to join it); profit_by_nation_year_bucketed is the
+    100 TB answer that removes both via compound-key bucketing."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    unit_cents = F.round(
+        F.col("l_extendedprice") * 100 / F.col("l_quantity")
+    ).cast("long")
+    ps = (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
+                     F.col("l_suppkey").alias("ps_suppkey"))
+          .agg(F.min(unit_cents).alias("ps_unitcost_cents")))
+    return _q9_profit_rollup(spark, sf_dir, li, ps)
+
+
+def profit_by_nation_year_bucketed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Q9's 100 TB plan: both fact sides of the compound-key join
+    live as catalog tables bucketed on (partkey, suppkey) with equal
+    bucket counts, so the cost aggregation AND the fact-to-fact join
+    plan with ZERO Exchange on the compound key (plan-asserted in
+    tests/test_bucketed_join.py); the lone fact-sized exchange left
+    is the orders join on orderkey. Build is manifest-gated
+    (invalidate-first / commit-last) like every stored artifact:
+    bucket lineitem's 6-column projection once, then derive the cost
+    table from the bucketed copy — exchange-free — and store it under
+    the same bucket spec. Results are identical to the inline form
+    (same oracle row-for-row)."""
+    from .queries_pipeline import _artifact_tag
+    from .sources.readers import (index_ready, invalidate_manifest,
+                                  write_bucketed, write_manifest)
+
+    prefix = f"q9b_{_artifact_tag(sf_dir)}"
+    li_t, costs_t = f"{prefix}_lineitem", f"{prefix}_costs"
+    key = ["l_partkey", "l_suppkey"]
+    if not index_ready(spark, prefix):
+        invalidate_manifest(spark, prefix)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+        write_bucketed(li, li_t, key, Q9_BUCKETS, sort_col=key)
+        unit_cents = F.round(
+            F.col("l_extendedprice") * 100 / F.col("l_quantity")
+        ).cast("long")
+        costs = (spark.table(li_t)
+                 .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                          F.col("l_suppkey").alias("ps_suppkey"))
+                 .agg(F.min(unit_cents).alias("ps_unitcost_cents")))
+        write_bucketed(costs, costs_t,
+                       ["ps_partkey", "ps_suppkey"], Q9_BUCKETS,
+                       sort_col=["ps_partkey", "ps_suppkey"])
+        write_manifest(spark, prefix, [li_t, costs_t])
+    return _q9_profit_rollup(spark, sf_dir,
+                             spark.table(li_t), spark.table(costs_t))
+
+
+PROFIT_BY_NATION_YEAR_SQL = f"""
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS ps_unitcost_cents
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)
+                - ps.ps_unitcost_cents
+                  * CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE)
+       / 100 AS profit
+FROM lineitem l
+JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{Q9_PART_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
 def props_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` payload
     (get_json_object stays inside codegen — no Python), top-5 ``k``
@@ -2465,6 +2597,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_market_share": nation_market_share,
     "forecast_revenue_change": forecast_revenue_change,
     "customer_order_distribution": customer_order_distribution,
+    "profit_by_nation_year": profit_by_nation_year,
+    "profit_by_nation_year_bucketed": profit_by_nation_year_bucketed,
     **PIPELINE_QUERIES,
 }
 
@@ -2499,6 +2633,35 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _correctness_files() -> list[str]:
+    """The CORRECTNESS_r*.json paths that feed the rotation — only
+    files KNOWN TO GIT count (ADVICE r8): an untracked or stray local
+    file would silently reorder QUERIES, making local pytest certify
+    a different first-50 window than a clean checkout of HEAD
+    presents to the driver. (The driver commits each round's file, so
+    in a healthy checkout git-tracked == present.) Falls back to the
+    plain glob when git is unavailable or this is not a work tree
+    (e.g. an exported tarball), where tracked-vs-untracked has no
+    meaning."""
+    import glob
+    import os
+    import subprocess
+
+    root = _repo_root()
+    paths = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    try:
+        out = subprocess.run(
+            ["git", "-C", root, "ls-files", "--",
+             "CORRECTNESS_r*.json"],
+            capture_output=True, text=True, timeout=10,
+            check=True).stdout
+        tracked = {os.path.join(root, line.strip())
+                   for line in out.splitlines() if line.strip()}
+        return [p for p in paths if p in tracked]
+    except Exception:  # noqa: BLE001 — no git: glob is the best truth
+        return paths
+
+
 def freshest_green_rounds() -> dict[str, int]:
     """name -> latest round whose CORRECTNESS file hash-greened it.
 
@@ -2506,15 +2669,12 @@ def freshest_green_rounds() -> dict[str, int]:
     to "treat everything as never-green", which only over-rotates —
     never hides a query from the window).
     """
-    import glob
     import json
-    import os
     import re
 
     fresh: dict[str, int] = {}
     pat = re.compile(r"CORRECTNESS_r(\d+)\.json$")
-    for p in sorted(glob.glob(os.path.join(_repo_root(),
-                                           "CORRECTNESS_r*.json"))):
+    for p in _correctness_files():
         m = pat.search(p)
         if not m:
             continue
@@ -2599,5 +2759,7 @@ ORACLES: dict[str, str] = {
     "nation_market_share": NATION_MARKET_SHARE_SQL,
     "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "profit_by_nation_year": PROFIT_BY_NATION_YEAR_SQL,
+    "profit_by_nation_year_bucketed": PROFIT_BY_NATION_YEAR_SQL,
     **PIPELINE_ORACLES,
 }

@@ -10,10 +10,8 @@ CORRECTNESS file must sit inside the gated window.
 
 from __future__ import annotations
 
-import glob
 import json
 import math
-import os
 import re
 
 from flink_user_behavior_analysis_spark.queries import (
@@ -25,8 +23,6 @@ from flink_user_behavior_analysis_spark.queries import (
     ORACLES,
     QUERIES,
 )
-
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Every query must re-enter the 50-row driver window at least this
 # often.  ceil(n/50) is the fastest cadence the window size permits:
@@ -44,15 +40,33 @@ STALENESS_HORIZON = max(2, math.ceil(len(QUERIES) / GATE_WINDOW))
 ROWS_ONLY_BY_DESIGN = set()
 
 
+def _gate_files() -> list[str]:
+    """Same enumeration the rotation uses (git-tracked CORRECTNESS
+    files, ADVICE r8) — the staleness/demotion guards must judge the
+    registry against the inputs that actually ordered it."""
+    from flink_user_behavior_analysis_spark.queries import (
+        _correctness_files,
+    )
+
+    return _correctness_files()
+
+
 def _prior_green() -> set[str]:
-    """Query names with a hash-green driver row in any prior round."""
+    """Query names with a hash-green driver row in any prior round
+    (production-tolerant parse: skip unreadable/non-dict files and
+    non-dict rows, like freshest_green_rounds)."""
     green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(REPO_ROOT,
-                                              "CORRECTNESS_r*.json"))):
-        with open(path) as fh:
-            rows = json.load(fh)
+    for path in _gate_files():
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
         green |= {name for name, row in rows.items()
-                  if row.get("hash_match") is True}
+                  if isinstance(row, dict)
+                  and row.get("hash_match") is True}
     return green
 
 
@@ -102,16 +116,21 @@ def test_tail_entries_were_green_recently():
     queries the 50-row window physically cannot re-certify everything
     every 2 rounds — ceil(n/50) is the fastest cadence the rotation
     can deliver, and the staleness-sorted window achieves exactly it."""
-    paths = sorted(glob.glob(os.path.join(REPO_ROOT,
-                                          "CORRECTNESS_r*.json")))
+    paths = _gate_files()
     if not paths:
         return
     fresh = set(ROWS_ONLY_BY_DESIGN)
     for path in paths[-STALENESS_HORIZON:]:
-        with open(path) as fh:
-            rows = json.load(fh)
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
         fresh |= {name for name, row in rows.items()
-                  if row.get("hash_match") is True}
+                  if isinstance(row, dict)
+                  and row.get("hash_match") is True}
     stale = [n for n in list(QUERIES)[GATE_WINDOW:] if n not in fresh]
     assert not stale, (
         f"tail entries with no green row in the last "
@@ -126,15 +145,33 @@ def test_registry_order_is_the_derived_rotation():
     independently here (freshest-green round per query, never-green
     first, then stalest, name tiebreak, _FORCE_WINDOW pinned ahead)
     and assert the registry order matches it exactly — a manual edit
-    to the order, or a rotation-logic regression, trips this."""
+    to the order, or a rotation-logic regression, trips this.
+
+    File enumeration is shared with production (_correctness_files —
+    the git-tracked set, ADVICE r8), and the degraded-path tolerance
+    MIRRORS production (ADVICE r8): unreadable / non-JSON / non-dict
+    files and non-dict rows are skipped, exactly as
+    freshest_green_rounds promises, so this asserts order equality
+    under the same inputs the rotation actually uses instead of
+    crashing where production would degrade gracefully."""
+    from flink_user_behavior_analysis_spark.queries import (
+        _correctness_files,
+    )
+
     fresh: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO_ROOT,
-                                              "CORRECTNESS_r*.json"))):
+    for path in _correctness_files():
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        with open(path) as fh:
-            rows = json.load(fh)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
         for name, row in rows.items():
-            if row.get("hash_match") is True:
+            if isinstance(row, dict) and row.get("hash_match") is True:
                 fresh[name] = max(fresh.get(name, -1), int(m.group(1)))
     forced = set(_FORCE_WINDOW)
     expected = sorted(
