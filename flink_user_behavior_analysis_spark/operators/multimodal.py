@@ -276,6 +276,231 @@ def resize_media(media: DataFrame, max_bytes: int = 128) -> DataFrame:
     )
 
 
+# --- real-format header parsing (PNG / JPEG) ------------------------
+# Second oracle-checkable decoder tier (VERDICT r8 #8): parse the
+# HEADERS of the two dominant real image formats — dims, bit depth,
+# channel count — with no pixel decode, so multimodal metadata
+# extraction certifies against real-format bytes while full pixel
+# decoders stay env-gated behind decode_media(decoder='real'). Both
+# parsers are spec-literal pure python (PNG: RFC 2083 §3 signature +
+# IHDR layout with CRC-32 validation; JPEG: ITU T.81 §B marker-segment
+# walk to the first SOFn), pinned against hand-verified fixture bytes
+# in tests/test_pipeline_ops.py.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color_type -> channels
+# SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC), per T.81 Table B.1
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+HEADER_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("bit_depth", LongType()),
+    StructField("channels", LongType()),
+])
+
+
+def png_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a PNG header: validate the 8-byte signature, require the
+    first chunk to be IHDR (per spec), CHECK ITS CRC-32, and return
+    (width, height, bit_depth, channels). Reference copy — the
+    mapInPandas closure in media_headers inlines the same logic."""
+    import binascii
+    import struct
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG signature")
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("first chunk is not a 13-byte IHDR")
+    body = payload[12:16 + 13]           # chunk type + data
+    (crc,) = struct.unpack(">I", payload[16 + 13:16 + 17])
+    if binascii.crc32(body) & 0xFFFFFFFF != crc:
+        raise ValueError("IHDR CRC mismatch")
+    w, h, depth, color_type = struct.unpack(">IIBB", payload[16:26])
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    return w, h, depth, _PNG_CHANNELS[color_type]
+
+
+def jpeg_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a JPEG header: validate SOI, walk the marker segments to
+    the first SOFn frame header, and return (width, height,
+    precision, n_components). Stops at SOS/EOI — no entropy-coded
+    data is touched."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG SOI")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at {i}")
+        marker = payload[i + 1]
+        if marker == 0xFF:               # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+            if marker == 0xD9:
+                break                    # EOI before any SOF
+            i += 2                       # standalone marker
+            continue
+        seg_len = int.from_bytes(payload[i + 2:i + 4], "big")
+        if seg_len < 2:
+            raise ValueError("corrupt segment length")
+        if marker in _JPEG_SOF:
+            precision = payload[i + 4]
+            h = int.from_bytes(payload[i + 5:i + 7], "big")
+            w = int.from_bytes(payload[i + 7:i + 9], "big")
+            ncomp = payload[i + 9]
+            return w, h, precision, ncomp
+        if marker == 0xDA:               # SOS — frame header was owed
+            break
+        i += 2 + seg_len
+    raise ValueError("no SOF marker before SOS/EOI")
+
+
+def _be_bytes(col, n_hex: int):
+    """Big-endian fixed-width byte encoding of a non-negative integral
+    Column, built JVM-side (hex -> left-pad -> unhex)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), n_hex, "0"))
+
+
+def documents_as_png(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Wrap documents as media whose payloads are REAL PNG byte
+    streams: signature + a spec-correct IHDR chunk (big-endian dims
+    derived from the text length, bit depth 8, truecolor) with its
+    CRC-32 computed JVM-side (F.crc32 over type+data, exactly the
+    polynomial the spec mandates), closed by an IEND chunk. Pure
+    column expressions — shuffle-free scan; the header parser must
+    then reproduce (w, h) = (len%64+1, len%32+1) from the BYTES, which
+    the DuckDB oracle predicts independently from the length."""
+    import binascii
+
+    n = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    w, h = n % 64 + 1, n % 32 + 1
+    ihdr_body = F.concat(F.lit(b"IHDR"), _be_bytes(w, 8),
+                         _be_bytes(h, 8), F.lit(bytes([8, 2, 0, 0, 0])))
+    iend = ((0).to_bytes(4, "big") + b"IEND"
+            + (binascii.crc32(b"IEND") & 0xFFFFFFFF).to_bytes(4, "big"))
+    payload = F.concat(
+        F.lit(PNG_SIG), _be_bytes(F.lit(13), 8), ihdr_body,
+        _be_bytes(F.crc32(ihdr_body), 8), F.lit(iend))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("png").alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.hex(payload), 256).alias("content_sha256"),
+    )
+
+
+def documents_as_jpeg(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Wrap documents as media whose payloads are REAL JPEG marker
+    streams: SOI, a literal JFIF APP0 segment, a spec-correct SOF0
+    frame header (precision 8, big-endian height-then-width per
+    T.81 §B.2.2, 3 components with standard 4:2:0 sampling specs),
+    EOI. Same (w, h) derivation as documents_as_png so one oracle
+    formula covers both formats."""
+    n = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    w, h = n % 64 + 1, n % 32 + 1
+    app0 = (b"\xff\xe0\x00\x10JFIF\x00\x01\x02\x00"
+            b"\x00\x01\x00\x01\x00\x00")
+    sof0 = F.concat(F.lit(b"\xff\xc0\x00\x11\x08"),
+                    _be_bytes(h, 4), _be_bytes(w, 4),
+                    F.lit(b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"))
+    payload = F.concat(F.lit(b"\xff\xd8" + app0), sof0,
+                       F.lit(b"\xff\xd9"))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("jpeg").alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.hex(payload), 256).alias("content_sha256"),
+    )
+
+
+def media_headers(media: DataFrame) -> DataFrame:
+    """Header-metadata extraction over real-format payloads: parse
+    each payload's PNG or JPEG header (dispatch on the ``format``
+    column) inside mapInPandas — Arrow-batched, partition-preserving,
+    shuffle-free; memory bounded by the Arrow batch size, exactly the
+    decode_media plumbing contract. Emits (media_id, format, width,
+    height, bit_depth, channels)."""
+
+    # parsers inlined (mirroring png_header/jpeg_header above) so
+    # cloudpickle ships them by value — same rationale as decode_media
+    def _header_batches(batches: Iterator) -> Iterator:
+        import binascii
+        import struct
+
+        import pandas as pd
+
+        png_channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+        def parse_png(p: bytes):
+            if p[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG signature")
+            length, ctype = struct.unpack(">I4s", p[8:16])
+            if ctype != b"IHDR" or length != 13:
+                raise ValueError("first chunk is not a 13-byte IHDR")
+            body = p[12:29]
+            (crc,) = struct.unpack(">I", p[29:33])
+            if binascii.crc32(body) & 0xFFFFFFFF != crc:
+                raise ValueError("IHDR CRC mismatch")
+            w, h, depth, color_type = struct.unpack(">IIBB", p[16:26])
+            return w, h, depth, png_channels[color_type]
+
+        def parse_jpeg(p: bytes):
+            if p[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG SOI")
+            i = 2
+            while i + 4 <= len(p):
+                if p[i] != 0xFF:
+                    raise ValueError(f"bad marker alignment at {i}")
+                marker = p[i + 1]
+                if marker == 0xFF:
+                    i += 1
+                    continue
+                if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
+                    if marker == 0xD9:
+                        break
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+                if seg_len < 2:
+                    raise ValueError("corrupt segment length")
+                if marker in sof:
+                    return (int.from_bytes(p[i + 7:i + 9], "big"),
+                            int.from_bytes(p[i + 5:i + 7], "big"),
+                            p[i + 4], p[i + 9])
+                if marker == 0xDA:
+                    break
+                i += 2 + seg_len
+            raise ValueError("no SOF marker before SOS/EOI")
+
+        for pdf in batches:
+            out = []
+            for mid, fmt, p in zip(pdf["media_id"], pdf["format"],
+                                   pdf["payload"]):
+                parse = parse_png if fmt == "png" else parse_jpeg
+                w, h, depth, ch = parse(bytes(p))
+                out.append((mid, fmt, w, h, depth, ch))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "format", "width", "height",
+                "bit_depth", "channels"])
+
+    return media.select("media_id", "format", "payload") \
+        .mapInPandas(_header_batches, schema=HEADER_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,
                  max_frames: int = 8) -> DataFrame:
     """'Frame sampling' plumbing: explode each payload into up to

@@ -1977,6 +1977,41 @@ FROM px
 """
 
 
+def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-format header metadata (VERDICT r8 #8): even docs become
+    REAL PNG byte streams (signature + CRC-validated IHDR), odd docs
+    REAL JPEG marker streams (SOI/APP0/SOF0), both built JVM-side
+    with dims derived from the text length; the spec-literal
+    pure-python header parsers (operators/multimodal.py:png_header /
+    jpeg_header) then recover (width, height, bit_depth, channels)
+    from the BYTES inside one Arrow mapInPandas pass. The oracle
+    predicts the dims independently from the length formula — a
+    builder/parser endianness or offset bug surfaces as a hash
+    mismatch; the byte-level fixture pins live in
+    tests/test_pipeline_ops.py against hand-verified spec vectors."""
+    from .operators.multimodal import (
+        documents_as_jpeg,
+        documents_as_png,
+        media_headers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    media = documents_as_png(docs.where(F.col("doc_id") % 2 == 0)) \
+        .unionByName(documents_as_jpeg(docs.where(F.col("doc_id") % 2 == 1)))
+    return media_headers(media)
+
+
+MULTIMODAL_HEADERS_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       (octet_length(encode(text)) % 64 + 1)::BIGINT AS width,
+       (octet_length(encode(text)) % 32 + 1)::BIGINT AS height,
+       8::BIGINT AS bit_depth,
+       3::BIGINT AS channels
+FROM documents
+"""
+
+
 RESIZE_MAX_BYTES = 128
 
 
@@ -3263,6 +3298,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_pipeline": q_curation_pipeline,
     "doc_fingerprints": q_doc_fingerprints,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_headers": q_multimodal_headers,
     "multimodal_decode": q_multimodal_decode,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
@@ -3332,6 +3368,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "curation_pipeline": _curation_sql(),
     "doc_fingerprints": _fingerprint_sql(),
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_headers": MULTIMODAL_HEADERS_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,

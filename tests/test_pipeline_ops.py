@@ -153,6 +153,92 @@ def test_ppm_codec_rejects_malformed_payloads():
         ppm_decode(b"P6\n1 1\n127\n" + b"\x00" * 3)
 
 
+# Hand-verified spec vectors (VERDICT r8 #8). The PNG pins include
+# two externally recognizable constants — the canonical 8-byte
+# signature 89504E470D0A1A0A and the universal IEND chunk tail
+# AE426082 — so the fixture is checkable against the published spec,
+# not just against this repo's own builder.
+_PNG_FIXTURE = bytes.fromhex(
+    "89504e470d0a1a0a0000000d4948445200000002000000030802000000"
+    "368849d60000000049454e44ae426082")          # 2x3, depth 8, RGB
+_JPEG_FIXTURE = bytes.fromhex(
+    "ffd8fffe00046869ffdb00070000000000"          # SOI, COM('hi'), DQT
+    "ffc0000b080003000201011100ffd9")             # SOF0 3x2 1-comp, EOI
+
+
+def test_header_parsers_pinned_to_spec_vectors():
+    """png_header / jpeg_header against committed byte vectors with
+    KNOWN field values — catches a builder+parser pair that agree on
+    the wrong endianness/offset (which the oracle formula alone
+    cannot, since it never reads the bytes)."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        jpeg_header,
+        png_header,
+    )
+
+    assert png_header(_PNG_FIXTURE) == (2, 3, 8, 3)
+    # (w, h, precision, n_components); the marker walk must skip the
+    # COM and DQT segments to reach SOF0
+    assert jpeg_header(_JPEG_FIXTURE) == (2, 3, 8, 1)
+
+    with pytest.raises(ValueError, match="signature"):
+        png_header(b"\x88PNG\r\n\x1a\n" + _PNG_FIXTURE[8:])
+    bad_crc = bytearray(_PNG_FIXTURE)
+    bad_crc[30] ^= 0xFF                     # flip a CRC byte
+    with pytest.raises(ValueError, match="CRC"):
+        png_header(bytes(bad_crc))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_header(b"\xff\xd9" + _JPEG_FIXTURE[2:])
+    with pytest.raises(ValueError, match="no SOF"):
+        jpeg_header(b"\xff\xd8\xff\xd9")    # SOI then EOI, no frame
+
+
+def test_media_headers_roundtrip_and_builder_pin(spark):
+    """The JVM-built PNG/JPEG payloads must (a) byte-equal a
+    host-python reference construction for a known text — pinning
+    F.crc32/unhex/lpad against binascii+struct — and (b) round-trip
+    through the Arrow media_headers pass to the dims the length
+    formula predicts, for texts crossing the modulus boundaries."""
+    import binascii
+    import struct
+
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        PNG_SIG,
+        documents_as_jpeg,
+        documents_as_png,
+        media_headers,
+    )
+
+    texts = ["spec", "", "é" * 40, "x" * 63, "y" * 64, "z" * 200]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+
+    # (a) builder pin on one known row
+    n = len("spec".encode())
+    ihdr_body = (b"IHDR" + struct.pack(">II", n % 64 + 1, n % 32 + 1)
+                 + bytes([8, 2, 0, 0, 0]))
+    want_png = (PNG_SIG + struct.pack(">I", 13) + ihdr_body
+                + struct.pack(">I", binascii.crc32(ihdr_body) & 0xFFFFFFFF)
+                + struct.pack(">I", 0) + b"IEND"
+                + struct.pack(">I", binascii.crc32(b"IEND") & 0xFFFFFFFF))
+    got_png = bytes(documents_as_png(docs).where("media_id = 0")
+                    .collect()[0].payload)
+    assert got_png == want_png
+
+    # (b) round-trip: parse ALL built payloads of both formats
+    media = documents_as_png(docs).unionByName(documents_as_jpeg(
+        docs.withColumn("doc_id", F.col("doc_id") + 100)))
+    got = {(r.media_id, r.format): (r.width, r.height, r.bit_depth,
+                                    r.channels)
+           for r in media_headers(media).collect()}
+    assert len(got) == 2 * len(texts)
+    for i, t in enumerate(texts):
+        nb = len(t.encode())
+        want = (nb % 64 + 1, nb % 32 + 1, 8, 3)
+        assert got[(i, "png")] == want, (i, t)
+        assert got[(i + 100, "jpeg")] == want, (i, t)
+
+
 def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     media = documents_as_media(docs)

@@ -28,6 +28,7 @@ ARROW_ALLOWED = {
     "dedup_embedding_cosine_lsh",  # per-bucket blocked GEMM (applyInPandas)
     "dedup_embedding_cosine_lsh_mt",  # same, one stage per LSH table
     "multimodal_decode",     # decode stub over binary payloads
+    "multimodal_headers",    # PNG/JPEG header parse over binary payloads
     "frame_sample",          # per-media frame expansion
 }
 
