@@ -126,6 +126,13 @@ HEADLINE = [
     "nation_market_share",
     "forecast_revenue_change",
     "customer_order_distribution",
+    # round-9 additions: the Q9 compound-key fact-to-fact join in both
+    # forms (the bucketed twin's min-of-N is the steady-state
+    # exchange-free probe; its first run pays the bucketed build) and
+    # the real-format header parse (Arrow map over binary payloads)
+    "profit_by_nation_year",
+    "profit_by_nation_year_bucketed",
+    "multimodal_headers",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -142,21 +149,38 @@ FAST_HASH_QUERIES = [
 # their model — and rescan brute-force truth — on EVERY call; they are
 # self-certifying correctness forms, not the serving path. Their
 # stored twins are the serving path: the twin's FIRST timed run at the
-# bench SF is build-inclusive (fresh session -> empty catalog -> the
-# gated rebuild fires), the min-of-2 is the steady-state probe. The
-# JSON's "train_vs_serve" block reports all three walls so the 2x
-# perf gate can track the probe (what a cluster serves) while the
-# fit cost stays visible instead of polluting the headline row.
+# bench SF is build-inclusive when the artifact did not pre-exist, the
+# min over later runs is the steady-state probe. The JSON's
+# "train_vs_serve" block reports all three walls so the 2x perf gate
+# can track the probe (what a cluster serves) while the fit cost stays
+# visible instead of polluting the headline row. The third field is
+# the stored artifact's CATALOG PREFIX (sans sf tag): the build wall
+# is attributed explicitly by checking index_ready before the first
+# timed run (ADVICE r8) — if the artifact already existed (e.g.
+# hybrid reuses bm25's index, or the warmup fell back to the bench
+# SF), the JSON says shared_artifact instead of a misleading ~0.
 TRAIN_INCLUSIVE = {
-    "ann_topk_pq": "ann_topk_pq_stored",
-    "ann_topk_ivfpq": "ann_topk_ivfpq_stored",
-    "hybrid_retrieval": "hybrid_retrieval_stored",
-    "bm25_topk": "bm25_topk_stored",
-    "lm_score": "lm_score_stored",
+    "ann_topk_pq": ("ann_topk_pq_stored", "pq"),
+    "ann_topk_ivfpq": ("ann_topk_ivfpq_stored", "ivfpq"),
+    "hybrid_retrieval": ("hybrid_retrieval_stored", "bm25"),
+    "bm25_topk": ("bm25_topk_stored", "bm25"),
+    "lm_score": ("lm_score_stored", "lm"),
 }
+
+# Self-adjudication (VERDICT r8 #2): this VM's load swings single-shot
+# walls up to ~5x (r9 A/B: dedup_clusters 12.7s vs 2.6s back-to-back,
+# same code). When a row's two timings disagree by more than
+# DISAGREE_RATIO, the row reruns (up to MAX_EXTRA_RUNS more) so its
+# min is taken from a window long enough to dodge the load spike —
+# and the JSON records the full timing vector for any row that needed
+# it, plus os.getloadavg() at start/end, so a cross-round delta can
+# be read against the machine state without manual forensics.
+DISAGREE_RATIO = 1.5
+MAX_EXTRA_RUNS = 2
 
 
 def main() -> None:
+    load_start = os.getloadavg()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app="fuba-bench")
@@ -197,57 +221,80 @@ def main() -> None:
             except Exception as exc:  # pragma: no cover
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _artifact_tag,
+    )
+    from flink_user_behavior_analysis_spark.sources.readers import (
+        index_ready,
+    )
+
+    tag = _artifact_tag(sf_dir)
+    stored_prefix = {s: f"{p}_{tag}" for s, p in TRAIN_INCLUSIVE.values()}
+
     per_query: dict[str, float] = {}
-    first_run: dict[str, float] = {}
+    timings: dict[str, list[float]] = {}
+    ready_before: dict[str, bool] = {}
+    unstable: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is None:
             continue
-        # min of 2 timed runs: this container is a shared VM and
-        # single-shot walls vary ~1.5x with neighbor load; the min is
-        # the reproducible number (plans are warmed above, so neither
-        # run pays JIT)
-        best, n = None, 0
-        for i in range(2):
+        # ADVICE r8: attribute the stored twins' build wall EXPLICITLY
+        # — did the artifact exist before this row's first timed run?
+        if name in stored_prefix:
+            ready_before[name] = index_ready(spark, stored_prefix[name])
+        # min of 2 timed runs, rerun on disagreement: this container
+        # is a shared VM and single-shot walls vary with neighbor
+        # load; the min is the reproducible number (plans are warmed
+        # above, so no run pays JIT), and a row whose two timings
+        # disagree by >DISAGREE_RATIO gets extra runs so a load spike
+        # spanning both initial runs cannot masquerade as a
+        # regression (VERDICT r8 #2)
+        times: list[float] = []
+        n = 0
+        while True:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            dt = time.perf_counter() - t0
-            if i == 0:
-                first_run[name] = dt
-            best = dt if best is None else min(best, dt)
+            times.append(time.perf_counter() - t0)
             # drop persisted signature frames between timings — a
-            # long-lived session must not accumulate blocks, and run 2
-            # must not read run 1's cache
+            # long-lived session must not accumulate blocks, and a
+            # later run must not read an earlier run's cache
             release_signature_cache()
-        per_query[name] = round(best, 3)
-        print(f"# {name}: {per_query[name]:.3f}s rows={n}", file=sys.stderr)
+            if len(times) >= 2 and (
+                    max(times) / min(times) <= DISAGREE_RATIO
+                    or len(times) >= 2 + MAX_EXTRA_RUNS):
+                break
+        per_query[name] = round(min(times), 3)
+        timings[name] = [round(t, 3) for t in times]
+        if len(times) > 2:
+            unstable[name] = timings[name]
+        print(f"# {name}: {per_query[name]:.3f}s rows={n} "
+              f"runs={timings[name]}", file=sys.stderr)
 
-    # fit/probe decomposition for the train-per-call entries: the
-    # stored twin's first run rebuilt the index (build + probe), so
-    # build ~= first_run - steady probe. A near-zero build means the
-    # artifact was shared with an earlier entry (hybrid reuses bm25's
-    # index) — honest, since the serving fleet shares it too.
-    train_vs_serve: dict[str, dict[str, float | None]] = {}
-    # when the warmup fell back to sf_dir, the warmup pass already
-    # built every stored artifact at the bench SF, so first-run minus
-    # probe measures nothing — report the build as unknown (None)
-    # rather than a misleading ~0
-    build_measurable = warm_dir != sf_dir
-    for inline, stored in TRAIN_INCLUSIVE.items():
+    # fit/probe decomposition for the train-per-call entries: when the
+    # stored artifact did NOT pre-exist, the twin's first run was
+    # build-inclusive and build = first_run - steady probe (min of the
+    # later runs); when it DID (hybrid reuses bm25's index, or the
+    # warmup fell back to the bench SF), the JSON says shared_artifact
+    # — never a silent ~0 a reader could mistake for a free build.
+    train_vs_serve: dict[str, dict] = {}
+    for inline, (stored, _p) in TRAIN_INCLUSIVE.items():
         if inline not in per_query or stored not in per_query:
             continue
-        build = (round(max(0.0, first_run.get(stored, 0.0)
-                           - per_query[stored]), 3)
-                 if build_measurable else None)
+        shared = ready_before.get(stored, False)
+        runs = timings[stored]
+        build = (None if shared or len(runs) < 2
+                 else round(max(0.0, runs[0] - min(runs[1:])), 3))
         train_vs_serve[inline] = {
             "inline_fit_inclusive": per_query[inline],
             "stored_build": build,
+            "shared_artifact": shared,
             "serving_probe": per_query[stored],
         }
         print(f"# train_vs_serve {inline}: inline={per_query[inline]:.3f}s "
-              f"build={build} probe={per_query[stored]:.3f}s",
-              file=sys.stderr)
+              f"build={build} shared={shared} "
+              f"probe={per_query[stored]:.3f}s", file=sys.stderr)
 
     # Production-hash column (VERDICT r4 item 8): re-time the queries
     # whose signatures route through the sig_hash seam with
@@ -292,6 +339,12 @@ def main() -> None:
         "queries": per_query,
         "fast_hash": fast_hash,
         "train_vs_serve": train_vs_serve,
+        # machine-state + instability evidence (VERDICT r8 #2): rows
+        # that needed adjudication reruns, with their full timing
+        # vectors, and the 1/5/15-min load at both ends of the bench
+        "unstable": unstable,
+        "load": {"start": [round(x, 2) for x in load_start],
+                 "end": [round(x, 2) for x in os.getloadavg()]},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload)

@@ -1,12 +1,22 @@
 """Driver-simulation for a SUBSET of the contract: same hash compare
 as tools/drive_contract.py (shared helpers in tools/_driver_sim.py)
-but only for the query names given on the command line (or, with
---window, the first GATE_WINDOW registry entries — the exact set the
-round driver gates).
+but only for the query names given on the command line, or:
+
+  --window  the first GATE_WINDOW registry entries — the exact set
+            the round driver gates this round;
+  --tail    everything PAST the window (VERDICT r8 #7): as the
+            registry grows, the rotation horizon stretches — a wrong
+            answer introduced in a tail query could sit outside the
+            driver window for ceil(n/50) rounds. Running the tail
+            locally once per round (DuckDB-side only, no driver)
+            re-certifies those entries on the same hash compare, so
+            the effective staleness is one round regardless of
+            registry size. PERF.md records its wall per round.
 
 Usage:
     python tools/drive_subset.py name1 name2 ...
     python tools/drive_subset.py --window
+    python tools/drive_subset.py --tail
 """
 import sys
 import time
@@ -26,10 +36,11 @@ from tools._driver_sim import (  # noqa: E402
 def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     names = sys.argv[1:]
-    if names == ["--window"]:
+    if names in (["--window"], ["--tail"]):
         from flink_user_behavior_analysis_spark.queries import GATE_WINDOW
 
-        names = list(qs)[:GATE_WINDOW]
+        names = (list(qs)[:GATE_WINDOW] if names == ["--window"]
+                 else list(qs)[GATE_WINDOW:])
     unknown = [n for n in names if n not in qs]
     if unknown:
         print("unknown queries:", unknown)
