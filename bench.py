@@ -165,6 +165,10 @@ TRAIN_INCLUSIVE = {
     "hybrid_retrieval": ("hybrid_retrieval_stored", "bm25"),
     "bm25_topk": ("bm25_topk_stored", "bm25"),
     "lm_score": ("lm_score_stored", "lm"),
+    # not a model fit, but the same inline-vs-stored economics: the
+    # inline Q9 recomputes the compound-key cost aggregate per call,
+    # the bucketed twin's first run writes both bucketed tables
+    "profit_by_nation_year": ("profit_by_nation_year_bucketed", "q9b"),
 }
 
 # Self-adjudication (VERDICT r8 #2): this VM's load swings single-shot
@@ -243,6 +247,12 @@ def main() -> None:
         # — did the artifact exist before this row's first timed run?
         if name in stored_prefix:
             ready_before[name] = index_ready(spark, stored_prefix[name])
+        # a stored twin whose artifact is absent will spend its first
+        # run on the build — that disagreement is EXPECTED, so the
+        # adjudication window starts at run 2 for those rows (sf1 run:
+        # 8 stored rows each burned a pointless extra run without this)
+        skip_first = (name in stored_prefix
+                      and not ready_before.get(name, False))
         # min of 2 timed runs, rerun on disagreement: this container
         # is a shared VM and single-shot walls vary with neighbor
         # load; the min is the reproducible number (plans are warmed
@@ -252,6 +262,7 @@ def main() -> None:
         # regression (VERDICT r8 #2)
         times: list[float] = []
         n = 0
+        base_runs = 3 if skip_first else 2
         while True:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -261,13 +272,14 @@ def main() -> None:
             # long-lived session must not accumulate blocks, and a
             # later run must not read an earlier run's cache
             release_signature_cache()
-            if len(times) >= 2 and (
-                    max(times) / min(times) <= DISAGREE_RATIO
-                    or len(times) >= 2 + MAX_EXTRA_RUNS):
+            adj = times[1:] if skip_first else times
+            if len(adj) >= 2 and (
+                    max(adj) / min(adj) <= DISAGREE_RATIO
+                    or len(times) >= base_runs + MAX_EXTRA_RUNS):
                 break
         per_query[name] = round(min(times), 3)
         timings[name] = [round(t, 3) for t in times]
-        if len(times) > 2:
+        if len(times) > base_runs:
             unstable[name] = timings[name]
         print(f"# {name}: {per_query[name]:.3f}s rows={n} "
               f"runs={timings[name]}", file=sys.stderr)

@@ -874,9 +874,17 @@ def test_compact_partitioned_table_stage_cleanup_and_optional_stats(
     # the stage holds the full compacted row set
     assert spark.table(f"{table}_stage").count() == before
 
-    # the next successful compaction overwrites and then clears it
+    # a fresh compaction must now REFUSE (r9, ADVICE r8): the target
+    # may be torn and recompacting it would destroy the recovery copy
+    with _pytest.raises(RuntimeError, match="stage already exists"):
+        readers.compact_partitioned_table(spark, table, ["cell"],
+                                          collect_stats=False)
+    assert spark.catalog.tableExists(f"{table}_stage")
+    # recover_from_stage finishes the interrupted overwrite from the
+    # stage, clears it, and proceeds with the compaction
     readers.compact_partitioned_table(spark, table, ["cell"],
-                                      collect_stats=False)
+                                      collect_stats=False,
+                                      recover_from_stage=True)
     assert not spark.catalog.tableExists(f"{table}_stage")
     assert spark.table(table).count() == before
     _drop(spark, table)
