@@ -1821,13 +1821,22 @@ def _dynamic_overwrite_insert(spark, aligned: DataFrame,
     instant between this check and the write but cannot close it (a
     flip landing inside that instant still truncates). On a shared
     cluster use a table format with a transactional replaceWhere —
-    that is the real cure, not this check."""
+    that is the real cure, not this check.
+
+    The conf is set on ``aligned``'s OWN session, not the caller's
+    handle: under foreachBatch the batch DataFrame belongs to a
+    per-query session CLONE with its own conf, and insertInto
+    resolves the mode from the session that executes the write —
+    setting it on the outer handle left the clone in 'static' and
+    truncated the whole cells table (r9: caught by the semdedup
+    streaming-ingest restart test)."""
     key = "spark.sql.sources.partitionOverwriteMode"
+    sess = aligned.sparkSession
     with _DYNAMIC_OVERWRITE_LOCK:
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
+        prev = sess.conf.get(key, "static")
+        sess.conf.set(key, "dynamic")
         try:
-            actual = spark.conf.get(key)
+            actual = sess.conf.get(key)
             if actual.lower() != "dynamic":
                 raise RuntimeError(
                     f"partitionOverwriteMode flipped to {actual!r} "
@@ -1836,7 +1845,7 @@ def _dynamic_overwrite_insert(spark, aligned: DataFrame,
                     f"here would truncate the whole table")
             aligned.write.insertInto(table, overwrite=True)
         finally:
-            spark.conf.set(key, prev)
+            sess.conf.set(key, prev)
 
 
 def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,

@@ -160,3 +160,132 @@ def test_streaming_ingest_exactly_once_across_restart(spark, sf_dir,
         for t in spark.catalog.listTables():
             if t.name.startswith(p):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def _crash_once_then_restart(spark, stream_fn, ckpt, ingest_fn,
+                             job_id):
+    """Drive run_ingest_foreach_batch to a crash AFTER the first
+    successful append (before its epoch commits), then restart from
+    the same checkpoint and drain — the harness every exactly-once
+    family test shares. Returns the batch ids seen (first attempt's
+    content pinned)."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        run_ingest_foreach_batch,
+    )
+
+    crashed = {"done": False}
+
+    def _sabotaged(batch_df, batch_id):
+        n = ingest_fn(batch_df, batch_id)
+        if not crashed["done"]:
+            crashed["done"] = True
+            assert n > 0, "sabotage must fire after a real append"
+            raise RuntimeError("simulated crash after append")
+
+    with pytest.raises(StreamingQueryException, match="simulated crash"):
+        run_ingest_foreach_batch(stream_fn(), ckpt, _sabotaged,
+                                 job_id=job_id)
+    run_ingest_foreach_batch(stream_fn(), ckpt, ingest_fn,
+                             job_id=job_id)
+
+
+def test_streaming_span_ingest_exactly_once_across_restart(
+        spark, sf_dir, tmp_path):
+    """The ADDITIVE-MERGE family (span counts) through the streaming
+    ingest harness: a replayed epoch must not double-count any
+    fingerprint — the final counts table equals a one-shot store of
+    base ∪ everything streamed, bit-for-bit."""
+    from flink_user_behavior_analysis_spark.operators.chunking import (
+        span_append_counts,
+        span_store_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where("doc_id % 10 < 3")
+    incoming = docs.where("doc_id % 10 >= 3")
+    src = str(tmp_path / "src")
+    incoming.repartition(3).write.parquet(src)
+
+    prefix, ref = "t_spi_eo", "t_spi_ref"
+    for p in (prefix, ref):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    span_store_counts(base, prefix)
+
+    def _stream():
+        return (spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    _crash_once_then_restart(
+        spark, _stream, str(tmp_path / "ckpt"),
+        lambda b, bid: span_append_counts(spark, prefix, b,
+                                          batch_id=bid),
+        job_id="sp")
+
+    span_store_counts(docs, ref)  # base ∪ incoming in one shot
+    got = sorted(map(tuple, spark.table(f"{prefix}_spancounts").collect()))
+    want = sorted(map(tuple, spark.table(f"{ref}_spancounts").collect()))
+    assert got == want and got, (
+        "streamed additive merges with a replayed epoch diverged "
+        "from the one-shot union store")
+    for p in (prefix, ref):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_streaming_semdedup_ingest_exactly_once_across_restart(
+        spark, sf_dir, tmp_path):
+    """The IDEMPOTENT DYNAMIC-OVERWRITE family (SemDeDup cells)
+    through the streaming ingest harness — the OTHER recovery mode
+    (batch-keyed partition overwrite instead of a manifest-bracket
+    transaction) must compose with epoch replay the same way: the
+    replayed epoch overwrites only its own partitions, so the cells
+    table ends with every vector exactly once."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_append_corpus,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    prefix = "t_sdi_eo"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    cents = _semdedup_read_centroids_or_fit(spark)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    h = F.abs(F.xxhash64("vec_id") % 10)
+    part_a = embs.where(h >= 5)
+    incoming = embs.where(h < 5)
+    src = str(tmp_path / "src")
+    incoming.repartition(3).write.parquet(src)
+    semdedup_store_corpus(part_a, cents, prefix)
+    n_a = spark.table(f"{prefix}_cells").count()
+
+    def _stream():
+        return (spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    _crash_once_then_restart(
+        spark, _stream, str(tmp_path / "ckpt"),
+        lambda b, bid: semdedup_append_corpus(spark, prefix, b, cents,
+                                              batch_id=bid),
+        job_id="sd")
+
+    cells = spark.table(f"{prefix}_cells").select("vec_id")
+    n_rows, n_ids = cells.count(), cells.distinct().count()
+    assert n_rows == n_ids == n_a + incoming.count(), (
+        f"replayed epoch broke the cells table: {n_rows} rows, "
+        f"{n_ids} distinct ids, expected {n_a + incoming.count()}")
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
