@@ -848,3 +848,23 @@ def test_pii_scrub_stream_equals_batch(spark, sf_dir):
     batch = pii_scrub(_docs(spark, sf_dir))
     cols = ["doc_id", "n_email", "n_phone", "n_ip", "scrubbed"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_media_headers_stream_equals_batch(spark, sf_dir):
+    """Streaming header parse == batch parse row-for-row: building
+    the PNG/JPEG payloads and parsing their headers are stateless
+    per-row operations, so the append-mode replay must recover
+    identical (dims, depth, channels) for every document."""
+    from flink_user_behavior_analysis_spark import queries as Q
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        media_headers_stream,
+        run_available_now,
+    )
+
+    streamed = run_available_now(media_headers_stream(spark, sf_dir),
+                                 output_mode="append")
+    batch = Q.QUERIES["multimodal_headers"](spark, sf_dir)
+    cols = ["media_id", "format", "width", "height", "bit_depth",
+            "channels"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0
