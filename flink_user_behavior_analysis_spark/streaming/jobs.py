@@ -574,10 +574,12 @@ def run_with_late_channel(
     over the rows a watermarked streaming agg would have accepted,
     and nothing is silently dropped.
 
-    Bounded-replay harness (like run_topn_foreach_batch): per-batch
-    rows are collected to the driver. An unbounded production run
-    would instead write both legs to keyed sinks from inside
-    foreachBatch.
+    TEST-ONLY HARNESS (VERDICT r8): per-batch rows are collected to
+    the driver, which is fine for bounded replays in tests and
+    unbounded nowhere. The production twin is
+    ``run_with_late_channel_to_parquet`` below — identical routing,
+    both legs appended to parquet sinks inside foreachBatch, zero
+    driver-side row state.
     """
     spark = raw_sdf.sparkSession
     delay_us = int(delay_seconds * 1_000_000)
