@@ -1028,3 +1028,79 @@ def test_append_loop_auto_compacts_and_stays_bounded(spark, sf_dir):
         sorted(map(tuple, ref.collect()))
     _drop_prefix(spark, prefix)
     _drop_prefix(spark, ref_prefix)
+
+
+def test_compaction_crash_mid_ingest_recovers_via_quarantine(
+        spark, sf_dir, monkeypatch):
+    """r9 full-lifecycle composition: an in-path auto-compaction
+    crashes AFTER an append committed (data + ledger) and AFTER the
+    compaction bracket invalidated the manifest. Every piece built
+    this round must now compose: the failure surfaces as
+    MaintenanceFailedError (append committed, don't re-ingest), the
+    torn index refuses further appends, the gated REBUILD quarantines
+    the committed-then-discarded batch ids, a NEW batch refuses until
+    the quarantined ones are re-delivered, and after the drain the
+    index holds every batch exactly once."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        MaintenanceFailedError,
+        ivfpq_append_to_index,
+        ivfpq_store_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _embs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_life_quar"
+    _drop_prefix(spark, prefix)
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    h = F.abs(F.xxhash64("vec_id") % 10)
+    base = embs.where(h >= 6)
+    b1 = embs.where((h >= 4) & (h < 6))
+    b2 = embs.where((h >= 2) & (h < 4))
+    b3 = embs.where(h < 2)
+
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+    assert ivfpq_append_to_index(spark, prefix, b1, batch_id="b1") > 0
+
+    # b2's append commits, then the triggered compaction crashes
+    # INSIDE its bracket (manifest already invalidated)
+    orig = readers.compact_partitioned_table
+
+    def crash(*a, **kw):
+        raise RuntimeError("simulated compaction crash")
+
+    monkeypatch.setattr(readers, "compact_partitioned_table", crash)
+    with pytest.raises(MaintenanceFailedError) as exc:
+        ivfpq_append_to_index(spark, prefix, b2, batch_id="b2",
+                              auto_compact_files_per_cell=0)
+    monkeypatch.setattr(readers, "compact_partitioned_table", orig)
+    assert exc.value.committed_rows == b2.count()
+    assert readers.append_recorded(spark, prefix, "b2"), (
+        "the append must stay committed — MaintenanceFailedError "
+        "means do NOT re-ingest")
+
+    # torn index: further appends refuse, nothing lands silently
+    assert not readers.index_ready(spark, prefix)
+    with pytest.raises(ValueError, match="not a committed"):
+        ivfpq_append_to_index(spark, prefix, b3, batch_id="b3")
+
+    # gated recovery: rebuild from base — b1/b2's rows are discarded,
+    # so their ids land in quarantine
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+    assert readers.quarantined_batch_ids(spark, prefix) == ["b1", "b2"]
+
+    # a NEW batch must refuse while the known loss is undrained
+    with pytest.raises(readers.QuarantinedBatchesError):
+        ivfpq_append_to_index(spark, prefix, b3, batch_id="b3")
+
+    # re-delivery drains the quarantine; then b3 lands; every batch
+    # exactly once
+    assert ivfpq_append_to_index(spark, prefix, b1, batch_id="b1") > 0
+    assert ivfpq_append_to_index(spark, prefix, b2, batch_id="b2") > 0
+    assert readers.quarantined_batch_ids(spark, prefix) == []
+    assert ivfpq_append_to_index(spark, prefix, b3, batch_id="b3") > 0
+    codes = spark.table(f"{prefix}_codes").select("vec_id")
+    assert codes.count() == codes.distinct().count() == embs.count()
+    _drop_prefix(spark, prefix)
