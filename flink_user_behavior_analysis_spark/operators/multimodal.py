@@ -313,6 +313,8 @@ def png_header(payload: bytes) -> tuple[int, int, int, int]:
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG signature")
+    if len(payload) < 33:                # sig + len/type + 13 + CRC
+        raise ValueError("truncated PNG header")
     length, ctype = struct.unpack(">I4s", payload[8:16])
     if ctype != b"IHDR" or length != 13:
         raise ValueError("first chunk is not a 13-byte IHDR")
@@ -350,6 +352,8 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int, int]:
         if seg_len < 2:
             raise ValueError("corrupt segment length")
         if marker in _JPEG_SOF:
+            if i + 10 > len(payload):
+                raise ValueError("truncated SOF segment")
             precision = payload[i + 4]
             h = int.from_bytes(payload[i + 5:i + 7], "big")
             w = int.from_bytes(payload[i + 7:i + 9], "big")
@@ -490,7 +494,14 @@ def media_headers(media: DataFrame) -> DataFrame:
             out = []
             for mid, fmt, p in zip(pdf["media_id"], pdf["format"],
                                    pdf["payload"]):
-                parse = parse_png if fmt == "png" else parse_jpeg
+                if fmt == "png":
+                    parse = parse_png
+                elif fmt in ("jpeg", "jpg"):
+                    parse = parse_jpeg
+                else:
+                    raise ValueError(
+                        f"media {mid}: no header parser for "
+                        f"format {fmt!r}")
                 w, h, depth, ch = parse(bytes(p))
                 out.append((mid, fmt, w, h, depth, ch))
             yield pd.DataFrame(out, columns=[

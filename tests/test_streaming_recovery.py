@@ -167,8 +167,7 @@ def _crash_once_then_restart(spark, stream_fn, ckpt, ingest_fn,
     """Drive run_ingest_foreach_batch to a crash AFTER the first
     successful append (before its epoch commits), then restart from
     the same checkpoint and drain — the harness every exactly-once
-    family test shares. Returns the batch ids seen (first attempt's
-    content pinned)."""
+    family test shares."""
     import pytest
     from pyspark.sql.streaming import StreamingQueryException
 
