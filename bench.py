@@ -133,6 +133,9 @@ HEADLINE = [
     "profit_by_nation_year",
     "profit_by_nation_year_bucketed",
     "multimodal_headers",
+    # DSIR-style importance-weighted selection (two bigram LMs +
+    # smoothed likelihood-ratio scoring + global top-k)
+    "dsir_select",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

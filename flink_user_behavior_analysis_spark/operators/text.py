@@ -872,6 +872,88 @@ def lm_score_from_model(model: dict[str, DataFrame], docs: DataFrame,
     )
 
 
+def lm_score_smoothed(model: dict[str, DataFrame], docs: DataFrame,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Add-one-smoothed probe scoring that assigns a probability to
+    EVERY bigram of the scored docs, including ones the model never
+    saw: p(w2|w1) = (C(w1,w2) + 1) / (C(w1) + V) with C(.) = 0 when
+    unseen. lm_score_from_model's inner joins silently DROP unseen
+    bigrams from the mean — correct for scoring the training corpus
+    (where none are unseen), wrong for cross-model comparison, where
+    the entire signal is that off-target text is full of bigrams the
+    target model never saw. Same fixed-point 1e-6 fold, so the mean
+    is addition-order-independent and oracle-exact. Docs with fewer
+    than 2 tokens have no bigrams and are absent from the output
+    (lm_score's own contract)."""
+    uni, big, vocab = model["uni"], model["big"], model["vocab"]
+    toks = docs.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_t"),
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "zip_with(slice(_t, 1, size(_t) - 1), "
+            "slice(_t, 2, size(_t) - 1), "
+            "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + 1.0)
+        / (F.coalesce(F.col("cw"), F.lit(0)).cast("double")
+           + F.col("v").cast("double")))
+    scored = (
+        bi.join(big, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col),
+                F.round(logp * 1_000_000, 0).cast("long").alias("_f"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.sum("_f").cast("double") / 1_000_000.0
+                / F.count(F.lit(1)), 4).alias("avg_logp"),
+    )
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR importance weights [Xie et al. 2023, arXiv:2302.03169 —
+    Data Selection for Language Models via Importance Resampling]:
+    rank raw-corpus documents by how target-like they are,
+    log w(x) = log p_target(x) - log p_raw(x), with add-one bigram
+    LMs standing in for DSIR's hashed-ngram bag models (same
+    feature-likelihood-ratio estimator, a denser feature space).
+    Both likelihoods are length-normalized means over the SAME
+    bigram multiset of x — the smoothed scorer guarantees every
+    bigram contributes to both sides, so the ratio is well-defined
+    for fully out-of-target documents.
+
+    Scale shape (100 TB): two LM builds (token-keyed count shuffles,
+    stored artifacts in production via lm_store_model — refresh the
+    raw model per corpus version, the target model per target
+    version), then scoring is two broadcast-or-bucketed count joins
+    per bigram and one doc-keyed mean; no pairwise anything, no
+    Python. Returns (id, n_bigrams, logw) — resample or top-k on
+    logw downstream (queries_pipeline: dsir_select)."""
+    st = lm_score_smoothed(lm_model(target, id_col=id_col,
+                                    text_col=text_col),
+                           corpus, id_col=id_col, text_col=text_col)
+    sr = lm_score_smoothed(lm_model(corpus, id_col=id_col,
+                                    text_col=text_col),
+                           corpus, id_col=id_col, text_col=text_col)
+    return (
+        st.select(F.col(id_col), "n_bigrams",
+                  F.col("avg_logp").alias("_lt"))
+        .join(sr.select(F.col(id_col), F.col("avg_logp").alias("_lr")),
+              id_col)
+        .select(F.col(id_col), F.col("n_bigrams"),
+                F.round(F.col("_lt") - F.col("_lr"), 4).alias("logw"))
+    )
+
+
 def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

@@ -744,6 +744,96 @@ FROM scored GROUP BY 1
 """
 
 
+DSIR_TARGET_SOURCES = ("src0", "src1")
+DSIR_K = 50
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (operators/text.py:dsir_weights —
+    Xie 2023's importance-resampling estimator over add-one bigram
+    LMs): treat sources src0/src1 as the high-quality TARGET
+    distribution, weight every corpus document by
+    logw = mean log p_target(bigrams) - mean log p_raw(bigrams),
+    and keep the top {DSIR_K} (rank ties broken by doc_id). The
+    global top-k compiles to TakeOrderedAndProject via the
+    window-group-limit pushdown — no fact-sized single-partition
+    sort (plan-audited class)."""
+    from pyspark.sql import Window
+
+    from .operators.text import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    w = dsir_weights(docs, target)
+    win = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+    return (
+        w.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= DSIR_K)
+        .select("doc_id", "n_bigrams", "logw",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def _dsir_select_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    return f"""
+WITH {_D_BASE},
+idx AS (
+    SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok
+), bi AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM idx
+), uni_r AS (
+    SELECT w1 AS w, COUNT(*)::BIGINT AS cw FROM (
+        SELECT doc_id, unnest(w) AS w1 FROM tok
+    ) GROUP BY 1
+), big_r AS (
+    SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM bi GROUP BY 1, 2
+), v_r AS (
+    SELECT COUNT(*)::BIGINT AS v FROM uni_r
+), tdoc AS (
+    SELECT doc_id FROM documents WHERE source IN ({srcs})
+), ttok AS (
+    SELECT tok.* FROM tok JOIN tdoc USING (doc_id)
+), tbi AS (
+    SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+        SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ttok
+    )
+), uni_t AS (
+    SELECT w1 AS w, COUNT(*)::BIGINT AS cw FROM (
+        SELECT unnest(w) AS w1 FROM ttok
+    ) GROUP BY 1
+), big_t AS (
+    SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM tbi GROUP BY 1, 2
+), v_t AS (
+    SELECT COUNT(*)::BIGINT AS v FROM uni_t
+), scored AS (
+    SELECT bi.doc_id,
+           round(ln((coalesce(bt.cb, 0)::DOUBLE + 1.0)
+                    / (coalesce(ut.cw, 0)::DOUBLE + vt.v::DOUBLE))
+                 * 1000000, 0)::BIGINT AS ft,
+           round(ln((coalesce(br.cb, 0)::DOUBLE + 1.0)
+                    / (coalesce(ur.cw, 0)::DOUBLE + vr.v::DOUBLE))
+                 * 1000000, 0)::BIGINT AS fr
+    FROM bi
+    LEFT JOIN big_t bt ON bt.w1 = bi.w1 AND bt.w2 = bi.w2
+    LEFT JOIN uni_t ut ON ut.w = bi.w1
+    CROSS JOIN v_t vt
+    LEFT JOIN big_r br ON br.w1 = bi.w1 AND br.w2 = bi.w2
+    LEFT JOIN uni_r ur ON ur.w = bi.w1
+    CROSS JOIN v_r vr
+), agg AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           round(sum(ft)::DOUBLE / 1000000.0 / COUNT(*), 4) AS lt,
+           round(sum(fr)::DOUBLE / 1000000.0 / COUNT(*), 4) AS lr
+    FROM scored GROUP BY 1
+)
+SELECT doc_id, n_bigrams, round(lt - lr, 4) AS logw,
+       (row_number() OVER (ORDER BY round(lt - lr, 4) DESC,
+                           doc_id))::BIGINT AS rnk
+FROM agg QUALIFY rnk <= {DSIR_K}
+"""
+
+
 WINNOW_K, WINNOW_W = 4, 5
 
 
@@ -3321,6 +3411,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pq": q_ann_topk_pq,
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
+    "dsir_select": q_dsir_select,
     "bm25_topk_stored": q_bm25_topk_stored,
     "lm_score_stored": q_lm_score_stored,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3391,6 +3482,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_clusters_star": _clusters_sql(),
     "mixture_sample": _mixture_sql(),
     "lm_score": _lm_score_sql(),
+    "dsir_select": _dsir_select_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "winnow_overlap": _winnow_overlap_sql(),
     # self-certifying forms (r5): the oracle pins the SQL-computable
