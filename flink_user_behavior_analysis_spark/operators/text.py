@@ -934,23 +934,70 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     Scale shape (100 TB): two LM builds (token-keyed count shuffles,
     stored artifacts in production via lm_store_model — refresh the
     raw model per corpus version, the target model per target
-    version), then scoring is two broadcast-or-bucketed count joins
-    per bigram and one doc-keyed mean; no pairwise anything, no
-    Python. Returns (id, n_bigrams, logw) — resample or top-k on
-    logw downstream (queries_pipeline: dsir_select)."""
-    st = lm_score_smoothed(lm_model(target, id_col=id_col,
-                                    text_col=text_col),
-                           corpus, id_col=id_col, text_col=text_col)
-    sr = lm_score_smoothed(lm_model(corpus, id_col=id_col,
-                                    text_col=text_col),
-                           corpus, id_col=id_col, text_col=text_col)
-    return (
-        st.select(F.col(id_col), "n_bigrams",
-                  F.col("avg_logp").alias("_lt"))
-        .join(sr.select(F.col(id_col), F.col("avg_logp").alias("_lr")),
-              id_col)
-        .select(F.col(id_col), F.col("n_bigrams"),
-                F.round(F.col("_lt") - F.col("_lr"), 4).alias("logw"))
+    version), then scoring is FUSED: the corpus is tokenized ONCE,
+    its bigram frame persisted and reused for the raw counts and the
+    scoring scan, and both models' smoothed log-probs are joined in
+    the same pass feeding a single doc-keyed mean — not two
+    independent scorer plans joined at the end (a composition of
+    lm_score_smoothed twice measured ~2x this plan: three
+    tokenizations, two aggregates, one extra join). No pairwise
+    anything, no Python. Returns (id, n_bigrams, logw) — resample or
+    top-k on logw downstream (queries_pipeline: dsir_select)."""
+    from .dedup import _tracked_persist
+
+    toks = corpus.select(
+        F.col(id_col),
+        F.split(normalized_text(text_col), " ").alias("_t"),
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            "zip_with(slice(_t, 1, size(_t) - 1), "
+            "slice(_t, 2, size(_t) - 1), "
+            "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    bi = _tracked_persist(bi)  # feeds raw counts AND the scoring scan
+    uni_r = (toks.select(F.explode("_t").alias("w"))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("cw_r")))
+    big_r = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb_r"))
+    v_r = uni_r.agg(F.count(F.lit(1)).cast("long").alias("v_r"))
+    mt = lm_model(target, id_col=id_col, text_col=text_col)
+    big_t = mt["big"].withColumnRenamed("cb", "cb_t")
+    uni_t = mt["uni"].select(F.col("w").alias("w1"),
+                             F.col("cw").alias("cw_t"))
+    v_t = mt["vocab"].select(F.col("v").alias("v_t"))
+
+    def _logp(cb: str, cw: str, v: str):
+        return F.log(
+            (F.coalesce(F.col(cb), F.lit(0)).cast("double") + 1.0)
+            / (F.coalesce(F.col(cw), F.lit(0)).cast("double")
+               + F.col(v).cast("double")))
+
+    scored = (
+        bi.join(big_t, ["w1", "w2"], "left")
+        .join(uni_t, ["w1"], "left")
+        .crossJoin(F.broadcast(v_t))
+        .join(big_r, ["w1", "w2"], "left")
+        .join(uni_r.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .crossJoin(F.broadcast(v_r))
+        .select(
+            F.col(id_col),
+            F.round(_logp("cb_t", "cw_t", "v_t") * 1_000_000, 0)
+            .cast("long").alias("_ft"),
+            F.round(_logp("cb_r", "cw_r", "v_r") * 1_000_000, 0)
+            .cast("long").alias("_fr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.round(F.sum("_ft").cast("double") / 1_000_000.0
+                    / F.count(F.lit(1)), 4)
+            - F.round(F.sum("_fr").cast("double") / 1_000_000.0
+                      / F.count(F.lit(1)), 4), 4).alias("logw"),
     )
 
 

@@ -1814,3 +1814,35 @@ def test_pii_scrub_counts_and_placeholders(spark, sf_dir):
     mins = cert.agg(F.min("n_email"), F.min("n_phone"),
                     F.min("n_ip")).first()
     assert tuple(mins) == (1, 1, 1), "injection left a doc vacuous"
+
+
+def test_smoothed_scorer_matches_inner_join_scorer_in_corpus(
+        spark, sf_dir):
+    """lm_score_smoothed == lm_score_from_model on the model's own
+    training corpus (no bigram is unseen there, so the left joins
+    reduce to the inner joins) — and on OUT-of-model docs the
+    smoothed scorer still scores every bigram while the inner-join
+    form drops the unseen ones (n_bigrams differs), which is exactly
+    the property dsir_weights needs."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        lm_model,
+        lm_score_from_model,
+        lm_score_smoothed,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    half = docs.where("doc_id % 2 = 0")
+    other = docs.where("doc_id % 2 = 1")
+    m = lm_model(half)
+    got = sorted(map(tuple, lm_score_smoothed(m, half).collect()))
+    want = sorted(map(tuple, lm_score_from_model(m, half).collect()))
+    assert got == want and got
+
+    sm = {r.doc_id: r for r in lm_score_smoothed(m, other).collect()}
+    ij = {r.doc_id: r for r in lm_score_from_model(m, other).collect()}
+    assert sm, "out-of-model docs must still score"
+    # smoothed covers every bigram; inner-join covers a subset
+    assert all(sm[d].n_bigrams >= ij[d].n_bigrams for d in ij)
+    assert any(sm[d].n_bigrams > ij.get(d, type("x", (), {"n_bigrams": 0})).n_bigrams
+               for d in sm)
