@@ -134,8 +134,10 @@ HEADLINE = [
     "profit_by_nation_year_bucketed",
     "multimodal_headers",
     # DSIR-style importance-weighted selection (two bigram LMs +
-    # smoothed likelihood-ratio scoring + global top-k)
+    # smoothed likelihood-ratio scoring + global top-k) and its
+    # Gumbel-top-k resampling twin
     "dsir_select",
+    "dsir_resample",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -111,3 +111,58 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
     return df.where(u < rate)
+
+
+def gumbel_key(id_col: str, seed: str, weight_col: str,
+               temperature: float = 1.0) -> Column:
+    """Perturbed log-weight for Gumbel-top-k sampling:
+    key = w/temperature + G(seed, id), with G a standard Gumbel
+    (-ln(-ln(u))) whose uniform comes from a 48-BIT portable hash —
+    48 bits (not the usual 60) so (h + 0.5) / 2^48 is exact double
+    arithmetic with u strictly inside (0, 1) in BOTH engines (a
+    60-bit h can round up to 2^60 as a double, pushing u to 1.0 and
+    the Gumbel to a log-of-zero). ``weight_col`` must hold a LOG
+    weight (e.g. dsir_weights.logw).
+
+    DuckDB equivalent of the uniform:
+    (('0x' || substr(md5(seed || ':' || id::VARCHAR), 1, 12))::BIGINT
+     + 0.5) / 281474976710656.0
+    """
+    h48 = F.conv(
+        F.substring(F.md5(F.concat(
+            F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+            1, 12), 16, 10).cast("long")
+    u = (h48.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+    g = -F.log(-F.log(u))
+    return F.col(weight_col) / F.lit(float(temperature)) + g
+
+
+def weighted_sample_k(df: DataFrame, weight_col: str, k: int,
+                      id_col: str = "doc_id",
+                      temperature: float = 1.0,
+                      seed: str = "gumbel") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick [Efraimidis & Spirakis 2006; Kool et al. 2019,
+    arXiv:1903.06059]: the k rows with the largest
+    ``w/temperature + Gumbel(seed, id)`` are an exact sample from the
+    softmax(w/temperature)-weighted without-replacement distribution.
+    Unlike a plain top-k (which returns only the head and kills
+    diversity), the perturbation admits every row with the right
+    probability — DSIR's resampling step, here derandomized through
+    the portable hash so the draw is REPRODUCIBLE, layout-invariant,
+    and oracle-checkable (rerunning with the same seed reproduces the
+    sample; changing the seed redraws).
+
+    Scale shape: one scan projecting the key, then a distributed
+    top-k (TakeOrderedAndProject — per-partition heads, no global
+    sort, no shuffle of the losers). Returns the sampled rows with
+    their perturbed ``skey`` and 1-based ``rnk``."""
+    from pyspark.sql import Window
+
+    keyed = df.withColumn(
+        "skey", F.round(gumbel_key(id_col, seed, weight_col,
+                                   temperature), 4))
+    win = Window.orderBy(F.col("skey").desc(), F.col(id_col).asc())
+    return (keyed.withColumn("rnk", F.row_number().over(win))
+            .where(F.col("rnk") <= int(k))
+            .withColumn("rnk", F.col("rnk").cast("long")))

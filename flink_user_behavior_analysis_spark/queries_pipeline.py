@@ -774,10 +774,35 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dsir_select_sql() -> str:
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's RESAMPLING step (operators/sampling.py:weighted_sample_k
+    — Gumbel-top-k): where dsir_select keeps the deterministic head
+    of the weight ranking (maximal target-likeness, minimal
+    diversity), this draws DSIR_K documents WITHOUT replacement
+    with probability softmax(logw / T) — the estimator Xie 2023
+    actually prescribes, derandomized through the portable hash so
+    the draw is reproducible and oracle-checkable."""
+    from .operators.sampling import weighted_sample_k
+    from .operators.text import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    w = dsir_weights(docs, target)
+    return weighted_sample_k(w, "logw", DSIR_K,
+                             temperature=DSIR_TEMPERATURE,
+                             seed=DSIR_SEED) \
+        .select("doc_id", "n_bigrams", "logw", "skey", "rnk")
+
+
+DSIR_TEMPERATURE = 0.1
+DSIR_SEED = "dsir"
+
+
+def _dsir_weights_ctes() -> str:
+    """Shared WITH-body computing (doc_id, n_bigrams, logw) — the
+    importance weights both DSIR finals rank over."""
     srcs = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
-    return f"""
-WITH {_D_BASE},
+    return f"""{_D_BASE},
 idx AS (
     SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM tok
 ), bi AS (
@@ -826,11 +851,35 @@ idx AS (
            round(sum(ft)::DOUBLE / 1000000.0 / COUNT(*), 4) AS lt,
            round(sum(fr)::DOUBLE / 1000000.0 / COUNT(*), 4) AS lr
     FROM scored GROUP BY 1
+), wts AS (
+    SELECT doc_id, n_bigrams, round(lt - lr, 4) AS logw FROM agg
+)"""
+
+
+def _dsir_select_sql() -> str:
+    return f"""
+WITH {_dsir_weights_ctes()}
+SELECT doc_id, n_bigrams, logw,
+       (row_number() OVER (ORDER BY logw DESC, doc_id))::BIGINT AS rnk
+FROM wts QUALIFY rnk <= {DSIR_K}
+"""
+
+
+def _dsir_resample_sql() -> str:
+    # the 48-bit uniform + Gumbel perturbation, mirroring
+    # operators/sampling.py:gumbel_key expression-for-expression
+    u = (f"((('0x' || substr(md5('{DSIR_SEED}:' || doc_id::VARCHAR), "
+         f"1, 12))::BIGINT::DOUBLE + 0.5) / {float(1 << 48)!r})")
+    return f"""
+WITH {_dsir_weights_ctes()},
+keyed AS (
+    SELECT doc_id, n_bigrams, logw,
+           round(logw / {DSIR_TEMPERATURE!r} - ln(-ln({u})), 4) AS skey
+    FROM wts
 )
-SELECT doc_id, n_bigrams, round(lt - lr, 4) AS logw,
-       (row_number() OVER (ORDER BY round(lt - lr, 4) DESC,
-                           doc_id))::BIGINT AS rnk
-FROM agg QUALIFY rnk <= {DSIR_K}
+SELECT doc_id, n_bigrams, logw, skey,
+       (row_number() OVER (ORDER BY skey DESC, doc_id))::BIGINT AS rnk
+FROM keyed QUALIFY rnk <= {DSIR_K}
 """
 
 
@@ -3412,6 +3461,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
     "dsir_select": q_dsir_select,
+    "dsir_resample": q_dsir_resample,
     "bm25_topk_stored": q_bm25_topk_stored,
     "lm_score_stored": q_lm_score_stored,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3483,6 +3533,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "lm_score": _lm_score_sql(),
     "dsir_select": _dsir_select_sql(),
+    "dsir_resample": _dsir_resample_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "winnow_overlap": _winnow_overlap_sql(),
     # self-certifying forms (r5): the oracle pins the SQL-computable

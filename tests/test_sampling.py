@@ -45,3 +45,50 @@ def test_sample_rate_and_seed(spark):
     s1 = {r["doc_id"] for r in hash_sample(df, 0.3, "doc_id", "a").collect()}
     s2 = {r["doc_id"] for r in hash_sample(df, 0.3, "doc_id", "b").collect()}
     assert s1 != s2  # different seeds give different samples
+
+
+def test_gumbel_topk_is_weight_biased_and_seed_reproducible(spark, sf_dir):
+    """weighted_sample_k semantics: same seed reproduces the exact
+    sample; a different seed redraws; and across seeds the sample is
+    BIASED toward high weights (softmax sampling, not uniform) while
+    not just the deterministic head (diversity: some sampled rows sit
+    outside the top-k by weight at a warm temperature)."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        weighted_sample_k,
+    )
+    from flink_user_behavior_analysis_spark.operators.text import (
+        dsir_weights,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    w = dsir_weights(docs, target).persist()
+    try:
+        k = 40
+        s1 = {r.doc_id for r in
+              weighted_sample_k(w, "logw", k, temperature=1.0,
+                                seed="a").collect()}
+        s1b = {r.doc_id for r in
+               weighted_sample_k(w, "logw", k, temperature=1.0,
+                                 seed="a").collect()}
+        s2 = {r.doc_id for r in
+              weighted_sample_k(w, "logw", k, temperature=1.0,
+                                seed="b").collect()}
+        assert s1 == s1b and len(s1) == k
+        assert s1 != s2, "different seeds must redraw"
+
+        rows = {r.doc_id: r.logw for r in w.collect()}
+        corpus_mean = sum(rows.values()) / len(rows)
+        head = set(sorted(rows, key=lambda d: (-rows[d], d))[:k])
+        for s in (s1, s2):
+            samp_mean = sum(rows[d] for d in s) / k
+            assert samp_mean > corpus_mean, (
+                "weighted sample is not biased toward high weights")
+            assert s - head, (
+                "sample equals the deterministic head — no diversity; "
+                "temperature too cold for the weight scale")
+    finally:
+        w.unpersist()
