@@ -420,7 +420,8 @@ def span_fp_counts(docs: DataFrame, span_tokens: int = 16,
 def span_store_counts(corpus: DataFrame, prefix: str,
                       span_tokens: int = 16, n_buckets: int = 8,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> list[str]:
+                      text_col: str = "text",
+                      rebuild_includes_appends: bool = False) -> list[str]:
     """Materialize the corpus span-fingerprint COUNTS as a catalog
     table bucketed on fp — exactly the stored artifact the
     duplicated_spans_incremental docstring promises. One table,
@@ -432,7 +433,8 @@ def span_store_counts(corpus: DataFrame, prefix: str,
                                    invalidate_manifest, write_bucketed)
 
     invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
-    clear_append_ledger(corpus.sparkSession, prefix)  # new generation
+    clear_append_ledger(corpus.sparkSession, prefix,  # new generation
+                        includes_appends=rebuild_includes_appends)
     occ = span_fp_counts(corpus, span_tokens, id_col, text_col)
     write_bucketed(occ, f"{prefix}_spancounts", "fp", n_buckets)
     names = [f"{prefix}_spancounts"]

@@ -571,7 +571,8 @@ def dedup_incremental(corpus: DataFrame, delta: DataFrame, threshold: float,
 def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
                        bands: int = 4, n: int = 3, n_buckets: int = 8,
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> list[str]:
+                       text_col: str = "text",
+                       rebuild_includes_appends: bool = False) -> list[str]:
     """Materialize the corpus-side artifacts of incremental near-dup
     dedup as catalog tables — the production shape the
     dedup_incremental docstring promises:
@@ -588,7 +589,11 @@ def dedup_store_corpus(corpus: DataFrame, prefix: str, k: int = 12,
                                    invalidate_manifest, write_bucketed)
 
     invalidate_manifest(corpus.sparkSession, prefix)  # rebuild bracket: open
-    clear_append_ledger(corpus.sparkSession, prefix)  # new generation
+    # new generation; rebuild_includes_appends=True asserts `corpus`
+    # already absorbed every appended batch, waiving the quarantine
+    # inline (ADVICE r9 — see clear_append_ledger)
+    clear_append_ledger(corpus.sparkSession, prefix,
+                        includes_appends=rebuild_includes_appends)
     sigs = minhash_signatures(corpus, k, id_col, text_col, n)
     bc = band_buckets(sigs, k, bands, id_col)
     write_bucketed(bc, f"{prefix}_buckets", "bucket", n_buckets)

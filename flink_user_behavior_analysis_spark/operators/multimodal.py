@@ -452,6 +452,8 @@ def media_headers(media: DataFrame) -> DataFrame:
         def parse_png(p: bytes):
             if p[:8] != b"\x89PNG\r\n\x1a\n":
                 raise ValueError("not a PNG signature")
+            if len(p) < 33:              # sig + len/type + 13 + CRC
+                raise ValueError("truncated PNG header")
             length, ctype = struct.unpack(">I4s", p[8:16])
             if ctype != b"IHDR" or length != 13:
                 raise ValueError("first chunk is not a 13-byte IHDR")
@@ -460,6 +462,8 @@ def media_headers(media: DataFrame) -> DataFrame:
             if binascii.crc32(body) & 0xFFFFFFFF != crc:
                 raise ValueError("IHDR CRC mismatch")
             w, h, depth, color_type = struct.unpack(">IIBB", p[16:26])
+            if color_type not in png_channels:
+                raise ValueError(f"unknown PNG color type {color_type}")
             return w, h, depth, png_channels[color_type]
 
         def parse_jpeg(p: bytes):
@@ -502,7 +506,12 @@ def media_headers(media: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"media {mid}: no header parser for "
                         f"format {fmt!r}")
-                w, h, depth, ch = parse(bytes(p))
+                try:
+                    w, h, depth, ch = parse(bytes(p))
+                except ValueError as exc:
+                    # documented ingest-edge contract: ValueError
+                    # carrying the offending media_id (ADVICE r9)
+                    raise ValueError(f"media {mid}: {exc}") from None
                 out.append((mid, fmt, w, h, depth, ch))
             yield pd.DataFrame(out, columns=[
                 "media_id", "format", "width", "height",

@@ -1638,7 +1638,8 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
                       vec_col: str = "embedding",
                       truth_queries: DataFrame | None = None,
                       truth_k: int = 5,
-                      meta_cols: list[str] | None = None) -> list[str]:
+                      meta_cols: list[str] | None = None,
+                      rebuild_includes_appends: bool = False) -> list[str]:
     """Materialize the IVFADC serving artifacts (VERDICT r5 #1) as
     catalog tables:
       {prefix}_centroids  (cell, dim, val)     coarse quantizer
@@ -1678,7 +1679,8 @@ def ivfpq_store_index(corpus: DataFrame, prefix: str,
     # the bracket: the new generation lacks appended batches' data,
     # so stale entries would turn re-delivery into silent loss.
     invalidate_manifest(spark, prefix)
-    clear_append_ledger(spark, prefix)
+    clear_append_ledger(spark, prefix,
+                        includes_appends=rebuild_includes_appends)
     cent_rows = [
         (c, d, model["centroids"][c][d])
         for c in range(len(model["centroids"]))
@@ -2227,7 +2229,8 @@ def semdedup_model_fingerprint(centroids: list[list[float]]) -> str:
 
 def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
                           prefix: str, id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> list[str]:
+                          vec_col: str = "embedding",
+                          rebuild_includes_appends: bool = False) -> list[str]:
     """Materialize the corpus side of INCREMENTAL SemDeDup as a
     catalog artifact: one table {prefix}_cells holding (id, cell,
     cent_sim, embedding) PARTITIONED BY (cell, _batch) — the
@@ -2245,8 +2248,11 @@ def semdedup_store_corpus(corpus: DataFrame, centroids: list[list[float]],
     spark = corpus.sparkSession
     invalidate_manifest(spark, prefix)  # rebuild bracket: open
     # new generation: appended batches are not in it — drop their
-    # ledger entries or re-delivery would be skipped (data loss)
-    clear_append_ledger(spark, prefix)
+    # ledger entries or re-delivery would be skipped (data loss);
+    # rebuild_includes_appends=True asserts `corpus` absorbed them
+    # all, waiving the quarantine inline (ADVICE r9)
+    clear_append_ledger(spark, prefix,
+                        includes_appends=rebuild_includes_appends)
     cells = _semdedup_assigned(corpus, centroids, id_col, vec_col) \
         .select(id_col, "cell", "cent_sim",
                 F.col("_v").alias("embedding"))

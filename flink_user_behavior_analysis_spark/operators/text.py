@@ -449,7 +449,8 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id",
 
 def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> list[str]:
+                     text_col: str = "text",
+                     rebuild_includes_appends: bool = False) -> list[str]:
     """Materialize the BM25 index as catalog tables (VERDICT r4
     next-round #5): tf and dl land BUCKETED on the doc id with the
     same bucket count (sources/readers.py:write_bucketed), so the
@@ -462,8 +463,11 @@ def bm25_store_index(docs: DataFrame, prefix: str, n_buckets: int = 8,
 
     invalidate_manifest(docs.sparkSession, prefix)  # rebuild bracket: open
     # new generation: appended batches are not in it — stale ledger
-    # entries would turn re-delivery into silent loss
-    clear_append_ledger(docs.sparkSession, prefix)
+    # entries would turn re-delivery into silent loss;
+    # rebuild_includes_appends=True asserts `docs` absorbed them all,
+    # waiving the quarantine inline (ADVICE r9)
+    clear_append_ledger(docs.sparkSession, prefix,
+                        includes_appends=rebuild_includes_appends)
     idx = bm25_index(docs, id_col=id_col, text_col=text_col)
     write_bucketed(idx["tf"], f"{prefix}_tf", id_col, n_buckets)
     write_bucketed(idx["dl"], f"{prefix}_dl", id_col, n_buckets)
@@ -746,7 +750,8 @@ def lm_model(docs: DataFrame, id_col: str = "doc_id",
 
 def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> list[str]:
+                   text_col: str = "text",
+                   rebuild_includes_appends: bool = False) -> list[str]:
     """Materialize the bigram LM as catalog tables (VERDICT r4
     next-round #5): big bucketed+sorted on w1 (the probe join's
     leading key), uni bucketed on w; vocab is one row. Returns the
@@ -756,7 +761,8 @@ def lm_store_model(docs: DataFrame, prefix: str, n_buckets: int = 8,
                                    write_bucketed)
 
     invalidate_manifest(docs.sparkSession, prefix)  # rebuild bracket: open
-    clear_append_ledger(docs.sparkSession, prefix)  # new generation
+    clear_append_ledger(docs.sparkSession, prefix,  # new generation
+                        includes_appends=rebuild_includes_appends)
     m = lm_model(docs, id_col=id_col, text_col=text_col)
     write_bucketed(m["big"], f"{prefix}_big", "w1", n_buckets,
                    sort_col="w1")

@@ -23,6 +23,7 @@ create/pay := view/purchase of the same (user, item).
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2633,6 +2634,7 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@functools.lru_cache(maxsize=1)
 def _correctness_files() -> list[str]:
     """The CORRECTNESS_r*.json paths that feed the rotation — only
     files KNOWN TO GIT count (ADVICE r8): an untracked or stray local
@@ -2642,7 +2644,12 @@ def _correctness_files() -> list[str]:
     in a healthy checkout git-tracked == present.) Falls back to the
     plain glob when git is unavailable or this is not a work tree
     (e.g. an exported tarball), where tracked-vs-untracked has no
-    meaning."""
+    meaning.
+
+    Memoized (ADVICE r9): the result is static per checkout — the
+    tracked CORRECTNESS set cannot change within a process lifetime —
+    and the subprocess spawn sat on import-sensitive paths (registry
+    build, gate-test enumeration)."""
     import glob
     import os
     import subprocess

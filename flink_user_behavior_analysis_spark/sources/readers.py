@@ -377,7 +377,8 @@ def index_ready(spark, prefix: str) -> bool:
     return all(spark.catalog.tableExists(t) for t in listed)
 
 
-def clear_append_ledger(spark, prefix: str) -> list[str]:
+def clear_append_ledger(spark, prefix: str,
+                        includes_appends: bool = False) -> list[str]:
     """Drop ``{prefix}_appends`` — REBUILDS must call this (builders
     do, inside their invalidate-first bracket): a rebuilt index is a
     new generation containing only the source corpus, so previously
@@ -398,7 +399,16 @@ def clear_append_ledger(spark, prefix: str) -> list[str]:
     lifts it out of pending automatically) or explicitly waived with
     ``acknowledge_cleared`` (e.g. the rebuild's source corpus already
     contained the appended rows, so nothing was lost). No batch can
-    be silently dropped AND no loss can be silently built past."""
+    be silently dropped AND no loss can be silently built past.
+
+    ``includes_appends=True`` (ADVICE r9) is the caller's explicit
+    assertion that the rebuild's source corpus CONTAINS every
+    appended batch's rows (the common rebuild-from-absorbed-corpus
+    flow): the cleared ids are then waived inline instead of
+    quarantined, so the provably-lossless path needs no out-of-band
+    ``acknowledge_cleared`` call. The assertion is the caller's to
+    make — a lying caller launders loss, which is why the default
+    stays False."""
     import logging
 
     cleared: list[str] = []
@@ -406,6 +416,14 @@ def clear_append_ledger(spark, prefix: str) -> list[str]:
         cleared = [r.batch_id
                    for r in spark.table(f"{prefix}_appends")
                    .select("batch_id").distinct().collect()]
+    if cleared and includes_appends:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_appends")
+        logging.getLogger(__name__).info(
+            "%s: rebuild cleared %d committed append batch(es) %s — "
+            "waived inline (caller asserted the rebuild source "
+            "includes their rows)", prefix, len(cleared),
+            sorted(cleared))
+        return cleared
     if cleared:
         spark.createDataFrame([(b,) for b in cleared],
                               "batch_id STRING") \

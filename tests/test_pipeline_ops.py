@@ -187,10 +187,52 @@ def test_header_parsers_pinned_to_spec_vectors():
     bad_crc[30] ^= 0xFF                     # flip a CRC byte
     with pytest.raises(ValueError, match="CRC"):
         png_header(bytes(bad_crc))
+    with pytest.raises(ValueError, match="truncated"):
+        png_header(_PNG_FIXTURE[:20])       # sig ok, IHDR cut short
     with pytest.raises(ValueError, match="SOI"):
         jpeg_header(b"\xff\xd9" + _JPEG_FIXTURE[2:])
     with pytest.raises(ValueError, match="no SOF"):
         jpeg_header(b"\xff\xd8\xff\xd9")    # SOI then EOI, no frame
+
+
+def test_media_headers_inline_parser_matches_reference(spark):
+    """ADVICE r9: the mapInPandas closure in media_headers inlines
+    png_header's logic and had DRIFTED (missing truncation guard +
+    color-type validation — struct.error / KeyError instead of the
+    documented ValueError). Drive the malformed payloads through the
+    ARROW path and require a ValueError carrying the media_id, so the
+    two copies cannot diverge silently again."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        media_headers,
+    )
+
+    def run(payload: bytes):
+        media = spark.createDataFrame(
+            [(7, "png", bytearray(payload))],
+            "media_id long, format string, payload binary")
+        media_headers(media).collect()
+
+    # truncated: PNG signature intact, IHDR cut short
+    with pytest.raises(Exception) as exc:
+        run(_PNG_FIXTURE[:20])
+    msg = str(exc.value)
+    assert "ValueError" in msg and "media 7" in msg \
+        and "truncated" in msg, msg
+
+    # unknown color type (5 is not a legal PNG color type): the
+    # inline copy must raise ValueError, not KeyError
+    import binascii
+    import struct
+    bad = bytearray(_PNG_FIXTURE)
+    bad[25] = 5                              # color-type byte
+    body = bytes(bad[12:29])
+    bad[29:33] = struct.pack(
+        ">I", binascii.crc32(body) & 0xFFFFFFFF)  # re-sign the CRC
+    with pytest.raises(Exception) as exc:
+        run(bytes(bad))
+    msg = str(exc.value)
+    assert "ValueError" in msg and "media 7" in msg \
+        and "color type" in msg, msg
 
 
 def test_media_headers_roundtrip_and_builder_pin(spark):

@@ -182,6 +182,42 @@ def test_registry_order_is_the_derived_rotation():
     assert _GATE_TAIL == expected[GATE_WINDOW:]
 
 
+def test_newest_correctness_file_is_git_tracked():
+    """VERDICT r9 #3: the rotation reads `git ls-files`, so a round's
+    CORRECTNESS file left UNTRACKED is invisible to it — next round's
+    window would derive from the round-before state and re-certify
+    the wrong 50. Assert the newest CORRECTNESS_r*.json on disk is
+    one the rotation can see (skipped when git metadata is absent,
+    where tracked==globbed by construction)."""
+    import glob
+    import os
+    import subprocess
+
+    from flink_user_behavior_analysis_spark.queries import (
+        _correctness_files,
+        _repo_root,
+    )
+
+    root = _repo_root()
+    if not os.path.isdir(os.path.join(root, ".git")):
+        return
+    try:
+        subprocess.run(["git", "-C", root, "rev-parse", "HEAD"],
+                       capture_output=True, timeout=10, check=True)
+    except Exception:
+        return
+    on_disk = sorted(glob.glob(
+        os.path.join(root, "CORRECTNESS_r*.json")))
+    if not on_disk:
+        return
+    tracked = _correctness_files()
+    assert on_disk[-1] in tracked, (
+        f"{os.path.basename(on_disk[-1])} exists but is not "
+        f"git-tracked — the rotation derives from the previous "
+        f"round's state until it is committed (`git add` it with the "
+        f"round-close commit)")
+
+
 def test_forced_window_names_are_registered():
     assert set(_FORCE_WINDOW) <= set(_ALL_QUERIES)
 

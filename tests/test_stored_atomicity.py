@@ -316,6 +316,75 @@ def test_quarantine_ledger_lifecycle(spark):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
+def test_rebuild_includes_appends_waives_quarantine_inline(spark):
+    """ADVICE r9: the common rebuild-from-absorbed-corpus flow (the
+    rebuild's source already contains every appended batch's rows)
+    must not strand the pipeline behind an out-of-band
+    acknowledge_cleared call. includes_appends=True waives the
+    cleared ids inline: no quarantine table, new appends flow;
+    the default (False) still quarantines."""
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    prefix = "t_waive_inline"
+    for t in ("appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    readers.record_append(spark, prefix, "b1")
+    readers.record_append(spark, prefix, "b2")
+    cleared = readers.clear_append_ledger(spark, prefix,
+                                          includes_appends=True)
+    assert sorted(cleared) == ["b1", "b2"]       # still reported
+    assert not spark.catalog.tableExists(f"{prefix}_appends")
+    assert not spark.catalog.tableExists(f"{prefix}_cleared")
+    assert readers.quarantined_batch_ids(spark, prefix) == []
+    readers.require_appendable(spark, prefix, "b3", "t")  # flows
+
+    # a pre-existing quarantine from an earlier honest rebuild is NOT
+    # erased by a later includes_appends rebuild: the flag only
+    # vouches for the ledger it clears, not for history
+    readers.record_append(spark, prefix, "b4")
+    readers.clear_append_ledger(spark, prefix)   # quarantines b4
+    readers.record_append(spark, prefix, "b5")
+    cleared = readers.clear_append_ledger(spark, prefix,
+                                          includes_appends=True)
+    assert cleared == ["b5"]
+    assert readers.quarantined_batch_ids(spark, prefix) == ["b4"]
+    for t in ("appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_store_builder_accepts_rebuild_includes_appends(spark, sf_dir):
+    """The opt-in reaches a real builder: append a batch, rebuild
+    with rebuild_includes_appends=True from a corpus that includes
+    the batch, and the next new-id append commits without any
+    acknowledge_cleared call (this exact flow raised
+    QuarantinedBatchesError before ADVICE r9)."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.dedup import (
+        dedup_append_corpus,
+        dedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+    from flink_user_behavior_analysis_spark.sources import readers
+
+    docs = _docs(spark, sf_dir).limit(60)
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    base, extra = docs.where(h >= 3), docs.where(h < 3)
+    prefix = "t_waive_builder"
+    for t in ("appends", "cleared", "buckets", "shingles", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    dedup_store_corpus(base, prefix)
+    dedup_append_corpus(spark, prefix, extra, batch_id="bA")
+    # rebuild from the absorbed corpus (base ∪ bA) with the waiver
+    dedup_store_corpus(base.unionByName(extra), prefix,
+                       rebuild_includes_appends=True)
+    assert readers.quarantined_batch_ids(spark, prefix) == []
+    dedup_append_corpus(spark, prefix, extra.limit(5),
+                        batch_id="bB")  # flows
+    for t in ("appends", "cleared", "buckets", "shingles", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_quarantine_blocks_new_appends_end_to_end(spark, sf_dir):
     """r9 crash-rebuild-reingest scenario through a real stored
     family: rebuild discards a committed batch -> appending a NEW
