@@ -138,6 +138,9 @@ HEADLINE = [
     # Gumbel-top-k resampling twin
     "dsir_select",
     "dsir_resample",
+    # round-10: DSIR stored twin (VERDICT r9 #4) — both LMs stored,
+    # scoring probe-only; min-of-N is the steady-state probe wall
+    "dsir_select_stored",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -174,6 +177,11 @@ TRAIN_INCLUSIVE = {
     # inline Q9 recomputes the compound-key cost aggregate per call,
     # the bucketed twin's first run writes both bucketed tables
     "profit_by_nation_year": ("profit_by_nation_year_bucketed", "q9b"),
+    # dsir_select refits BOTH LMs per call; the stored twin probes
+    # two lm_store_model artifacts (raw + target — index_ready on the
+    # raw prefix is the build-attribution proxy; both build in the
+    # twin's first run)
+    "dsir_select": ("dsir_select_stored", "dsirraw"),
 }
 
 # Self-adjudication (VERDICT r8 #2): this VM's load swings single-shot

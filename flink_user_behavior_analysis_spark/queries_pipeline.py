@@ -774,6 +774,45 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION DSIR shape (VERDICT r9 #4): both bigram LMs are
+    STORED artifacts — the raw LM refreshed per corpus version, the
+    target LM per target version (lm_store_model twice, w1-bucketed
+    counts + 1-row vocab) — and the scoring pass tokenizes only the
+    batch being weighted and probes the stored counts
+    (operators/text.py:dsir_weights_from_models). Same oracle as
+    dsir_select: probe ≡ inline is exactly the claim. Bench's
+    min-of-N timing reports the steady-state probe wall — the number
+    that matters when the corpus is 100 TB and the LMs are fit once,
+    not per call."""
+    from pyspark.sql import Window
+
+    from .operators.text import (
+        dsir_weights_from_models,
+        lm_read_model,
+        lm_store_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = _artifact_tag(sf_dir)
+    prefix_r, prefix_t = f"dsirraw_{tag}", f"dsirtgt_{tag}"
+    if not _index_ready(spark, prefix_r):
+        lm_store_model(docs, prefix_r)
+    if not _index_ready(spark, prefix_t):
+        lm_store_model(
+            docs.where(F.col("source").isin(*DSIR_TARGET_SOURCES)),
+            prefix_t)
+    w = dsir_weights_from_models(lm_read_model(spark, prefix_r),
+                                 lm_read_model(spark, prefix_t), docs)
+    win = Window.orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+    return (
+        w.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= DSIR_K)
+        .select("doc_id", "n_bigrams", "logw",
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR's RESAMPLING step (operators/sampling.py:weighted_sample_k
     — Gumbel-top-k): where dsir_select keeps the deterministic head
@@ -3461,6 +3500,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_sample": q_mixture_sample,
     "lm_score": q_lm_score,
     "dsir_select": q_dsir_select,
+    "dsir_select_stored": q_dsir_select_stored,
     "dsir_resample": q_dsir_resample,
     "bm25_topk_stored": q_bm25_topk_stored,
     "lm_score_stored": q_lm_score_stored,
@@ -3533,6 +3573,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "lm_score": _lm_score_sql(),
     "dsir_select": _dsir_select_sql(),
+    # probe ≡ inline IS the stored twin's claim — same oracle
+    "dsir_select_stored": _dsir_select_sql(),
     "dsir_resample": _dsir_resample_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "winnow_overlap": _winnow_overlap_sql(),

@@ -869,6 +869,37 @@ def test_lm_stored_model_probe_equals_inline(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_dsir_stored_models_probe_equals_inline(spark, sf_dir):
+    """VERDICT r9 #4: the DSIR production shape stores BOTH bigram
+    LMs (lm_store_model twice) and scores probe-only; the probe must
+    reproduce dsir_weights' (doc_id, n_bigrams, logw) exactly —
+    including docs whose bigrams the TARGET model never saw, where
+    the smoothed coalesce path carries the whole signal."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        dsir_weights,
+        dsir_weights_from_models,
+        lm_read_model,
+        lm_store_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    tables = lm_store_model(docs, "t_dsir_raw")
+    tables += lm_store_model(target, "t_dsir_tgt")
+    try:
+        probe = dsir_weights_from_models(
+            lm_read_model(spark, "t_dsir_raw"),
+            lm_read_model(spark, "t_dsir_tgt"), docs)
+        inline = dsir_weights(docs, target)
+        assert (sorted(map(tuple, probe.collect()))
+                == sorted(map(tuple, inline.collect())))
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_mixture_sample_monotone_and_rates(spark, sf_dir):
     """Raising a group's rate only ADDS rows (cache-sharing property),
     and achieved per-source rates track the targets."""
