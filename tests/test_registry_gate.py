@@ -218,6 +218,35 @@ def test_newest_correctness_file_is_git_tracked():
         f"round-close commit)")
 
 
+def test_tailcheck_artifact_is_green_when_present():
+    """VERDICT r9 #8: the per-round tail re-certification
+    (tools/drive_subset.py --tail --json) lands as a committed
+    TAILCHECK_r*.json in the CORRECTNESS row shape. When one exists,
+    it must be all-green — a red or errored tail artifact must fail
+    the suite, not sit in the repo looking like evidence. (Absence is
+    fine: the artifact is per-round and optional.)"""
+    import glob
+    import os
+
+    from flink_user_behavior_analysis_spark.queries import _repo_root
+
+    paths = sorted(glob.glob(
+        os.path.join(_repo_root(), "TAILCHECK_r*.json")))
+    if not paths:
+        return
+    with open(paths[-1]) as fh:
+        rows = json.load(fh)
+    assert isinstance(rows, dict) and rows
+    bad = {n: r for n, r in rows.items()
+           if not isinstance(r, dict) or r.get("err")
+           or r.get("rows_match") is not True
+           or r.get("schema_match") is not True
+           or r.get("hash_match") is False}
+    assert not bad, (
+        f"{os.path.basename(paths[-1])} holds non-green tail rows: "
+        f"{sorted(bad)}")
+
+
 def test_forced_window_names_are_registered():
     assert set(_FORCE_WINDOW) <= set(_ALL_QUERIES)
 
