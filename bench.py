@@ -138,9 +138,11 @@ HEADLINE = [
     # Gumbel-top-k resampling twin
     "dsir_select",
     "dsir_resample",
-    # round-10: DSIR stored twin (VERDICT r9 #4) — both LMs stored,
+    # round-10: DSIR stored twins (VERDICT r9 #4) — both LMs stored,
     # scoring probe-only; min-of-N is the steady-state probe wall
+    # (resample shares select's LM artifacts -> shared_artifact row)
     "dsir_select_stored",
+    "dsir_resample_stored",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -182,6 +184,7 @@ TRAIN_INCLUSIVE = {
     # raw prefix is the build-attribution proxy; both build in the
     # twin's first run)
     "dsir_select": ("dsir_select_stored", "dsirraw"),
+    "dsir_resample": ("dsir_resample_stored", "dsirraw"),
 }
 
 # Self-adjudication (VERDICT r8 #2): this VM's load swings single-shot
@@ -219,7 +222,7 @@ CROSS_EXTRA_RUNS = 2
 LOAD_GUARD = 2.0
 
 
-def _prev_committed_bench() -> dict[str, float]:
+def _prev_committed_bench(here: str | None = None) -> dict[str, float]:
     """Per-query walls from the last COMMITTED bench_out.json.
 
     Reads the git-HEAD copy (not the working tree, which a prior
@@ -228,7 +231,8 @@ def _prev_committed_bench() -> dict[str, float]:
     """
     import subprocess
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     raw = None
     try:
         raw = subprocess.run(

@@ -833,6 +833,39 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bigrams", "logw", "skey", "rnk")
 
 
+def q_dsir_resample_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k resampling over STORED-LM importance weights —
+    the full production DSIR pipeline: stored raw/target LMs
+    (shared with dsir_select_stored — the artifact builds once),
+    probe-only weighting, then the derandomized softmax(logw/T) draw
+    (operators/sampling.py:weighted_sample_k). Same oracle as
+    dsir_resample: the weights are bit-identical (probe ≡ inline)
+    and the sampler is a pure hash expression, so stored-vs-inline
+    changes nothing downstream — which is exactly the claim."""
+    from .operators.sampling import weighted_sample_k
+    from .operators.text import (
+        dsir_weights_from_models,
+        lm_read_model,
+        lm_store_model,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = _artifact_tag(sf_dir)
+    prefix_r, prefix_t = f"dsirraw_{tag}", f"dsirtgt_{tag}"
+    if not _index_ready(spark, prefix_r):
+        lm_store_model(docs, prefix_r)
+    if not _index_ready(spark, prefix_t):
+        lm_store_model(
+            docs.where(F.col("source").isin(*DSIR_TARGET_SOURCES)),
+            prefix_t)
+    w = dsir_weights_from_models(lm_read_model(spark, prefix_r),
+                                 lm_read_model(spark, prefix_t), docs)
+    return weighted_sample_k(w, "logw", DSIR_K,
+                             temperature=DSIR_TEMPERATURE,
+                             seed=DSIR_SEED) \
+        .select("doc_id", "n_bigrams", "logw", "skey", "rnk")
+
+
 DSIR_TEMPERATURE = 0.1
 DSIR_SEED = "dsir"
 
@@ -3502,6 +3535,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "dsir_select_stored": q_dsir_select_stored,
     "dsir_resample": q_dsir_resample,
+    "dsir_resample_stored": q_dsir_resample_stored,
     "bm25_topk_stored": q_bm25_topk_stored,
     "lm_score_stored": q_lm_score_stored,
     "winnow_fingerprints": q_winnow_fingerprints,
@@ -3573,8 +3607,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "mixture_sample": _mixture_sql(),
     "lm_score": _lm_score_sql(),
     "dsir_select": _dsir_select_sql(),
-    # probe ≡ inline IS the stored twin's claim — same oracle
+    # probe ≡ inline IS the stored twins' claim — same oracles
     "dsir_select_stored": _dsir_select_sql(),
+    "dsir_resample_stored": _dsir_resample_sql(),
     "dsir_resample": _dsir_resample_sql(),
     "winnow_fingerprints": _winnow_sql(),
     "winnow_overlap": _winnow_overlap_sql(),

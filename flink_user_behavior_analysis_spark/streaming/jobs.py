@@ -494,6 +494,32 @@ def ann_filtered_probe_stream(spark: SparkSession, sf_dir: str,
             spark, prefix, batch, k, predicate, nprobe=nprobe))
 
 
+def dsir_score_stream(spark: SparkSession, sf_dir: str,
+                      prefix_raw: str, prefix_tgt: str,
+                      doc_pred=None) -> DataFrame:
+    """Streaming DSIR scoring against the STORED raw/target LMs:
+    arriving documents replay as a stream and each micro-batch runs
+    the probe-only importance weighting
+    (operators/text.dsir_weights_from_models) against the frozen LM
+    artifacts — (doc_id, n_bigrams, logw) per document. Scoring is
+    stateless per document given the frozen LMs, so the drained
+    union equals the one-shot batch weighting under any micro-batch
+    split (test-asserted) — the shape of a selection service scoring
+    a firehose against periodically refreshed LM versions.
+    ``doc_pred``: optional Column filtering the replayed docs."""
+    from ..operators.text import dsir_weights_from_models, lm_read_model
+
+    ensure_utc(spark)
+    docs = file_replay_stream(spark, sf_dir, "documents")
+    if doc_pred is not None:
+        docs = docs.where(doc_pred)
+    model_r = lm_read_model(spark, prefix_raw)
+    model_t = lm_read_model(spark, prefix_tgt)
+    return run_probe_foreach_batch(
+        docs,
+        lambda batch: dsir_weights_from_models(model_r, model_t, batch))
+
+
 def tx_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 streaming: stream-stream interval join with watermarks
     (TxPayMatchByJoin.java:63-93). Spark's native stream-stream inner

@@ -900,6 +900,44 @@ def test_dsir_stored_models_probe_equals_inline(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_dsir_raw_lm_append_equals_rebuild(spark, sf_dir):
+    """DSIR inherits the LM family's ingest lifecycle: folding a new
+    corpus batch into the STORED raw LM (lm_append_to_model — counts
+    additive, vocab recomputed, never re-tokenizes the old corpus)
+    must leave dsir_weights_from_models bit-identical to rebuilding
+    the raw LM on the union — so a growing corpus updates the
+    selection weights without any refit."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        dsir_weights_from_models,
+        lm_append_to_model,
+        lm_read_model,
+        lm_store_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    h = F.abs(F.xxhash64("doc_id") % 10)
+    base, batch = docs.where(h >= 1), docs.where(h < 1)
+    pa, pf, pt = "t_dsir_app", "t_dsir_full", "t_dsir_app_tgt"
+    tables = lm_store_model(base, pa)
+    tables += lm_store_model(docs, pf)
+    tables += lm_store_model(target, pt)
+    try:
+        assert lm_append_to_model(spark, pa, batch, batch_id="b1") > 0
+        mt = lm_read_model(spark, pt)
+        got = dsir_weights_from_models(lm_read_model(spark, pa),
+                                       mt, docs)
+        want = dsir_weights_from_models(lm_read_model(spark, pf),
+                                        mt, docs)
+        assert (sorted(map(tuple, got.collect()))
+                == sorted(map(tuple, want.collect())))
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_mixture_sample_monotone_and_rates(spark, sf_dir):
     """Raising a group's rate only ADDS rows (cache-sharing property),
     and achieved per-source rates track the targets."""

@@ -783,6 +783,43 @@ def test_semdedup_probe_stream_equals_batch(spark, sf_dir, tmp_path):
             spark.sql(f"DROP TABLE {t.name}")
 
 
+def test_dsir_score_stream_equals_inline_weights(spark, sf_dir, tmp_path):
+    """DSIR scoring as a foreachBatch micro-batch stream against the
+    STORED raw/target LMs: weighting is stateless per document given
+    the frozen artifacts, so a 3-micro-batch replay must drain to
+    exactly the INLINE dsir_weights result (which refits both LMs
+    from the same corpus/target) — stored+streamed ≡ inline in one
+    assertion."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        dsir_weights,
+        lm_store_model,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        dsir_score_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    pr, pt = "t_dsir_str_raw", "t_dsir_str_tgt"
+    tables = lm_store_model(docs, pr) + lm_store_model(target, pt)
+
+    # 3-file replay dir -> 3 micro-batches
+    stage = tmp_path / "dsir_replay"
+    docs.repartition(3).write.parquet(str(stage / "documents.parquet"))
+    try:
+        streamed = dsir_score_stream(spark, str(stage), pr, pt)
+        inline = dsir_weights(docs, target)
+        cols = ["doc_id", "n_bigrams", "logw"]
+        assert sorted(map(tuple, streamed.select(*cols).collect())) == \
+            sorted(map(tuple, inline.select(*cols).collect()))
+        assert streamed.count() > 0
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_ann_filtered_probe_stream_equals_batch(spark, sf_dir, tmp_path):
     """VERDICT r7 #4: filtered vector search over the stored IVFADC
     index as a foreachBatch micro-batch stream — per-query top-k is
