@@ -143,6 +143,9 @@ HEADLINE = [
     # (resample shares select's LM artifacts -> shared_artifact row)
     "dsir_select_stored",
     "dsir_resample_stored",
+    # temperature-scaled source mixing (mT5 alpha-sampling): in-plan
+    # rates from a broadcast count dim, shuffle-free fact scan
+    "mixture_temperature",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -222,12 +225,17 @@ CROSS_EXTRA_RUNS = 2
 LOAD_GUARD = 2.0
 
 
-def _prev_committed_bench(here: str | None = None) -> dict[str, float]:
+def _prev_committed_bench(here: str | None = None,
+                          sf=None) -> dict[str, float]:
     """Per-query walls from the last COMMITTED bench_out.json.
 
     Reads the git-HEAD copy (not the working tree, which a prior
     aborted run may have overwritten); falls back to the on-disk file
-    when git is unavailable. Empty dict disables cross-round checks.
+    when git is unavailable. Empty dict disables cross-round checks —
+    also returned when the committed artifact is degraded or was
+    captured at a DIFFERENT scale factor than ``sf`` (an sf1 scaling
+    pass compared against sf0.1 walls would flag every row and burn
+    the extra-run budget on expected deltas).
     """
     import subprocess
 
@@ -255,6 +263,8 @@ def _prev_committed_bench(here: str | None = None) -> dict[str, float]:
     # a degraded artifact's walls are not a baseline worth chasing
     if prev.get("degraded"):
         return {}
+    if sf is not None and prev.get("sf") != sf:
+        return {}
     return {k: float(v) for k, v in queries.items()}
 
 
@@ -272,9 +282,10 @@ def main() -> None:
             sys.exit(2)
         print(msg + "; SPARK_GRAFT_BENCH_FORCE=1 set, artifact will be "
               "stamped \"degraded\": true.", file=sys.stderr)
-    prev_bench = _prev_committed_bench()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prev_bench = _prev_committed_bench(sf=sf_val)
     spark = get_spark(app="fuba-bench")
     # Warm every plan shape on the smallest SF first: whole-stage
     # codegen + JIT compilation is per-plan-shape and one-time per JVM
@@ -465,7 +476,7 @@ def main() -> None:
         "load": {"start": [round(x, 2) for x in load_start],
                  "end": [round(x, 2) for x in os.getloadavg()]},
         "degraded": degraded,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     line = json.dumps(payload)
     print(line)

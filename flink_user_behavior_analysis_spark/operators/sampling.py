@@ -113,6 +113,41 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     return df.where(u < rate)
 
 
+def temperature_mixture(df: DataFrame, alpha: float = 0.5,
+                        group_col: str = "source",
+                        id_col: str = "doc_id",
+                        seed: str = "tmix") -> DataFrame:
+    """Temperature-scaled source mixing [the mT5/multilingual-T5
+    alpha-sampling scheme, Xue et al. 2021, arXiv:2010.11934 §3.1]:
+    resample so the kept distribution over groups is ∝ n_g^alpha —
+    alpha < 1 upweights tail sources relative to their raw share
+    (alpha=1 keeps the corpus mixture, alpha=0 targets uniform).
+    Per-group keep rate r_g = n_g^(alpha-1) / max_h n_h^(alpha-1),
+    normalized so the MOST-upweighted (smallest) group keeps
+    everything and no rate exceeds 1; rows then keep/drop by the
+    same portable hash(seed, id) < r_g rule as mixture_sample, so
+    the draw is reproducible, monotone in alpha per group, and
+    oracle-checkable.
+
+    Scale shape: one tiny groupBy count (|groups| rows), the max as
+    a broadcast 1-row aggregate, the rates broadcast-joined back —
+    the fact table never shuffles. Rates are rounded to 6 decimals
+    IN BOTH ENGINES so the keep predicate compares the identical
+    double (pow() may differ in the last ulp across engines).
+    Returns the kept rows plus their group's ``rate``."""
+    counts = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+    raw = counts.select(
+        group_col, F.pow("_n", F.lit(float(alpha) - 1.0)).alias("_r"))
+    mx = raw.agg(F.max("_r").alias("_mx"))
+    rates = raw.crossJoin(F.broadcast(mx)).select(
+        group_col,
+        F.round(F.col("_r") / F.col("_mx"), 6).alias("rate"))
+    u = hash_uniform(id_col, seed)
+    return (df.join(F.broadcast(rates), group_col)
+            .where(u < F.col("rate")))
+
+
 def gumbel_key(id_col: str, seed: str, weight_col: str,
                temperature: float = 1.0) -> Column:
     """Perturbed log-weight for Gumbel-top-k sampling:

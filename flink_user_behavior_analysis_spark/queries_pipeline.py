@@ -650,6 +650,45 @@ WHERE {_D_MD5INT.format(x="'" + MIX_SEED + ":' || doc_id::VARCHAR")}
 """
 
 
+TMIX_ALPHA, TMIX_SEED = 0.5, "tmix"
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled LANGUAGE mixing
+    (operators/sampling.py:temperature_mixture — the mT5
+    alpha-sampling scheme on its own use case: the testdata's lang
+    column is zipf-skewed, en ~3.4x fr): kept distribution
+    ∝ n_lang^alpha with rates derived IN-PLAN from the language
+    counts (tiny broadcast dim; the documents scan never shuffles).
+    Output pins membership, the per-language rate, and therefore the
+    achieved mixture. (The source column is deliberately NOT the
+    group key — driver data has uniform source sizes, which makes
+    alpha-sampling a no-op.)"""
+    from .operators.sampling import temperature_mixture
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return temperature_mixture(docs, alpha=TMIX_ALPHA,
+                               group_col="lang", seed=TMIX_SEED) \
+        .select("doc_id", "lang", "rate")
+
+
+def _mixture_temperature_sql() -> str:
+    u = _D_MD5INT.format(x="'" + TMIX_SEED + ":' || doc_id::VARCHAR")
+    return f"""
+WITH counts AS (
+    SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY 1
+), raw AS (
+    SELECT lang, pow(n, {TMIX_ALPHA} - 1.0) AS r FROM counts
+), rates AS (
+    SELECT lang, round(r / (SELECT max(r) FROM raw), 6) AS rate
+    FROM raw
+)
+SELECT d.doc_id, d.lang, rates.rate
+FROM documents d JOIN rates USING (lang)
+WHERE {u} / 1152921504606846976.0 < rates.rate
+"""
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity-proxy scoring
     (operators/text.py:lm_score)."""
@@ -3531,6 +3570,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf_trained": q_ann_topk_ivf_trained,
     "ann_topk_pq": q_ann_topk_pq,
     "mixture_sample": q_mixture_sample,
+    "mixture_temperature": q_mixture_temperature,
     "lm_score": q_lm_score,
     "dsir_select": q_dsir_select,
     "dsir_select_stored": q_dsir_select_stored,
@@ -3605,6 +3645,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # must reproduce min-label's labeling exactly
     "dedup_clusters_star": _clusters_sql(),
     "mixture_sample": _mixture_sql(),
+    "mixture_temperature": _mixture_temperature_sql(),
     "lm_score": _lm_score_sql(),
     "dsir_select": _dsir_select_sql(),
     # probe ≡ inline IS the stored twins' claim — same oracles

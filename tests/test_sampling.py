@@ -92,3 +92,57 @@ def test_gumbel_topk_is_weight_biased_and_seed_reproducible(spark, sf_dir):
                 "temperature too cold for the weight scale")
     finally:
         w.unpersist()
+
+
+def test_temperature_mixture_rates_and_flattening(spark, sf_dir):
+    """mT5 alpha-sampling properties on the zipf-skewed lang column
+    (source sizes are uniform in the testdata — alpha-sampling over
+    them is a no-op, which is why the registered query groups by
+    lang): the smallest language keeps everything (rate 1.0 after
+    normalization), alpha=1 reproduces the corpus (all rates 1), and
+    decreasing alpha FLATTENS the kept mixture — the max/min language
+    share ratio strictly shrinks."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        temperature_mixture,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    n_docs = docs.count()
+
+    # alpha=1: r_g = n_g^0 = 1 for every group -> keeps everything
+    kept_all = temperature_mixture(docs, alpha=1.0, group_col="lang")
+    assert kept_all.count() == n_docs
+    assert {float(r.rate) for r in
+            kept_all.select("rate").distinct().collect()} == {1.0}
+
+    counts = {r.lang: r.cnt for r in
+              docs.groupBy("lang").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    smallest = min(counts, key=counts.get)
+
+    def share_ratio(alpha):
+        kept = temperature_mixture(docs, alpha=alpha, group_col="lang")
+        by = {r.lang: (r.cnt, r.rate) for r in
+              kept.groupBy("lang", "rate").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+        # smallest language's rate normalizes to 1.0 -> fully kept
+        assert by[smallest][1] == 1.0
+        assert by[smallest][0] == counts[smallest]
+        shares = [c for c, _r in by.values()]
+        return max(shares) / min(shares)
+
+    raw_ratio = max(counts.values()) / min(counts.values())
+    assert raw_ratio > 1.5, "lang column lost its skew — fix the test"
+    r_07, r_03 = share_ratio(0.7), share_ratio(0.3)
+    assert raw_ratio > r_07 > r_03, (raw_ratio, r_07, r_03)
+
+    # determinism: same alpha+seed reproduces the exact kept set
+    a = {r.doc_id for r in
+         temperature_mixture(docs, 0.5, group_col="lang").collect()}
+    b = {r.doc_id for r in
+         temperature_mixture(docs.repartition(13), 0.5,
+                             group_col="lang").collect()}
+    assert a == b
