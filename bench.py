@@ -146,6 +146,9 @@ HEADLINE = [
     # temperature-scaled source mixing (mT5 alpha-sampling): in-plan
     # rates from a broadcast count dim, shuffle-free fact scan
     "mixture_temperature",
+    # stored decontamination: eval set probes the bucketed corpus
+    # gram_fp inverted index — corpus text never rescanned
+    "contamination_stored",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -188,6 +191,9 @@ TRAIN_INCLUSIVE = {
     # twin's first run)
     "dsir_select": ("dsir_select_stored", "dsirraw"),
     "dsir_resample": ("dsir_resample_stored", "dsirraw"),
+    # inline contamination re-shingles the whole corpus per eval
+    # release; the stored twin probes the gram_fp inverted index
+    "contamination": ("contamination_stored", "contam"),
 }
 
 # Self-adjudication (VERDICT r8 #2): this VM's load swings single-shot

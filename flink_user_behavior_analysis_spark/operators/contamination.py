@@ -100,3 +100,107 @@ def source_overlap_matrix(docs: DataFrame, n: int = 5,
         pairs.groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
+
+
+# ------------------------------------------------- stored decontamination
+
+def _gram_fps(docs: DataFrame, n: int, id_col: str,
+              text_col: str) -> DataFrame:
+    """(id, gram_fp) — one row per DISTINCT n-gram per document
+    (with_shingles already distincts within a doc), fp'd through the
+    portable 60-bit md5 hash so the stored index holds fixed-width
+    keys instead of raw gram text and the DuckDB oracle can
+    reproduce every fp exactly."""
+    from .dedup import md5_long
+
+    return (
+        with_shingles(docs, id_col, text_col, n)
+        .select(F.col(id_col),
+                F.explode_outer("shingles").alias("_gram"))
+        .where(F.col("_gram").isNotNull())
+        .select(F.col(id_col), md5_long(F.col("_gram")).alias("gram_fp"))
+    )
+
+
+def contam_store_grams(corpus: DataFrame, prefix: str, n: int = 5,
+                       n_buckets: int = 8, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       rebuild_includes_appends: bool = False) -> list[str]:
+    """Materialize the corpus n-gram INVERTED INDEX as a catalog
+    artifact — the production decontamination shape: one table
+    {prefix}_grams (gram_fp, id) bucketed on gram_fp. A benchmark
+    suite then probes the index (contamination_from_store) without
+    ever rescanning the corpus text — the 100 TB shingling cost is
+    paid once per corpus version, not once per eval release.
+
+    Same crash-atomic skeleton as every other *_store_* builder:
+    manifest invalidated first, ledger cleared for the new generation
+    (quarantining discarded append batches unless
+    rebuild_includes_appends asserts the corpus absorbed them),
+    commit marker written LAST."""
+    from ..sources.readers import (clear_append_ledger,
+                                   invalidate_manifest, write_bucketed,
+                                   write_manifest)
+
+    spark = corpus.sparkSession
+    invalidate_manifest(spark, prefix)  # rebuild bracket: open
+    clear_append_ledger(spark, prefix,  # new generation
+                        includes_appends=rebuild_includes_appends)
+    write_bucketed(_gram_fps(corpus, n, id_col, text_col),
+                   f"{prefix}_grams", "gram_fp", n_buckets)
+    names = [f"{prefix}_grams"]
+    write_manifest(spark, prefix, names)
+    return names
+
+
+def contam_append_grams(spark, prefix: str, new_docs: DataFrame,
+                        batch_id: str | None = None, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> int:
+    """Fold a new corpus batch into the stored gram index: shingle
+    ONLY the batch and append its (gram_fp, id) rows — per-doc rows,
+    no key collisions, so a plain bucketed append preserves the
+    probe join's co-partitioning. ``n`` MUST match the store (gram
+    fps are a function of it). Exactly-once via the shared
+    manifest-bracket transactional skeleton."""
+    from ..sources.readers import (append_bucketed, append_recorded,
+                                   require_bucket_count,
+                                   require_index_ready,
+                                   transactional_append)
+
+    require_index_ready(spark, prefix, "contam_append_grams")
+    if batch_id is not None and append_recorded(spark, prefix, batch_id):
+        return 0  # committed re-delivery: skip the batch compute
+    fps = _gram_fps(new_docs, n, id_col, text_col)
+    n_batch = new_docs.count()
+    nb = require_bucket_count(spark, f"{prefix}_grams")
+
+    def _write():
+        append_bucketed(fps, f"{prefix}_grams", "gram_fp", nb)
+
+    ran = transactional_append(
+        spark, prefix, [f"{prefix}_grams"], batch_id,
+        "contam_append_grams", _write, pre_checked=True)
+    return int(n_batch) if ran else 0
+
+
+def contamination_from_store(spark, prefix: str, eval_docs: DataFrame,
+                             n: int = 5, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Probe-only decontamination against the stored gram index: the
+    arriving EVAL SET (tiny by construction — benchmarks are MBs)
+    shingles itself, fps its distinct grams, and semi-joins the
+    bucketed corpus index — the corpus text is never read and the
+    index side never shuffles on a new eval release. Returns
+    (id, n_hits) per CONTAMINATED corpus doc, identical to
+    ngram_contamination's fp-space semantics on the same split
+    (test-asserted probe ≡ inline; the driver oracle recomputes both
+    sides from scratch in SQL)."""
+    ev = (_gram_fps(eval_docs, n, id_col, text_col)
+          .select("gram_fp").distinct())
+    idx = spark.table(f"{prefix}_grams")
+    return (
+        idx.join(F.broadcast(ev), "gram_fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

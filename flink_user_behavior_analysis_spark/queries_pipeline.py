@@ -1730,6 +1730,65 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir), CONTAM_RATE, CONTAM_N)
 
 
+def q_contamination_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION decontamination shape: the training corpus's
+    distinct n-grams live in a STORED bucketed inverted index
+    (operators/contamination.py:contam_store_grams — built once per
+    corpus version, appendable per batch through the exactly-once
+    ledger), and each benchmark release probes it
+    (contamination_from_store): the eval set shingles ITSELF, fps
+    its grams, and semi-joins the index — the corpus text is never
+    rescanned. Same (doc_id, n_hits) semantics as contamination in
+    fp space; the oracle recomputes both sides from scratch with the
+    identical portable md5 fp, so a fp-pipeline bug cannot hide."""
+    from .operators.contamination import (
+        contam_store_grams,
+        contamination_from_store,
+    )
+    from .operators.sampling import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    is_eval = hash_uniform("doc_id", "eval") < CONTAM_RATE
+    prefix = f"contam_{_artifact_tag(sf_dir)}"
+    if not _index_ready(spark, prefix):
+        contam_store_grams(docs.where(~is_eval), prefix, n=CONTAM_N)
+    return contamination_from_store(spark, prefix,
+                                    docs.where(is_eval), n=CONTAM_N)
+
+
+def _contamination_stored_sql() -> str:
+    u = _D_MD5INT.format(x="'eval:' || doc_id::VARCHAR")
+    fp = _D_MD5INT.format(x="gram")
+    n = CONTAM_N
+    return f"""
+WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+    FROM documents
+), tok AS (
+    SELECT doc_id, string_split(ntext, ' ') AS w FROM norm
+), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                ELSE list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                                    for i in range(1, len(w) - {n - 2})])
+           END AS shingles,
+           {u} / 1152921504606846976.0 < {CONTAM_RATE} AS is_eval
+    FROM tok
+), fps AS (
+    SELECT doc_id, is_eval, {fp} AS gram_fp
+    FROM (SELECT doc_id, is_eval, unnest(shingles) AS gram FROM sh)
+    WHERE gram IS NOT NULL
+), ev AS (
+    SELECT DISTINCT gram_fp FROM fps WHERE is_eval
+)
+SELECT f.doc_id, COUNT(*)::BIGINT AS n_hits
+FROM fps f JOIN ev USING (gram_fp)
+WHERE NOT f.is_eval
+GROUP BY 1
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix: shared distinct 5-grams per
     unordered source pair (operators/contamination.py:
@@ -3541,6 +3600,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "tfidf_top_terms": q_tfidf_top_terms,
     "contamination": q_contamination,
+    "contamination_stored": q_contamination_stored,
     "source_overlap": q_source_overlap,
     "stratified_sample": q_stratified_docs,
     "chunk_docs": q_chunk_docs,
@@ -3616,6 +3676,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "repetition_stats": REPETITION_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "contamination": _contamination_sql(),
+    "contamination_stored": _contamination_stored_sql(),
     "source_overlap": _source_overlap_sql(),
     "stratified_sample": _stratified_sql(),
     "chunk_docs": CHUNK_SQL,

@@ -869,6 +869,60 @@ def test_lm_stored_model_probe_equals_inline(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_contamination_stored_probe_equals_inline_and_append(spark, sf_dir):
+    """The stored decontamination index (r10): probing the bucketed
+    gram_fp inverted index with the eval split must reproduce
+    ngram_contamination's (doc_id, n_hits) exactly (fp space — the
+    60-bit md5 fp is injective on this corpus), and folding a corpus
+    batch in via the ledgered append must equal a full rebuild."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.contamination import (
+        contam_append_grams,
+        contam_store_grams,
+        contamination_from_store,
+        ngram_contamination,
+    )
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        hash_uniform,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate, n = 0.05, 5
+    is_eval = hash_uniform("doc_id", "eval") < rate
+    train, ev = docs.where(~is_eval), docs.where(is_eval)
+    prefixes = ("t_contam_full", "t_contam_inc")
+    for p in prefixes:
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    try:
+        contam_store_grams(train, "t_contam_full", n=n)
+        probe = contamination_from_store(spark, "t_contam_full", ev, n=n)
+        inline = ngram_contamination(docs, rate, n)
+        assert (sorted(map(tuple, probe.collect()))
+                == sorted(map(tuple, inline.collect())))
+
+        # append ≡ rebuild: build on 80% of train, fold in the rest
+        h = F.abs(F.xxhash64("doc_id") % 10)
+        contam_store_grams(train.where(h >= 2), "t_contam_inc", n=n)
+        assert contam_append_grams(spark, "t_contam_inc",
+                                   train.where(h < 2),
+                                   batch_id="c1", n=n) > 0
+        # committed re-delivery is a no-op
+        assert contam_append_grams(spark, "t_contam_inc",
+                                   train.where(h < 2),
+                                   batch_id="c1", n=n) == 0
+        inc = contamination_from_store(spark, "t_contam_inc", ev, n=n)
+        assert (sorted(map(tuple, inc.collect()))
+                == sorted(map(tuple, probe.collect())))
+    finally:
+        for p in prefixes:
+            for t in spark.catalog.listTables():
+                if t.name.startswith(p):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
 def test_dsir_stored_models_probe_equals_inline(spark, sf_dir):
     """VERDICT r9 #4: the DSIR production shape stores BOTH bigram
     LMs (lm_store_model twice) and scores probe-only; the probe must
