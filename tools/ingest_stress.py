@@ -20,6 +20,12 @@ from flink_user_behavior_analysis_spark.operators.chunking import (  # noqa: E40
     span_append_counts,
     span_store_counts,
 )
+from flink_user_behavior_analysis_spark.operators.contamination import (  # noqa: E402
+    contam_append_grams as _contam_append,
+)
+from flink_user_behavior_analysis_spark.operators.contamination import (  # noqa: E402
+    contam_store_grams as _contam_store,
+)
 from flink_user_behavior_analysis_spark.operators.dedup import (  # noqa: E402
     dedup_append_corpus,
     dedup_store_corpus,
@@ -65,6 +71,8 @@ def main() -> None:
          lambda p: dedup_append_corpus(spark, p, batch, batch_id="m1")),
         ("spans", lambda d, p: span_store_counts(d, p),
          lambda p: span_append_counts(spark, p, batch, batch_id="m1")),
+        ("contam", lambda d, p: _contam_store(d, p),
+         lambda p: _contam_append(spark, p, batch, batch_id="m1")),
     ]
     print("\n| family | build (90%) | append (10%) | rebuild (100%) | "
           "append/rebuild |")
