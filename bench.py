@@ -228,16 +228,85 @@ CROSS_EXTRA_RUNS = 2
 # Refuse to start when the 1-min loadavg exceeds the threshold;
 # SPARK_GRAFT_BENCH_FORCE=1 overrides but stamps the JSON
 # "degraded": true so round-close tooling can reject the artifact.
+#
+# Wait-for-idle (VERDICT r10 #2): a hard refusal made the driver's
+# official BENCH_r10.json an empty rc-2 stamp because the bench ran
+# right after the correctness pass (loadavg 5.98, decaying). Instead
+# of refusing immediately, poll the 1-min loadavg for up to
+# SPARK_GRAFT_BENCH_WAIT_SEC (default 600 s) and start the moment it
+# drops under the guard; refuse only on timeout. The wait is recorded
+# in the JSON's "load" block so a reader can see the episode.
 LOAD_GUARD = 2.0
+WAIT_FOR_IDLE_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC",
+                                         "600"))
+WAIT_POLL_SEC = 15.0
+
+# Plan fingerprints (VERDICT r10 #6): the cross-round adjudicator
+# compared walls blind — every flag needed a human A/B to separate
+# "plan changed" from "VM noise". Each row now records a fingerprint
+# of its executed physical plan (exprIds / plan ids / codegen ids
+# normalized away, so the hash is stable across sessions but moves
+# when the plan SHAPE moves). When a row trips the cross-round ratio
+# but its fingerprint differs from the committed artifact's, the
+# rerun budget is skipped and the row lands in
+# "cross_round_expected_changes" instead of
+# "cross_round_regressions" — the wall moved because the plan did.
+_PLAN_NOISE = None
 
 
-def _prev_committed_bench(here: str | None = None,
-                          sf=None) -> dict[str, float]:
-    """Per-query walls from the last COMMITTED bench_out.json.
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the executed physical plan's shape.
+
+    Normalizes the session-varying tokens (expression ids ``#123``,
+    exchange/plan ids ``[plan_id=42]`` / ``[id=#12]``, codegen stage
+    ids, JVM object addresses, and the subquery/CTE numbering) so the
+    same logical plan fingerprints identically across JVMs, while any
+    operator/strategy change (join type, exchange added, filter
+    pushed) changes the hash.
+    """
+    global _PLAN_NOISE
+    import hashlib
+    import re as _re
+
+    if _PLAN_NOISE is None:
+        _PLAN_NOISE = [
+            # DataFilters is TRUNCATED at maxMetadataStringLength and
+            # contains exprIds whose LENGTH varies per session (#7 vs
+            # #103), shifting the truncation point — different text
+            # survives, so the field must go entirely. No shape info
+            # is lost: the Filter node and PushedFilters print in full.
+            (_re.compile(r"DataFilters: \[.*?(?=, Format: )",
+                         _re.DOTALL), "DataFilters: ["),
+            # Location holds the warehouse dir (process-random in
+            # tests) and the file COUNT (varies with appends) — the
+            # catalog table name / ReadSchema identify the scan
+            (_re.compile(r"Location: .*?(?=, PartitionFilters: )",
+                         _re.DOTALL), "Location: "),
+            (_re.compile(r"#\d+"), "#"),
+            # higher-order-function lambda vars number off a
+            # session-global counter (lambda x_1 vs x_17)
+            (_re.compile(r"_\d+#"), "_#"),
+            (_re.compile(r"plan_id=\d+"), "plan_id="),
+            (_re.compile(r"\[id=#?\d*\]"), "[id=]"),
+            (_re.compile(r"\(\d+\)"), "()"),        # codegen stage ids
+            (_re.compile(r"@[0-9a-fA-F]{6,}"), "@"),  # object addresses
+            (_re.compile(r"cte_\d+|subquery\d+"), "cte"),
+        ]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for pat, rep in _PLAN_NOISE:
+        plan = pat.sub(rep, plan)
+    return hashlib.md5(plan.encode()).hexdigest()[:12]
+
+
+def _prev_committed_bench(
+        here: str | None = None,
+        sf=None) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-query (walls, plan fingerprints) from the last COMMITTED
+    bench_out.json.
 
     Reads the git-HEAD copy (not the working tree, which a prior
     aborted run may have overwritten); falls back to the on-disk file
-    when git is unavailable. Empty dict disables cross-round checks —
+    when git is unavailable. Empty dicts disable cross-round checks —
     also returned when the committed artifact is degraded or was
     captured at a DIFFERENT scale factor than ``sf`` (an sf1 scaling
     pass compared against sf0.1 walls would flag every row and burn
@@ -260,27 +329,44 @@ def _prev_committed_bench(here: str | None = None,
             with open(os.path.join(here, "bench_out.json")) as fh:
                 raw = fh.read()
         except OSError:
-            return {}
+            return {}, {}
     try:
         prev = json.loads(raw)
     except (ValueError, TypeError):
-        return {}
+        return {}, {}
     queries = prev.get("queries", {})
     # a degraded artifact's walls are not a baseline worth chasing
     if prev.get("degraded"):
-        return {}
+        return {}, {}
     if sf is not None and prev.get("sf") != sf:
-        return {}
-    return {k: float(v) for k, v in queries.items()}
+        return {}, {}
+    fps = prev.get("plan_fp", {})
+    return ({k: float(v) for k, v in queries.items()},
+            {k: str(v) for k, v in fps.items()} if isinstance(fps, dict)
+            else {})
 
 
 def main() -> None:
+    # Bounded wait-for-idle (VERDICT r10 #2): don't turn a decaying
+    # post-correctness load spike into an empty refusal artifact —
+    # poll until the 1-min loadavg drops under the guard, start then,
+    # and refuse only if the budget elapses while still hot.
+    waited = 0.0
+    t_wait0 = time.monotonic()
+    while (os.getloadavg()[0] > LOAD_GUARD
+           and time.monotonic() - t_wait0 < WAIT_FOR_IDLE_SEC):
+        if waited == 0.0:
+            print(f"# loadavg {os.getloadavg()[0]:.2f} > {LOAD_GUARD}; "
+                  f"waiting for idle (up to {WAIT_FOR_IDLE_SEC:.0f}s, "
+                  f"poll every {WAIT_POLL_SEC:.0f}s)", file=sys.stderr)
+        time.sleep(WAIT_POLL_SEC)
+        waited = round(time.monotonic() - t_wait0, 1)
     load_start = os.getloadavg()
     degraded = load_start[0] > LOAD_GUARD
     if degraded:
-        msg = (f"# loadavg {load_start[0]:.2f} > {LOAD_GUARD} at bench "
-               f"start — numbers would be noise-inflated (r9 shipped "
-               f"~26% hot)")
+        msg = (f"# loadavg {load_start[0]:.2f} > {LOAD_GUARD} after "
+               f"waiting {waited:.0f}s — numbers would be "
+               f"noise-inflated (r9 shipped ~26% hot)")
         if os.environ.get("SPARK_GRAFT_BENCH_FORCE") != "1":
             print(msg + "; refusing to run. Set SPARK_GRAFT_BENCH_FORCE=1 "
                   "to override (artifact will be stamped degraded).",
@@ -288,10 +374,13 @@ def main() -> None:
             sys.exit(2)
         print(msg + "; SPARK_GRAFT_BENCH_FORCE=1 set, artifact will be "
               "stamped \"degraded\": true.", file=sys.stderr)
+    elif waited:
+        print(f"# idle after {waited:.0f}s wait "
+              f"(loadavg {load_start[0]:.2f})", file=sys.stderr)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev_bench = _prev_committed_bench(sf=sf_val)
+    prev_bench, prev_fps = _prev_committed_bench(sf=sf_val)
     spark = get_spark(app="fuba-bench")
     # Warm every plan shape on the smallest SF first: whole-stage
     # codegen + JIT compilation is per-plan-shape and one-time per JVM
@@ -342,9 +431,11 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     timings: dict[str, list[float]] = {}
+    plan_fps: dict[str, str] = {}
     ready_before: dict[str, bool] = {}
     unstable: dict[str, list[float]] = {}
     cross_round: dict[str, dict] = {}
+    expected_changes: dict[str, dict] = {}
     for name in HEADLINE:
         fn = Q.QUERIES.get(name)
         if fn is None:
@@ -370,11 +461,22 @@ def main() -> None:
         n = 0
         base_runs = 3 if skip_first else 2
         prev = prev_bench.get(name)
+        plan_changed = False
         while True:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
             times.append(time.perf_counter() - t0)
+            # fingerprint once per row, outside the timed span, from
+            # the post-count df so AQE's final plan is what hashes
+            if name not in plan_fps:
+                try:
+                    plan_fps[name] = _plan_fingerprint(df)
+                except Exception:  # pragma: no cover
+                    plan_fps[name] = "unavailable"
+                plan_changed = (name in prev_fps
+                                and plan_fps[name] != "unavailable"
+                                and plan_fps[name] != prev_fps[name])
             # drop persisted signature frames between timings — a
             # long-lived session must not accumulate blocks, and a
             # later run must not read an earlier run's cache
@@ -383,8 +485,11 @@ def main() -> None:
             intra_ok = (len(adj) >= 2
                         and max(adj) / min(adj) <= DISAGREE_RATIO)
             # cross-round: a min still >1.5x the committed wall earns
-            # extra runs before the regression is accepted (r9 #2)
-            cross_ok = (prev is None or not adj
+            # extra runs before the regression is accepted (r9 #2) —
+            # UNLESS the plan fingerprint moved, in which case the
+            # delta is an expected consequence of a plan change and
+            # the rerun budget is noise, not adjudication (r10 #6)
+            cross_ok = (prev is None or plan_changed or not adj
                         or min(adj) <= prev * CROSS_ROUND_RATIO)
             budget = base_runs + MAX_EXTRA_RUNS
             if not cross_ok:
@@ -396,11 +501,22 @@ def main() -> None:
         if len(times) > base_runs:
             unstable[name] = timings[name]
         if prev is not None and per_query[name] > prev * CROSS_ROUND_RATIO:
-            cross_round[name] = {"prev": prev, "now": per_query[name],
-                                 "runs": timings[name]}
-            print(f"# CROSS-ROUND regression {name}: {prev:.3f}s -> "
-                  f"{per_query[name]:.3f}s after {len(times)} runs",
-                  file=sys.stderr)
+            row = {"prev": prev, "now": per_query[name],
+                   "runs": timings[name]}
+            if plan_changed:
+                row["prev_plan_fp"] = prev_fps.get(name)
+                row["plan_fp"] = plan_fps.get(name)
+                expected_changes[name] = row
+                print(f"# cross-round delta {name}: {prev:.3f}s -> "
+                      f"{per_query[name]:.3f}s, plan fingerprint moved "
+                      f"({prev_fps.get(name)} -> {plan_fps.get(name)}) — "
+                      f"expected change, not adjudicated",
+                      file=sys.stderr)
+            else:
+                cross_round[name] = row
+                print(f"# CROSS-ROUND regression {name}: {prev:.3f}s -> "
+                      f"{per_query[name]:.3f}s after {len(times)} runs",
+                      file=sys.stderr)
         print(f"# {name}: {per_query[name]:.3f}s rows={n} "
               f"runs={timings[name]}", file=sys.stderr)
 
@@ -479,8 +595,17 @@ def main() -> None:
         # after the extra-run budget — real regressions OR a sustained
         # load episode; either way they're flagged, not silent (r9 #2)
         "cross_round_regressions": cross_round,
+        # rows over the ratio whose executed-plan fingerprint ALSO
+        # moved vs the committed artifact: the wall moved because the
+        # plan did — reported separately so the adjudicator doesn't
+        # re-litigate intentional changes (r10 #6)
+        "cross_round_expected_changes": expected_changes,
+        # normalized executed-plan hash per row (exprIds/stage ids
+        # stripped): stable across JVMs, moves with plan shape
+        "plan_fp": plan_fps,
         "load": {"start": [round(x, 2) for x in load_start],
-                 "end": [round(x, 2) for x in os.getloadavg()]},
+                 "end": [round(x, 2) for x in os.getloadavg()],
+                 "waited_for_idle_sec": waited},
         "degraded": degraded,
         "sf": sf_val,
     }

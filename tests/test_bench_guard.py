@@ -27,16 +27,18 @@ def test_prev_committed_bench_reads_git_head():
     aborted run may have overwritten the working copy), and every
     value must parse as a float keyed by query name."""
     bench = _bench_module()
-    prev = bench._prev_committed_bench()
+    prev, fps = bench._prev_committed_bench()
     head = json.loads(subprocess.run(
         ["git", "-C", REPO, "show", "HEAD:bench_out.json"],
         capture_output=True, text=True, check=True).stdout)
     if head.get("degraded"):
-        assert prev == {}
+        assert prev == {} and fps == {}
     else:
         assert prev == {k: float(v)
                         for k, v in head["queries"].items()}
         assert prev and all(isinstance(v, float) for v in prev.values())
+        assert fps == {k: str(v)
+                       for k, v in head.get("plan_fp", {}).items()}
 
 
 def test_degraded_artifact_is_not_a_baseline(tmp_path):
@@ -46,20 +48,24 @@ def test_degraded_artifact_is_not_a_baseline(tmp_path):
     dir holding a degraded bench_out.json (git show fails there, so
     the on-disk fallback is exercised too)."""
     bench = _bench_module()
-    payload = {"queries": {"q1": 1.0}, "degraded": True}
+    payload = {"queries": {"q1": 1.0}, "degraded": True,
+               "plan_fp": {"q1": "abc"}}
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
-    assert bench._prev_committed_bench(str(tmp_path)) == {}
+    assert bench._prev_committed_bench(str(tmp_path)) == ({}, {})
     payload["degraded"] = False
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
-    assert bench._prev_committed_bench(str(tmp_path)) == {"q1": 1.0}
+    assert bench._prev_committed_bench(str(tmp_path)) == (
+        {"q1": 1.0}, {"q1": "abc"})
 
 
 def test_load_guard_refuses_without_force(monkeypatch, capsys):
     """main() must exit(2) before building a session when the 1-min
-    loadavg exceeds the guard and no force flag is set."""
+    loadavg exceeds the guard and no force flag is set — after the
+    bounded wait-for-idle window elapses (zeroed here)."""
     import pytest
 
     bench = _bench_module()
+    monkeypatch.setattr(bench, "WAIT_FOR_IDLE_SEC", 0.0)
     monkeypatch.setattr(bench.os, "getloadavg",
                         lambda: (bench.LOAD_GUARD + 1.0, 0.0, 0.0))
     monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
@@ -67,6 +73,74 @@ def test_load_guard_refuses_without_force(monkeypatch, capsys):
         bench.main()
     assert exc.value.code == 2
     assert "refusing to run" in capsys.readouterr().err
+
+
+def test_wait_for_idle_starts_when_load_drops(monkeypatch, capsys):
+    """VERDICT r10 #2: a decaying load spike must NOT produce a
+    refusal stamp — main() polls inside the wait budget and proceeds
+    once loadavg drops under the guard. The session builder is stubbed
+    to raise a sentinel so the test proves we got PAST the guard
+    without running the whole bench."""
+    import pytest
+
+    bench = _bench_module()
+    loads = iter([(5.9, 0, 0), (3.1, 0, 0), (0.4, 0, 0)])
+    last = [(0.4, 0, 0)]
+
+    def fake_load():
+        try:
+            last[0] = next(loads)
+        except StopIteration:
+            pass
+        return last[0]
+
+    class Sentinel(RuntimeError):
+        pass
+
+    monkeypatch.setattr(bench, "WAIT_FOR_IDLE_SEC", 60.0)
+    monkeypatch.setattr(bench, "WAIT_POLL_SEC", 0.05)
+    monkeypatch.setattr(bench.os, "getloadavg", fake_load)
+    monkeypatch.setattr(
+        bench, "get_spark",
+        lambda app=None: (_ for _ in ()).throw(Sentinel()))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_FORCE", raising=False)
+    with pytest.raises(Sentinel):
+        bench.main()
+    err = capsys.readouterr().err
+    assert "waiting for idle" in err and "idle after" in err
+
+
+def test_plan_fingerprint_normalizes_session_noise():
+    """Two plan strings differing only in exprIds / exchange ids /
+    codegen stage ids must fingerprint identically; an operator change
+    must move the hash."""
+    bench = _bench_module()
+
+    class FakeDF:
+        def __init__(self, plan):
+            self._plan = plan
+            self._jdf = self
+
+        def queryExecution(self):
+            return self
+
+        def executedPlan(self):
+            return self
+
+        def toString(self):
+            return self._plan
+
+    a = ("*(2) HashAggregate(keys=[k#123], functions=[sum(v#124)])\n"
+         "+- Exchange hashpartitioning(k#123, 32) [plan_id=42]\n"
+         "   +- *(1) Scan parquet [k#123,v#124] [id=#7]")
+    b = ("*(5) HashAggregate(keys=[k#991], functions=[sum(v#992)])\n"
+         "+- Exchange hashpartitioning(k#991, 32) [plan_id=7]\n"
+         "   +- *(4) Scan parquet [k#991,v#992] [id=#88]")
+    c = a.replace("HashAggregate", "SortAggregate")
+    fa = bench._plan_fingerprint(FakeDF(a))
+    assert fa == bench._plan_fingerprint(FakeDF(b))
+    assert fa != bench._plan_fingerprint(FakeDF(c))
+    assert len(fa) == 12
 
 
 def test_headline_and_train_inclusive_are_registered():
