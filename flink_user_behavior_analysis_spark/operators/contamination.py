@@ -158,11 +158,19 @@ def contam_append_grams(spark, prefix: str, new_docs: DataFrame,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> int:
     """Fold a new corpus batch into the stored gram index: shingle
-    ONLY the batch and append its (gram_fp, id) rows — per-doc rows,
-    no key collisions, so a plain bucketed append preserves the
-    probe join's co-partitioning. ``n`` MUST match the store (gram
-    fps are a function of it). Exactly-once via the shared
-    manifest-bracket transactional skeleton."""
+    ONLY the batch and append its (gram_fp, id) rows — a plain
+    bucketed append preserves the probe join's co-partitioning.
+    ``n`` MUST match the store (gram fps are a function of it).
+    Exactly-once via the shared manifest-bracket transactional
+    skeleton.
+
+    PRECONDITION (ADVICE r10): batch doc ids must be DISJOINT from
+    docs already in the index — the index is additive over disjoint
+    doc sets, exactly like lm_append_to_model. Re-appending an
+    existing doc_id under a new batch_id stores its (gram_fp, id)
+    rows twice; the probe defends in depth by counting DISTINCT
+    gram_fp per doc, so n_hits stays correct even then, but the
+    duplicate rows still cost index bytes — don't rely on it."""
     from ..sources.readers import (append_bucketed, append_recorded,
                                    require_bucket_count,
                                    require_index_ready,
@@ -199,8 +207,12 @@ def contamination_from_store(spark, prefix: str, eval_docs: DataFrame,
     ev = (_gram_fps(eval_docs, n, id_col, text_col)
           .select("gram_fp").distinct())
     idx = spark.table(f"{prefix}_grams")
+    # countDistinct (not count(*)): identical under the append
+    # precondition (rows are unique per (id, gram_fp)), and it keeps
+    # n_hits correct if a doc was ever re-appended (ADVICE r10) —
+    # partial aggregation still applies, input is only colliding grams
     return (
         idx.join(F.broadcast(ev), "gram_fp")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .agg(F.countDistinct("gram_fp").cast("long").alias("n_hits"))
     )

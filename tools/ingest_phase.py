@@ -106,6 +106,10 @@ def main() -> None:
         accepted = accepted.persist()
         n_in = accepted.count()
         ph["persist"] = time.perf_counter() - t0
+        # decisions is bound inside the try — if the probe raises
+        # before the assignment, the finally must not NameError over
+        # the original exception (ADVICE r10), so guard both unpersists
+        decisions = None
         try:
             t0 = time.perf_counter()
             decisions = dedup_incremental_from_store(
@@ -120,7 +124,8 @@ def main() -> None:
             ph["append"] = time.perf_counter() - t0
             ph["n_in"], ph["n_kept"] = n_in, n_kept
         finally:
-            decisions.unpersist()
+            if decisions is not None:
+                decisions.unpersist()
             accepted.unpersist()
         rows.append(ph)
 
