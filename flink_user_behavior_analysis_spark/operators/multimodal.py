@@ -365,10 +365,68 @@ def jpeg_header(payload: bytes) -> tuple[int, int, int, int]:
     raise ValueError("no SOF marker before SOS/EOI")
 
 
+def gif_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a GIF header (spec: GIF87a/GIF89a, pure offset reads like
+    PNG/JPEG — no codec needed): validate the 6-byte signature, read
+    the logical screen descriptor's LITTLE-endian u16 dims, and return
+    (width, height, bit_depth, channels) where bit_depth is the packed
+    field's color-resolution bits + 1 and channels is 3 (GIF palettes
+    are RGB triples). Reference copy — media_headers inlines the same
+    logic (VERDICT r10 #5)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    if len(payload) < 13:                # sig + logical screen descriptor
+        raise ValueError("truncated GIF logical screen descriptor")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    depth = ((payload[10] >> 4) & 0x7) + 1
+    return w, h, depth, 3
+
+
+def bmp_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a BMP header (Windows BITMAPINFOHEADER — pure offset
+    reads): validate the 'BM' magic and the 40-byte DIB header size,
+    require planes == 1 per spec, and return (width, height,
+    bit_depth, channels): height is abs() of the signed i32 (negative
+    means top-down row order, same dims), channels = biBitCount / 8
+    for the byte-aligned depths with bit_depth 8, and palette depths
+    (1/4/8 bpp) report (bit_depth=biBitCount, channels=1)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP magic")
+    if len(payload) < 54:                # 14-byte file hdr + 40-byte DIB
+        raise ValueError("truncated BITMAPINFOHEADER")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib != 40:
+        raise ValueError(f"unsupported DIB header size {dib}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    planes = int.from_bytes(payload[26:28], "little")
+    if planes != 1:
+        raise ValueError(f"bad BMP planes {planes}")
+    bitcount = int.from_bytes(payload[28:30], "little")
+    if bitcount not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"bad BMP bit count {bitcount}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dims {w}x{h}")
+    if bitcount < 8:
+        return w, h, bitcount, 1
+    return w, h, 8, bitcount // 8
+
+
 def _be_bytes(col, n_hex: int):
     """Big-endian fixed-width byte encoding of a non-negative integral
     Column, built JVM-side (hex -> left-pad -> unhex)."""
     return F.unhex(F.lpad(F.hex(col.cast("bigint")), n_hex, "0"))
+
+
+def _le_bytes(col, n_bytes: int):
+    """Little-endian fixed-width byte encoding of a non-negative
+    integral Column, built JVM-side: hex -> left-pad -> byte-pair
+    swap -> unhex (GIF/BMP headers are little-endian, unlike
+    PNG/JPEG)."""
+    hx = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+    return F.unhex(F.concat(*[
+        F.substring(hx, i * 2 + 1, 2) for i in reversed(range(n_bytes))]))
 
 
 def documents_as_png(docs: DataFrame, id_col: str = "doc_id",
@@ -429,13 +487,62 @@ def documents_as_jpeg(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def documents_as_gif(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Wrap documents as media whose payloads are REAL GIF89a byte
+    streams: signature + logical screen descriptor (LITTLE-endian u16
+    dims built via _le_bytes, packed field 0x70 = color resolution 8,
+    no global color table) closed by the 0x3B trailer. Same (w, h)
+    derivation as documents_as_png so one oracle formula covers all
+    formats."""
+    n = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    w, h = n % 64 + 1, n % 32 + 1
+    payload = F.concat(F.lit(b"GIF89a"), _le_bytes(w, 2),
+                       _le_bytes(h, 2), F.lit(bytes([0x70, 0, 0, 0x3B])))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("gif").alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.hex(payload), 256).alias("content_sha256"),
+    )
+
+
+def documents_as_bmp(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Wrap documents as media whose payloads are REAL BMP headers:
+    'BM' file header (file size = pixel offset = 54, no pixel data —
+    the parser only reads the header region) + a spec-correct
+    BITMAPINFOHEADER (size 40, little-endian i32 dims, planes 1,
+    24 bpp, remaining six u32 fields zero). Same (w, h) derivation
+    as documents_as_png."""
+    n = F.octet_length(F.encode(F.col(text_col), "UTF-8"))
+    w, h = n % 64 + 1, n % 32 + 1
+    payload = F.concat(
+        F.lit(b"BM" + (54).to_bytes(4, "little") + bytes(4)
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")),
+        _le_bytes(w, 4), _le_bytes(h, 4),
+        F.lit((1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + bytes(24)))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit("bmp").alias("format"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.hex(payload), 256).alias("content_sha256"),
+    )
+
+
 def media_headers(media: DataFrame) -> DataFrame:
     """Header-metadata extraction over real-format payloads: parse
-    each payload's PNG or JPEG header (dispatch on the ``format``
-    column) inside mapInPandas — Arrow-batched, partition-preserving,
-    shuffle-free; memory bounded by the Arrow batch size, exactly the
-    decode_media plumbing contract. Emits (media_id, format, width,
-    height, bit_depth, channels)."""
+    each payload's PNG / JPEG / GIF / BMP header (dispatch on the
+    ``format`` column) inside mapInPandas — Arrow-batched,
+    partition-preserving, shuffle-free; memory bounded by the Arrow
+    batch size, exactly the decode_media plumbing contract. Emits
+    (media_id, format, width, height, bit_depth, channels)."""
 
     # parsers inlined (mirroring png_header/jpeg_header above) so
     # cloudpickle ships them by value — same rationale as decode_media
@@ -486,6 +593,8 @@ def media_headers(media: DataFrame) -> DataFrame:
                 if seg_len < 2:
                     raise ValueError("corrupt segment length")
                 if marker in sof:
+                    if i + 10 > len(p):   # p[i+9] would IndexError
+                        raise ValueError("truncated SOF segment")
                     return (int.from_bytes(p[i + 7:i + 9], "big"),
                             int.from_bytes(p[i + 5:i + 7], "big"),
                             p[i + 4], p[i + 9])
@@ -494,23 +603,59 @@ def media_headers(media: DataFrame) -> DataFrame:
                 i += 2 + seg_len
             raise ValueError("no SOF marker before SOS/EOI")
 
+        def parse_gif(p: bytes):
+            if p[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF signature")
+            if len(p) < 13:
+                raise ValueError(
+                    "truncated GIF logical screen descriptor")
+            return (int.from_bytes(p[6:8], "little"),
+                    int.from_bytes(p[8:10], "little"),
+                    ((p[10] >> 4) & 0x7) + 1, 3)
+
+        def parse_bmp(p: bytes):
+            if p[:2] != b"BM":
+                raise ValueError("not a BMP magic")
+            if len(p) < 54:
+                raise ValueError("truncated BITMAPINFOHEADER")
+            dib = int.from_bytes(p[14:18], "little")
+            if dib != 40:
+                raise ValueError(f"unsupported DIB header size {dib}")
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            h = abs(int.from_bytes(p[22:26], "little", signed=True))
+            planes = int.from_bytes(p[26:28], "little")
+            if planes != 1:
+                raise ValueError(f"bad BMP planes {planes}")
+            bitcount = int.from_bytes(p[28:30], "little")
+            if bitcount not in (1, 4, 8, 16, 24, 32):
+                raise ValueError(f"bad BMP bit count {bitcount}")
+            if w <= 0 or h == 0:
+                raise ValueError(f"bad BMP dims {w}x{h}")
+            if bitcount < 8:
+                return w, h, bitcount, 1
+            return w, h, 8, bitcount // 8
+
+        parsers = {"png": parse_png, "jpeg": parse_jpeg,
+                   "jpg": parse_jpeg, "gif": parse_gif,
+                   "bmp": parse_bmp}
+
         for pdf in batches:
             out = []
             for mid, fmt, p in zip(pdf["media_id"], pdf["format"],
                                    pdf["payload"]):
-                if fmt == "png":
-                    parse = parse_png
-                elif fmt in ("jpeg", "jpg"):
-                    parse = parse_jpeg
-                else:
+                parse = parsers.get(fmt)
+                if parse is None:
                     raise ValueError(
                         f"media {mid}: no header parser for "
                         f"format {fmt!r}")
                 try:
                     w, h, depth, ch = parse(bytes(p))
-                except ValueError as exc:
+                except (ValueError, IndexError, struct.error) as exc:
                     # documented ingest-edge contract: ValueError
-                    # carrying the offending media_id (ADVICE r9)
+                    # carrying the offending media_id (ADVICE r9);
+                    # IndexError/struct.error widen the net so a
+                    # malformed payload can never escape the contract
+                    # as a bare low-level exception (ADVICE r10)
                     raise ValueError(f"media {mid}: {exc}") from None
                 out.append((mid, fmt, w, h, depth, ch))
             yield pd.DataFrame(out, columns=[

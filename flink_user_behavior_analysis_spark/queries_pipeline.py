@@ -2287,32 +2287,42 @@ FROM px
 
 
 def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-format header metadata (VERDICT r8 #8): even docs become
-    REAL PNG byte streams (signature + CRC-validated IHDR), odd docs
-    REAL JPEG marker streams (SOI/APP0/SOF0), both built JVM-side
-    with dims derived from the text length; the spec-literal
-    pure-python header parsers (operators/multimodal.py:png_header /
-    jpeg_header) then recover (width, height, bit_depth, channels)
+    """Real-format header metadata (VERDICT r8 #8, widened to four
+    formats per r10 #5): docs become REAL byte streams by doc_id % 4 —
+    PNG (signature + CRC-validated IHDR), JPEG (SOI/APP0/SOF0 marker
+    stream), GIF89a (logical screen descriptor, little-endian dims),
+    BMP (BITMAPINFOHEADER) — all built JVM-side with dims derived
+    from the text length; the spec-literal pure-python header parsers
+    (operators/multimodal.py:png_header / jpeg_header / gif_header /
+    bmp_header) then recover (width, height, bit_depth, channels)
     from the BYTES inside one Arrow mapInPandas pass. The oracle
     predicts the dims independently from the length formula — a
     builder/parser endianness or offset bug surfaces as a hash
     mismatch; the byte-level fixture pins live in
     tests/test_pipeline_ops.py against hand-verified spec vectors."""
     from .operators.multimodal import (
+        documents_as_bmp,
+        documents_as_gif,
         documents_as_jpeg,
         documents_as_png,
         media_headers,
     )
 
     docs = _docs(spark, sf_dir)
-    media = documents_as_png(docs.where(F.col("doc_id") % 2 == 0)) \
-        .unionByName(documents_as_jpeg(docs.where(F.col("doc_id") % 2 == 1)))
+    m = F.col("doc_id") % 4
+    media = (
+        documents_as_png(docs.where(m == 0))
+        .unionByName(documents_as_jpeg(docs.where(m == 1)))
+        .unionByName(documents_as_gif(docs.where(m == 2)))
+        .unionByName(documents_as_bmp(docs.where(m == 3)))
+    )
     return media_headers(media)
 
 
 MULTIMODAL_HEADERS_SQL = """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
        (octet_length(encode(text)) % 64 + 1)::BIGINT AS width,
        (octet_length(encode(text)) % 32 + 1)::BIGINT AS height,
        8::BIGINT AS bit_depth,

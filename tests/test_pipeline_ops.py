@@ -164,6 +164,14 @@ _PNG_FIXTURE = bytes.fromhex(
 _JPEG_FIXTURE = bytes.fromhex(
     "ffd8fffe00046869ffdb00070000000000"          # SOI, COM('hi'), DQT
     "ffc0000b080003000201011100ffd9")             # SOF0 3x2 1-comp, EOI
+_GIF_FIXTURE = bytes.fromhex(
+    "474946383961"                                # 'GIF89a'
+    "02000300"                                    # w=2, h=3 (LE u16)
+    "70" "00" "00" "3b")                          # cres 8, bg, aspect, trailer
+_BMP_FIXTURE = bytes.fromhex(
+    "424d360000000000000036000000"                # 'BM', size/ofs 54
+    "280000000200000003000000"                    # DIB 40, w=2, h=3 LE
+    "01001800" + "00" * 24)                       # planes 1, 24 bpp
 
 
 def test_header_parsers_pinned_to_spec_vectors():
@@ -193,6 +201,58 @@ def test_header_parsers_pinned_to_spec_vectors():
         jpeg_header(b"\xff\xd9" + _JPEG_FIXTURE[2:])
     with pytest.raises(ValueError, match="no SOF"):
         jpeg_header(b"\xff\xd8\xff\xd9")    # SOI then EOI, no frame
+    # ADVICE r10: payload cut INSIDE the SOF dims — must be the
+    # documented ValueError, not a bare IndexError
+    with pytest.raises(ValueError, match="truncated SOF"):
+        jpeg_header(_JPEG_FIXTURE[:25])
+
+
+def test_gif_bmp_header_parsers_pinned_to_spec_vectors():
+    """gif_header / bmp_header (VERDICT r10 #5) against committed
+    byte vectors with KNOWN field values — same pin discipline as the
+    PNG/JPEG fixtures above (little-endian dims this time)."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        bmp_header,
+        gif_header,
+    )
+
+    assert gif_header(_GIF_FIXTURE) == (2, 3, 8, 3)
+    assert gif_header(b"GIF87a" + _GIF_FIXTURE[6:]) == (2, 3, 8, 3)
+    assert bmp_header(_BMP_FIXTURE) == (2, 3, 8, 3)
+
+    # top-down BMP: negative height i32 — same dims
+    neg = bytearray(_BMP_FIXTURE)
+    neg[22:26] = (-3).to_bytes(4, "little", signed=True)
+    assert bmp_header(bytes(neg)) == (2, 3, 8, 3)
+    # 4 bpp palette BMP reports (bit_depth=4, channels=1)
+    pal = bytearray(_BMP_FIXTURE)
+    pal[28:30] = (4).to_bytes(2, "little")
+    assert bmp_header(bytes(pal)) == (2, 3, 4, 1)
+
+    with pytest.raises(ValueError, match="signature"):
+        gif_header(b"GIF88a" + _GIF_FIXTURE[6:])
+    with pytest.raises(ValueError, match="truncated GIF"):
+        gif_header(_GIF_FIXTURE[:12])
+    with pytest.raises(ValueError, match="magic"):
+        bmp_header(b"MB" + _BMP_FIXTURE[2:])
+    with pytest.raises(ValueError, match="truncated BITMAPINFOHEADER"):
+        bmp_header(_BMP_FIXTURE[:53])
+    v5 = bytearray(_BMP_FIXTURE)
+    v5[14:18] = (124).to_bytes(4, "little")    # BITMAPV5HEADER
+    with pytest.raises(ValueError, match="DIB header size"):
+        bmp_header(bytes(v5))
+    twoplane = bytearray(_BMP_FIXTURE)
+    twoplane[26:28] = (2).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="planes"):
+        bmp_header(bytes(twoplane))
+    badbc = bytearray(_BMP_FIXTURE)
+    badbc[28:30] = (7).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="bit count"):
+        bmp_header(bytes(badbc))
+    zerow = bytearray(_BMP_FIXTURE)
+    zerow[18:22] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="dims"):
+        bmp_header(bytes(zerow))
 
 
 def test_media_headers_inline_parser_matches_reference(spark):
@@ -234,18 +294,36 @@ def test_media_headers_inline_parser_matches_reference(spark):
     assert "ValueError" in msg and "media 7" in msg \
         and "color type" in msg, msg
 
+    # ADVICE r10: a JPEG cut inside its SOF segment used to escape the
+    # inline copy as a bare IndexError without the media_id — must be
+    # the documented ValueError contract on the Arrow path too
+    media = spark.createDataFrame(
+        [(9, "jpeg", bytearray(_JPEG_FIXTURE[:25]))],
+        "media_id long, format string, payload binary")
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        media_headers,
+    )
+    with pytest.raises(Exception) as exc:
+        media_headers(media).collect()
+    msg = str(exc.value)
+    assert "ValueError" in msg and "media 9" in msg \
+        and "truncated SOF" in msg, msg
+
 
 def test_media_headers_roundtrip_and_builder_pin(spark):
-    """The JVM-built PNG/JPEG payloads must (a) byte-equal a
+    """The JVM-built PNG/JPEG/GIF/BMP payloads must (a) byte-equal a
     host-python reference construction for a known text — pinning
-    F.crc32/unhex/lpad against binascii+struct — and (b) round-trip
-    through the Arrow media_headers pass to the dims the length
-    formula predicts, for texts crossing the modulus boundaries."""
+    F.crc32/unhex/lpad (and the little-endian _le_bytes swap) against
+    binascii+struct — and (b) round-trip through the Arrow
+    media_headers pass to the dims the length formula predicts, for
+    texts crossing the modulus boundaries."""
     import binascii
     import struct
 
     from flink_user_behavior_analysis_spark.operators.multimodal import (
         PNG_SIG,
+        documents_as_bmp,
+        documents_as_gif,
         documents_as_jpeg,
         documents_as_png,
         media_headers,
@@ -255,9 +333,10 @@ def test_media_headers_roundtrip_and_builder_pin(spark):
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string")
 
-    # (a) builder pin on one known row
+    # (a) builder pins on one known text ('spec', 4 bytes -> 5x5)
     n = len("spec".encode())
-    ihdr_body = (b"IHDR" + struct.pack(">II", n % 64 + 1, n % 32 + 1)
+    w, h = n % 64 + 1, n % 32 + 1
+    ihdr_body = (b"IHDR" + struct.pack(">II", w, h)
                  + bytes([8, 2, 0, 0, 0]))
     want_png = (PNG_SIG + struct.pack(">I", 13) + ihdr_body
                 + struct.pack(">I", binascii.crc32(ihdr_body) & 0xFFFFFFFF)
@@ -267,18 +346,40 @@ def test_media_headers_roundtrip_and_builder_pin(spark):
                     .collect()[0].payload)
     assert got_png == want_png
 
-    # (b) round-trip: parse ALL built payloads of both formats
-    media = documents_as_png(docs).unionByName(documents_as_jpeg(
-        docs.withColumn("doc_id", F.col("doc_id") + 100)))
+    want_gif = (b"GIF89a" + struct.pack("<HH", w, h)
+                + bytes([0x70, 0, 0, 0x3B]))
+    got_gif = bytes(documents_as_gif(docs).where("media_id = 0")
+                    .collect()[0].payload)
+    assert got_gif == want_gif
+
+    want_bmp = (b"BM" + struct.pack("<I", 54) + bytes(4)
+                + struct.pack("<I", 54) + struct.pack("<Iii", 40, w, h)
+                + struct.pack("<HH", 1, 24) + bytes(24))
+    got_bmp = bytes(documents_as_bmp(docs).where("media_id = 0")
+                    .collect()[0].payload)
+    assert got_bmp == want_bmp
+
+    # (b) round-trip: parse ALL built payloads of all four formats
+    media = (
+        documents_as_png(docs)
+        .unionByName(documents_as_jpeg(
+            docs.withColumn("doc_id", F.col("doc_id") + 100)))
+        .unionByName(documents_as_gif(
+            docs.withColumn("doc_id", F.col("doc_id") + 200)))
+        .unionByName(documents_as_bmp(
+            docs.withColumn("doc_id", F.col("doc_id") + 300)))
+    )
     got = {(r.media_id, r.format): (r.width, r.height, r.bit_depth,
                                     r.channels)
            for r in media_headers(media).collect()}
-    assert len(got) == 2 * len(texts)
+    assert len(got) == 4 * len(texts)
     for i, t in enumerate(texts):
         nb = len(t.encode())
         want = (nb % 64 + 1, nb % 32 + 1, 8, 3)
         assert got[(i, "png")] == want, (i, t)
         assert got[(i + 100, "jpeg")] == want, (i, t)
+        assert got[(i + 200, "gif")] == want, (i, t)
+        assert got[(i + 300, "bmp")] == want, (i, t)
 
 
 def test_real_decoder_is_explicitly_stubbed(spark, sf_dir):
@@ -915,6 +1016,17 @@ def test_contamination_stored_probe_equals_inline_and_append(spark, sf_dir):
                                    batch_id="c1", n=n) == 0
         inc = contamination_from_store(spark, "t_contam_inc", ev, n=n)
         assert (sorted(map(tuple, inc.collect()))
+                == sorted(map(tuple, probe.collect())))
+
+        # ADVICE r10 defense-in-depth: violating the doc-disjointness
+        # precondition (re-appending the same docs under a NEW
+        # batch_id) duplicates index rows but must NOT inflate n_hits
+        # — the probe counts DISTINCT gram_fp per doc
+        assert contam_append_grams(spark, "t_contam_inc",
+                                   train.where(h < 2),
+                                   batch_id="c2-dup", n=n) > 0
+        dup = contamination_from_store(spark, "t_contam_inc", ev, n=n)
+        assert (sorted(map(tuple, dup.collect()))
                 == sorted(map(tuple, probe.collect())))
     finally:
         for p in prefixes:
