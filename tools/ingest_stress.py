@@ -4,7 +4,10 @@ append of the remaining 10% and (b) time a full rebuild on 100% —
 the claim under test is append = O(count tables + batch), rebuild =
 O(corpus text).
 
-Usage: python tools/ingest_stress.py
+Usage: python tools/ingest_stress.py [scale] [family ...]
+(optional family names restrict the sweep — e.g.
+``python tools/ingest_stress.py 100 contam`` runs just the contam
+family at the 100x-corpus decade)
 """
 
 from __future__ import annotations
@@ -74,6 +77,12 @@ def main() -> None:
         ("contam", lambda d, p: _contam_store(d, p),
          lambda p: _contam_append(spark, p, batch, batch_id="m1")),
     ]
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - {n for n, _, _ in fams}
+        if unknown:
+            raise SystemExit(f"unknown families: {sorted(unknown)}")
+        fams = [f for f in fams if f[0] in only]
     print("\n| family | build (90%) | append (10%) | rebuild (100%) | "
           "append/rebuild |")
     print("|---|---|---|---|---|")
