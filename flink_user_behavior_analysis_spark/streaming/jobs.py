@@ -400,6 +400,81 @@ def run_curation_ingest(raw_docs: DataFrame, prefix: str,
         job_id=job_id)
 
 
+def dsir_ingest_batch(spark: SparkSession, prefix_raw: str,
+                      prefix_tgt: str, batch_df: DataFrame,
+                      batch_id: str, logw_threshold: float = 0.0,
+                      select_sink: str | None = None) -> int:
+    """Per-micro-batch body of the streaming DSIR ingest (VERDICT r10
+    #7): score the arriving docs against the CURRENT raw LM and the
+    frozen target LM (probe-only likelihood ratio,
+    operators/text.dsir_weights_from_models), select the docs whose
+    importance weight clears ``logw_threshold``, then fold the WHOLE
+    batch into the raw LM through the exactly-once ledgered append —
+    the raw LM is the raw-stream distribution estimate, so it absorbs
+    everything it has seen regardless of selection, and every later
+    batch is scored against a raw LM that already reflects this one.
+
+    Exactly-once composition: the ledger check on ``prefix_raw``
+    early-exits a committed re-delivery BEFORE paying the scoring
+    probe (same shape as curation_ingest_batch); the selection output
+    is made idempotent by writing each epoch's survivors to an
+    overwrite-mode ``ingest_batch=<id>`` subdirectory of
+    ``select_sink`` — a replayed epoch rewrites the same directory
+    with the same rows (the scores are a pure function of the batch
+    and the PRE-append LM state, which the ledger guarantees is what
+    a replay sees). Returns the number of SELECTED docs (0 for a
+    replayed epoch)."""
+    from ..operators.text import (dsir_weights_from_models,
+                                  lm_append_to_model, lm_read_model)
+    from ..sources.readers import append_recorded
+
+    if append_recorded(spark, prefix_raw, batch_id):
+        return 0
+    batch_df = batch_df.persist()
+    try:
+        weights = dsir_weights_from_models(
+            lm_read_model(spark, prefix_raw),
+            lm_read_model(spark, prefix_tgt), batch_df)
+        selected = (batch_df.join(
+            weights.where(F.col("logw") >= logw_threshold)
+            .select("doc_id", "logw"), "doc_id").persist())
+        n_selected = selected.count()
+        if select_sink is not None:
+            (selected.write.mode("overwrite")
+             .parquet(f"{select_sink}/ingest_batch={batch_id}"))
+        # the ledgered append commits LAST: a crash before this point
+        # replays the epoch (ledger miss -> rescore, same pre-append
+        # LM state -> same selections, idempotent sink rewrite); a
+        # crash after it replays into a ledger hit and appends nothing
+        lm_append_to_model(spark, prefix_raw, batch_df,
+                           batch_id=batch_id)
+        selected.unpersist()
+        return n_selected
+    finally:
+        batch_df.unpersist()
+
+
+def run_dsir_ingest(raw_docs: DataFrame, prefix_raw: str,
+                    prefix_tgt: str, checkpoint_dir: str,
+                    logw_threshold: float = 0.0,
+                    select_sink: str | None = None,
+                    job_id: str = "dsir") -> None:
+    """End-to-end streaming DSIR ingest (VERDICT r10 #7): compose the
+    frozen-artifact scoring of dsir_score_stream with the raw-LM
+    growth of lm_append_to_model under one exactly-once foreachBatch
+    loop — score, select, append, epoch by epoch. Crash/replay and
+    concurrent-rebuild quarantine semantics are inherited from the
+    shared transactional skeleton (test-asserted in
+    tests/test_streaming_recovery.py alongside the curation twin)."""
+    spark = raw_docs.sparkSession
+    run_ingest_foreach_batch(
+        raw_docs, checkpoint_dir,
+        lambda b, bid: dsir_ingest_batch(spark, prefix_raw, prefix_tgt,
+                                         b, bid, logw_threshold,
+                                         select_sink),
+        job_id=job_id)
+
+
 def run_probe_foreach_batch(raw_sdf: DataFrame, probe_fn) -> DataFrame:
     """Drain a bounded stream of probe inputs via foreachBatch,
     running ``probe_fn`` (batch DataFrame -> DataFrame) against

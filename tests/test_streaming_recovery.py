@@ -401,3 +401,200 @@ def test_streaming_semdedup_ingest_exactly_once_across_restart(
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix):
             spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_streaming_dsir_ingest_scores_selects_appends_exactly_once(
+        spark, sf_dir, tmp_path):
+    """VERDICT r10 #7 — the streaming DSIR ingest COMPOSITION: each
+    epoch scores against the EVOLVING raw LM + frozen target LM,
+    selects by importance weight into an idempotent per-epoch sink,
+    and folds the whole batch into the raw LM under the exactly-once
+    ledger. A crash after the first committed append must replay into
+    a ledger hit, and the finished stream must equal a sequential
+    batch-mode replay of the same epochs: identical per-epoch
+    selections (proving epoch k scored against base + batches < k)
+    and bit-identical final raw-LM count tables."""
+    from flink_user_behavior_analysis_spark.operators.text import (
+        dsir_weights_from_models,
+        lm_append_to_model,
+        lm_read_model,
+        lm_store_model,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        dsir_ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where("doc_id % 10 < 2")
+    target = docs.where("doc_id % 10 = 9")
+    incoming = docs.where("doc_id % 10 >= 2 and doc_id % 10 <= 8")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sel")
+    incoming.repartition(3).write.parquet(src)  # 3 micro-batches
+
+    raw_pfx, tgt_pfx, ref = "t_dsi_raw", "t_dsi_tgt", "t_dsi_ref"
+    for p in (raw_pfx, tgt_pfx, ref):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    lm_store_model(base, raw_pfx)
+    lm_store_model(target, tgt_pfx)
+
+    seen: dict[str, list] = {}  # batch_id -> doc_ids (first attempt)
+
+    def _stream():
+        return (spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def _record(batch_df, bid):
+        ids = sorted(r.doc_id for r in batch_df.select("doc_id").collect())
+        seen.setdefault(bid, ids)
+        return dsir_ingest_batch(spark, raw_pfx, tgt_pfx, batch_df, bid,
+                                 logw_threshold=0.0, select_sink=sink)
+
+    _crash_once_then_restart(spark, _stream, str(tmp_path / "ckpt"),
+                             _record, job_id="ds")
+    assert sorted(seen) == ["ds-0", "ds-1", "ds-2"]
+
+    # sequential batch-mode replay: score against the evolving ref LM,
+    # select, append — epoch order from the recorded WAL mapping
+    lm_store_model(base, ref)
+    want_sel: dict[str, list] = {}
+    for bid in sorted(seen, key=lambda b: int(b.rsplit("-", 1)[1])):
+        batch = docs.where(F.col("doc_id").isin(seen[bid]))
+        w = dsir_weights_from_models(lm_read_model(spark, ref),
+                                     lm_read_model(spark, tgt_pfx), batch)
+        want_sel[bid] = sorted((r.doc_id, r.logw)
+                               for r in w.where("logw >= 0.0").collect())
+        lm_append_to_model(spark, ref, batch, batch_id=bid)
+
+    sel = spark.read.parquet(sink)  # Hive-partitioned on ingest_batch
+    got_sel = {bid: sorted((r.doc_id, r.logw)
+                           for r in sel.where(
+                               F.col("ingest_batch") == bid).collect())
+               for bid in seen}
+    assert got_sel == want_sel
+    n_sel = sum(len(v) for v in want_sel.values())
+    assert 0 < n_sel < incoming.count(), (
+        f"threshold is vacuous: {n_sel} of {incoming.count()} selected")
+
+    # final raw LM state == sequential fold, bit-for-bit
+    for s in ("big", "uni", "vocab"):
+        got = sorted(map(tuple, spark.table(f"{raw_pfx}_{s}").collect()))
+        want = sorted(map(tuple, spark.table(f"{ref}_{s}").collect()))
+        assert got == want, f"{s} diverged from sequential replay"
+    for p in (raw_pfx, tgt_pfx, ref):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_streaming_dsir_ingest_rebuild_mid_stream_quarantines(
+        spark, sf_dir, tmp_path):
+    """The quarantine × streaming composition (pattern of
+    test_rebuild_mid_stream_quarantines_and_stream_recovers) for the
+    DSIR ingest: a raw-LM rebuild from base landing between epochs
+    discards epoch 0's committed append while its stream checkpoint
+    stands; the next epoch's append must REFUSE, the orchestrator
+    re-delivery under the quarantined batch_id must drain it (also
+    rewriting that epoch's selection sink against the restored
+    pre-epoch-0 LM state — the same scores the original attempt saw),
+    and a checkpoint restart must finish the stream, landing the same
+    LM state and selections as a sequential replay."""
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from flink_user_behavior_analysis_spark.operators.text import (
+        dsir_weights_from_models,
+        lm_append_to_model,
+        lm_read_model,
+        lm_store_model,
+    )
+    from flink_user_behavior_analysis_spark.sources import readers
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        dsir_ingest_batch,
+        run_ingest_foreach_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.where("doc_id % 10 < 2")
+    target = docs.where("doc_id % 10 = 9")
+    incoming = docs.where("doc_id % 10 >= 2 and doc_id % 10 <= 8")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sel")
+    incoming.repartition(3).write.parquet(src)
+
+    raw_pfx, tgt_pfx, ref = "t_dsq_raw", "t_dsq_tgt", "t_dsq_ref"
+    for p in (raw_pfx, tgt_pfx, ref):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    lm_store_model(base, raw_pfx)
+    lm_store_model(target, tgt_pfx)
+
+    seen: dict[str, list] = {}
+
+    def _stream():
+        return (spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def _record(batch_df, bid):
+        ids = sorted(r.doc_id for r in batch_df.select("doc_id").collect())
+        seen.setdefault(bid, ids)
+        return dsir_ingest_batch(spark, raw_pfx, tgt_pfx, batch_df, bid,
+                                 logw_threshold=0.0, select_sink=sink)
+
+    rebuilt = {"done": False}
+
+    def _with_concurrent_rebuild(batch_df, bid):
+        if bid.endswith("-1") and not rebuilt["done"]:
+            rebuilt["done"] = True
+            lm_store_model(base, raw_pfx)  # maintenance rebuild, base only
+        return _record(batch_df, bid)
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(StreamingQueryException) as exc:
+        run_ingest_foreach_batch(_stream(), ckpt,
+                                 _with_concurrent_rebuild, job_id="dq")
+    assert "QuarantinedBatchesError" in str(exc.value) \
+        or "quarantined" in str(exc.value)
+    assert rebuilt["done"]
+    assert readers.quarantined_batch_ids(spark, raw_pfx) == ["dq-0"]
+
+    # orchestrator re-delivery: the rebuild restored the pre-epoch-0
+    # LM state, so the rescore reproduces epoch 0's original
+    # selections and the sink rewrite is a no-op change
+    batch0 = docs.where(F.col("doc_id").isin(seen["dq-0"]))
+    assert dsir_ingest_batch(spark, raw_pfx, tgt_pfx, batch0, "dq-0",
+                             logw_threshold=0.0, select_sink=sink) > 0
+    assert readers.quarantined_batch_ids(spark, raw_pfx) == []
+
+    # checkpoint restart: epoch 1 replays (its sink dir is rewritten
+    # against the post-re-delivery LM), 2 drains behind it
+    run_ingest_foreach_batch(_stream(), ckpt, _record, job_id="dq")
+    assert sorted(seen) == ["dq-0", "dq-1", "dq-2"]
+
+    # sequential replay equality: selections per epoch + final LM
+    lm_store_model(base, ref)
+    want_sel: dict[str, list] = {}
+    for bid in sorted(seen, key=lambda b: int(b.rsplit("-", 1)[1])):
+        batch = docs.where(F.col("doc_id").isin(seen[bid]))
+        w = dsir_weights_from_models(lm_read_model(spark, ref),
+                                     lm_read_model(spark, tgt_pfx), batch)
+        want_sel[bid] = sorted((r.doc_id, r.logw)
+                               for r in w.where("logw >= 0.0").collect())
+        lm_append_to_model(spark, ref, batch, batch_id=bid)
+    sel = spark.read.parquet(sink)
+    got_sel = {bid: sorted((r.doc_id, r.logw)
+                           for r in sel.where(
+                               F.col("ingest_batch") == bid).collect())
+               for bid in seen}
+    assert got_sel == want_sel
+    for s in ("big", "uni", "vocab"):
+        got = sorted(map(tuple, spark.table(f"{raw_pfx}_{s}").collect()))
+        want = sorted(map(tuple, spark.table(f"{ref}_{s}").collect()))
+        assert got == want, f"{s} diverged after quarantine recovery"
+    for p in (raw_pfx, tgt_pfx, ref):
+        for t in spark.catalog.listTables():
+            if t.name.startswith(p):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
