@@ -293,21 +293,28 @@ def pii_scrub_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def media_headers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of multimodal_headers: wrap the replayed
-    document stream as real PNG/JPEG payloads (stateless JVM column
-    exprs) and parse their headers in the Arrow map — per-row,
-    stateless, append mode, so the drained output equals the batch
-    parse row-for-row (the pii_scrub_stream contract). The
-    scan-at-ingest shape for media metadata: dims/channels land in
-    the catalog before the first durable write, so malformed payloads
-    fail loudly at the edge instead of poisoning a downstream
-    decode."""
-    from ..operators.multimodal import (documents_as_jpeg,
+    document stream as real PNG/JPEG/GIF/BMP payloads (stateless JVM
+    column exprs, same doc_id % 4 dispatch as the batch query) and
+    parse their headers in the Arrow map — per-row, stateless, append
+    mode, so the drained output equals the batch parse row-for-row
+    (the pii_scrub_stream contract). The scan-at-ingest shape for
+    media metadata: dims/channels land in the catalog before the
+    first durable write, so malformed payloads fail loudly at the
+    edge instead of poisoning a downstream decode."""
+    from ..operators.multimodal import (documents_as_bmp,
+                                        documents_as_gif,
+                                        documents_as_jpeg,
                                         documents_as_png, media_headers)
 
     ensure_utc(spark)
     docs = file_replay_stream(spark, sf_dir, "documents")
-    media = documents_as_png(docs.where(F.col("doc_id") % 2 == 0)) \
-        .unionByName(documents_as_jpeg(docs.where(F.col("doc_id") % 2 == 1)))
+    m = F.col("doc_id") % 4
+    media = (
+        documents_as_png(docs.where(m == 0))
+        .unionByName(documents_as_jpeg(docs.where(m == 1)))
+        .unionByName(documents_as_gif(docs.where(m == 2)))
+        .unionByName(documents_as_bmp(docs.where(m == 3)))
+    )
     return media_headers(media)
 
 
