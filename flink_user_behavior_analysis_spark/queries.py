@@ -2625,7 +2625,11 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 GATE_WINDOW = 50
 
-_FORCE_WINDOW: list[str] = []
+# r11: multimodal_headers widened from the PNG/JPEG % 2 split to the
+# four-format % 4 split (GIF/BMP added) — format values changed for
+# half the docs, so the driver must re-certify it this round (its
+# oracle changed in lockstep; self-run drive_subset is hash-green).
+_FORCE_WINDOW: list[str] = ["multimodal_headers"]
 
 
 def _repo_root() -> str:
