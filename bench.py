@@ -149,6 +149,11 @@ HEADLINE = [
     # stored decontamination: eval set probes the bucketed corpus
     # gram_fp inverted index — corpus text never rescanned
     "contamination_stored",
+    # round-11: image perceptual-hash dedup over the real PPM codec —
+    # one Arrow hash pass, then hash-space groupBy / pigeonhole-banded
+    # hamming join (never all-pairs)
+    "image_phash_dedup",
+    "image_phash_neardup",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

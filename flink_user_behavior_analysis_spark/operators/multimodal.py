@@ -140,6 +140,162 @@ def ppm_decode(payload: bytes) -> list[float]:
     ]
 
 
+def ahash(payload: bytes) -> tuple[int, int, int]:
+    """Reference average-hash (aHash — the public perceptual-hash
+    family's simplest member: threshold each pixel's intensity at the
+    image mean; cf. pHash/dHash) over a real P6 PPM payload, in pure
+    integer arithmetic so the DuckDB oracle reproduces every bit:
+    s_i = r_i + g_i + b_i per pixel (row-major), and
+    bit_i = 1 iff s_i * n_pixels > sum(s) (cross-multiplied mean
+    comparison — no division, no float seam). Returns
+    (hash, w, h) with bit 0 of pixel 0 at the MSB of a w*h-bit
+    integer. Mirrored verbatim inside the media_ahash closure."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    px = payload[i:i + w * h * 3]
+    if len(px) != w * h * 3:
+        raise ValueError("truncated pixel data")
+    n = w * h
+    s = [px[3 * j] + px[3 * j + 1] + px[3 * j + 2] for j in range(n)]
+    total = sum(s)
+    hv = 0
+    for j in range(n):
+        if s[j] * n > total:
+            hv |= 1 << (n - 1 - j)
+    return hv, w, h
+
+
+def media_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual fingerprints over real PPM payloads: one Arrow
+    mapInPandas pass computing the integer average-hash per image
+    (see ahash above). Emits (media_id, phash, w, h) — phash is a
+    w*h-bit integer, so the standard 8x4 documents_as_ppm images
+    yield 32-bit hashes that fit a LongType exactly.
+
+    Scale shape (100 TB of images): per-row, stateless, shuffle-free
+    — memory bounded by the Arrow batch; the hash column is what a
+    production pipeline materializes once per corpus version and
+    dedups/bands against (image near-dup is hash-space work, the
+    pixels are never revisited)."""
+
+    def _hash_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def hsh(p: bytes):
+            if p[:2] != b"P6":
+                raise ValueError("not a P6 PPM payload")
+            parts, i, tok = [], 2, b""
+            while len(parts) < 3 and i < len(p):
+                c = p[i:i + 1]
+                if c.isspace():
+                    if tok:
+                        parts.append(int(tok))
+                        tok = b""
+                else:
+                    tok += c
+                i += 1
+            w, h, maxval = parts
+            if maxval != 255:
+                raise ValueError(f"unsupported maxval {maxval}")
+            px = p[i:i + w * h * 3]
+            if len(px) != w * h * 3:
+                raise ValueError("truncated pixel data")
+            n = w * h
+            s = [px[3 * j] + px[3 * j + 1] + px[3 * j + 2]
+                 for j in range(n)]
+            total = sum(s)
+            hv = 0
+            for j in range(n):
+                if s[j] * n > total:
+                    hv |= 1 << (n - 1 - j)
+            return hv, w, h
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    hv, w, h = hsh(bytes(p))
+                except ValueError as exc:
+                    raise ValueError(f"media {mid}: {exc}") from None
+                out.append((mid, hv, w, h))
+            yield pd.DataFrame(out, columns=["media_id", "phash",
+                                             "w", "h"])
+
+    sel = media.select(F.col(id_col).alias("media_id"), "payload")
+    return sel.mapInPandas(
+        _hash_batches,
+        "media_id long, phash long, w long, h long")
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                        bits: int = 32, bands: int = 4,
+                        id_col: str = "media_id",
+                        hash_col: str = "phash",
+                        max_bucket: int | None = None) -> DataFrame:
+    """Image near-dup candidate pairs with hamming(phash) <=
+    max_hamming — the pigeonhole-banded shape of
+    operators/dedup.simhash_pairs applied to perceptual hashes: split
+    the ``bits``-bit hash into ``bands`` chunks; d <= bands - 1
+    guarantees at least one equal chunk, so candidates come from
+    ``bands`` equality joins on a uniform key (one posexplode
+    projection, one self-join — never an all-pairs product), then
+    exact hamming verifies. Returns (id_a, id_b, hamming).
+
+    ``max_bucket``: LSH skew cap for corpora where a (chunk, value)
+    bucket goes quadratic (B members -> B^2/2 candidates): buckets
+    above the cap are dropped BEFORE the self-join via a broadcast
+    count filter (the counts table is at most bands * 2^chunk_w rows)
+    — the standard recall-for-boundedness trade, same semantics as
+    the minhash LSH cap. None (default) = exact pigeonhole recall."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    chunk_w = bits // bands
+    chunk_vals = F.array(*[
+        F.shiftright(F.col(hash_col), ci * chunk_w)
+        .bitwiseAND(F.lit((1 << chunk_w) - 1))
+        for ci in range(bands)
+    ])
+    chunks = hashes.select(
+        F.col(id_col), F.col(hash_col),
+        F.posexplode(chunk_vals).alias("chunk", "chunk_val"),
+    )
+    if max_bucket is not None:
+        small = (chunks.groupBy("chunk", "chunk_val")
+                 .agg(F.count(F.lit(1)).alias("_bc"))
+                 .where(F.col("_bc") <= max_bucket)
+                 .drop("_bc"))
+        chunks = chunks.join(F.broadcast(small), ["chunk", "chunk_val"])
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"a.{hash_col}").alias("h_a"),
+                F.col(f"b.{hash_col}").alias("h_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.select("id_a", "id_b",
+                     hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def _fake_decode(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: 8 features derived
     from content bytes (length buckets + leading-byte statistics)."""

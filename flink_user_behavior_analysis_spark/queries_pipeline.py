@@ -2331,6 +2331,90 @@ FROM documents
 """
 
 
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image exact-perceptual-dup groups (r11): average-hash every
+    real PPM payload (operators/multimodal.media_ahash — integer
+    aHash, the public perceptual-hash family's threshold-at-mean
+    member) and group identical hashes: (phash, keeper_id, n_images)
+    for groups of >= 2. Hash-space dedup — the pixels are read once;
+    the group-by shuffles 1 row per image on a uniform 32-bit key.
+    The DuckDB oracle recomputes every hash bit from hex(encode(text))
+    with the same cross-multiplied mean comparison (no float seam)."""
+    from .operators.multimodal import documents_as_ppm, media_ahash
+
+    media = documents_as_ppm(_docs(spark, sf_dir))
+    return (
+        media_ahash(media).groupBy("phash")
+        .agg(F.min("media_id").alias("keeper_id"),
+             F.count(F.lit(1)).cast("long").alias("n_images"))
+        .where(F.col("n_images") >= 2)
+    )
+
+
+# shared hash CTE: pixel sums from the zero-padded text-byte block
+# (same reconstruction as MULTIMODAL_DECODE_SQL), cross-multiplied
+# mean threshold, MSB-first bit fold — integer arithmetic end to end
+_PHASH_CTE = f"""
+WITH b AS (
+    SELECT doc_id AS media_id,
+           rpad(substr(hex(encode(text)), 1, {_PPM_NBYTES * 2}),
+                {_PPM_NBYTES * 2}, '0') AS hxp
+    FROM documents
+), s AS (
+    SELECT media_id,
+           list_transform(range(0, {_PPM_NPX}), j ->
+               ('0x' || substr(hxp, j * 6 + 1, 2))::BIGINT
+             + ('0x' || substr(hxp, j * 6 + 3, 2))::BIGINT
+             + ('0x' || substr(hxp, j * 6 + 5, 2))::BIGINT) AS sl
+    FROM b
+), t AS (
+    SELECT media_id, sl, CAST(list_sum(sl) AS BIGINT) AS total FROM s
+), hsh AS (
+    SELECT media_id,
+           CAST(list_sum(list_transform(range(0, {_PPM_NPX}), j ->
+               CASE WHEN sl[j + 1] * {_PPM_NPX} > total
+                    THEN (1::BIGINT << ({_PPM_NPX} - 1 - j))
+                    ELSE 0 END)) AS BIGINT) AS phash
+    FROM t
+)
+"""
+
+IMAGE_PHASH_DEDUP_SQL = _PHASH_CTE + """
+SELECT phash, MIN(media_id) AS keeper_id,
+       COUNT(*)::BIGINT AS n_images
+FROM hsh GROUP BY phash HAVING COUNT(*) >= 2
+"""
+
+
+PHASH_MAX_HAMMING = 3
+
+
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs (r11): hamming(phash) <= 3 via pigeonhole
+    banding (operators/multimodal.phash_neardup_pairs — the
+    simhash_pairs shape on perceptual hashes: 4 equality joins on
+    8-bit chunks, exact hamming verify; never an all-pairs product).
+    The oracle is the all-pairs ground truth in DuckDB, which the
+    banded plan must reproduce exactly (pigeonhole guarantees recall
+    at d < bands). At 100 TB use the 64-bit 8x8-grid hash with 16-bit
+    chunks and the max_bucket skew cap — the 32-bit/8-bit-chunk
+    configuration here matches the 8x4 PPM images."""
+    from .operators.multimodal import (documents_as_ppm, media_ahash,
+                                       phash_neardup_pairs)
+
+    media = documents_as_ppm(_docs(spark, sf_dir))
+    return phash_neardup_pairs(media_ahash(media),
+                               max_hamming=PHASH_MAX_HAMMING)
+
+
+IMAGE_PHASH_NEARDUP_SQL = _PHASH_CTE + f"""
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+
 RESIZE_MAX_BYTES = 128
 
 
@@ -3620,6 +3704,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_headers": q_multimodal_headers,
     "multimodal_decode": q_multimodal_decode,
+    "image_phash_dedup": q_image_phash_dedup,
+    "image_phash_neardup": q_image_phash_neardup,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "bm25_topk": q_bm25_topk,
@@ -3696,6 +3782,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_headers": MULTIMODAL_HEADERS_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
+    "image_phash_dedup": IMAGE_PHASH_DEDUP_SQL,
+    "image_phash_neardup": IMAGE_PHASH_NEARDUP_SQL,
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "bm25_topk": _bm25_sql(),

@@ -2123,3 +2123,79 @@ def test_smoothed_scorer_matches_inner_join_scorer_in_corpus(
     assert all(sm[d].n_bigrams >= ij[d].n_bigrams for d in ij)
     assert any(sm[d].n_bigrams > ij.get(d, type("x", (), {"n_bigrams": 0})).n_bigrams
                for d in sm)
+
+
+def test_ahash_pinned_vector_and_media_ahash_roundtrip(spark):
+    """ahash against a hand-computed 2x2 PPM vector, then the Arrow
+    media_ahash pass against the pure-python reference over built
+    payloads (r11 image perceptual-hash family)."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        ahash,
+        documents_as_ppm,
+        media_ahash,
+    )
+
+    # 2x2 P6: pixel sums s = [30, 3, 300, 3], total 336, n=4 ->
+    # bit_j = 1 iff s_j * 4 > 336 i.e. s_j > 84 -> bits 0010 -> 2
+    payload = (b"P6\n2 2\n255\n"
+               + bytes([10, 10, 10, 1, 1, 1, 100, 100, 100, 1, 1, 1]))
+    assert ahash(payload) == (0b0010, 2, 2)
+
+    with pytest.raises(ValueError, match="P6"):
+        ahash(b"P5\n2 2\n255\n" + bytes(12))
+    with pytest.raises(ValueError, match="truncated"):
+        ahash(b"P6\n2 2\n255\n" + bytes(11))
+
+    texts = ["spec", "", "é" * 40, "x" * 63, "abcd" * 50]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    media = documents_as_ppm(docs)
+    got = {r.media_id: (r.phash, r.w, r.h)
+           for r in media_ahash(media).collect()}
+    want = {r.media_id: ahash(bytes(r.payload))
+            for r in media.collect()}
+    assert got == want and len(got) == len(texts)
+
+    # Arrow-path error contract carries the media_id
+    bad = spark.createDataFrame(
+        [(5, bytearray(b"P6\n2 2\n255\n" + bytes(5)))],
+        "media_id long, payload binary")
+    with pytest.raises(Exception) as exc:
+        media_ahash(bad).collect()
+    assert "media 5" in str(exc.value) and "truncated" in str(exc.value)
+
+
+def test_phash_neardup_banding_equals_brute_force(spark):
+    """The pigeonhole-banded near-dup join must reproduce the brute
+    force hamming-<=k pair set exactly (recall is guaranteed at
+    d < bands), and the max_bucket cap must drop exactly the pairs
+    whose every shared chunk sits in an over-cap bucket."""
+    import itertools
+    import random
+
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        phash_neardup_pairs,
+    )
+
+    rng = random.Random(11)
+    base = rng.getrandbits(32)
+    hashes = [(0, base)]
+    for i in range(1, 40):
+        h = base
+        for b in rng.sample(range(32), rng.randint(0, 6)):
+            h ^= 1 << b
+        hashes.append((i, h))
+    df = spark.createDataFrame(hashes, "media_id long, phash long")
+
+    got = sorted((r.id_a, r.id_b, r.hamming)
+                 for r in phash_neardup_pairs(df, max_hamming=3).collect())
+    want = sorted(
+        (a, b, bin(ha ^ hb).count("1"))
+        for (a, ha), (b, hb) in itertools.combinations(hashes, 2)
+        if bin(ha ^ hb).count("1") <= 3)
+    assert got == want and got, "banded join diverged from brute force"
+
+    # cap smoke: max_bucket=1 keeps only pairs matching in a chunk
+    # bucket of size <= 1 — i.e. none (every match needs 2 members)
+    capped = phash_neardup_pairs(df, max_hamming=3, max_bucket=1)
+    assert capped.count() == 0

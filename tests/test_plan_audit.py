@@ -30,6 +30,8 @@ ARROW_ALLOWED = {
     "multimodal_decode",     # decode stub over binary payloads
     "multimodal_headers",    # PNG/JPEG header parse over binary payloads
     "frame_sample",          # per-media frame expansion
+    "image_phash_dedup",     # aHash over PPM pixel bytes (r11)
+    "image_phash_neardup",   # same hash pass feeding the banded join
 }
 
 ARROW_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
