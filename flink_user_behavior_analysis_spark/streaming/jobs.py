@@ -318,6 +318,21 @@ def media_headers_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_headers(media)
 
 
+def media_ahash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the image perceptual-hash pass (r11): wrap
+    the replayed documents as real PPM payloads and average-hash each
+    inside the Arrow map — per-row, stateless, append mode, so the
+    drained output equals the batch hash pass row-for-row. The
+    hash-at-ingest shape: fingerprints land with the arrival stream,
+    and the dedup/banding stages downstream are hash-space-only work
+    that never revisits pixels."""
+    from ..operators.multimodal import documents_as_ppm, media_ahash
+
+    ensure_utc(spark)
+    docs = file_replay_stream(spark, sf_dir, "documents")
+    return media_ahash(documents_as_ppm(docs))
+
+
 def run_ingest_foreach_batch(raw_sdf: DataFrame, checkpoint_dir: str,
                              ingest_fn, job_id: str = "ingest") -> None:
     """Exactly-once streaming INGEST into a stored index (VERDICT r8

@@ -905,3 +905,25 @@ def test_media_headers_stream_equals_batch(spark, sf_dir):
             "channels"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_media_ahash_stream_equals_batch(spark, sf_dir):
+    """Streaming perceptual-hash pass == batch pass row-for-row
+    (stateless per-row Arrow map, the media_headers_stream
+    contract)."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        documents_as_ppm,
+        media_ahash,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import _docs
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        media_ahash_stream,
+        run_available_now,
+    )
+
+    streamed = run_available_now(media_ahash_stream(spark, sf_dir),
+                                 output_mode="append")
+    batch = media_ahash(documents_as_ppm(_docs(spark, sf_dir)))
+    cols = ["media_id", "phash", "w", "h"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0
