@@ -1,5 +1,6 @@
 """As-of join: for each left row, the most recent right row at or
-before it (per key), optionally within a tolerance window.
+before it (per key), optionally within a tolerance window — or, with
+``direction='forward'``, the earliest right row at or after it.
 
 Spark has no built-in as-of join (pandas does; Flink/kdb users expect
 it). The scalable formulation here avoids any per-row range probe:
@@ -36,17 +37,29 @@ def asof_join(
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
     order_tiebreak: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right row with right.ts <= left.ts per key.
+    """Left rows + the nearest right row per key: the latest with
+    right.ts <= left.ts (``direction='backward'``, default) or the
+    earliest with right.ts >= left.ts (``'forward'`` — next-event
+    semantics: time-to-next-error, next shipment after an order).
 
     Output: every left column, plus ``{right_ts}{suffix}`` (epoch us,
     null when no match) and each requested right column as
-    ``{col}{suffix}``. Ties (right.ts == left.ts) match.
+    ``{col}{suffix}``. Ties (right.ts == left.ts) match in both
+    directions.
 
     order_tiebreak columns (present on BOTH sides) give same-timestamp
     right rows a deterministic carry order — required whenever right
-    timestamps can repeat per key.
+    timestamps can repeat per key. The max-tiebreak row wins in either
+    direction.
+
+    ``direction`` only flips the scan order of the same single window
+    pass — the cost profile is identical.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward': {direction!r}")
     on = list(on)
     rcols = list(right_cols)
     passthrough = set(on) | set(order_tiebreak)
@@ -69,10 +82,14 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort BEFORE left rows at the same timestamp so the
-    # carried value includes ties ("at or before")
+    # carried value includes ties ("at or before" / "at or after");
+    # forward simply scans time in reverse, turning the carried
+    # "latest at-or-before" into "earliest at-or-after"
+    ts_order = (F.col("_evt_us").asc() if direction == "backward"
+                else F.col("_evt_us").desc())
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_evt_us").asc(), F.col("_is_right").desc(),
+        .orderBy(ts_order, F.col("_is_right").desc(),
                  *[F.col(c).asc() for c in order_tiebreak])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -88,7 +105,9 @@ def asof_join(
     match_ts = F.col("_m_ts_us")
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
-        in_tol = F.col("_evt_us") - F.col("_m_ts_us") <= tol_us
+        # the match is on the past side (backward) or future side
+        # (forward) by construction, so |gap| covers both directions
+        in_tol = F.abs(F.col("_evt_us") - F.col("_m_ts_us")) <= tol_us
         match_ts = F.when(in_tol, F.col("_m_ts_us"))
         out = out.select(
             *[F.col(c) for c in left.columns],

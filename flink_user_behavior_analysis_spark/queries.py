@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import (
+    asof_join,
     cap_filter_with_warnings,
     consecutive_events,
     followed_by,
@@ -574,6 +575,101 @@ SELECT 'unmatched_receipt', r.user_id, r.item_id, NULL::BIGINT, r.ts_us
 FROM r WHERE NOT EXISTS (
     SELECT 1 FROM p WHERE p.user_id = r.user_id AND p.item_id = r.item_id
      AND r.ts_us >= p.ts_us + {IJ_LO_S * US} AND r.ts_us <= p.ts_us + {IJ_HI_S * US})
+"""
+
+
+# =====================================================================
+# As-of join, natively-oracled instance (r11): each purchase matched
+# to the user's MOST RECENT view at-or-before it, unbounded horizon.
+# Same operator as purchase_attribution (operators/asof.py union-tag +
+# running-window; one shuffle on user_id, no pair explosion) but the
+# oracle here is DuckDB's ENGINE-NATIVE ASOF LEFT JOIN over the
+# tie-deduped view side — an INDEPENDENT second implementation of the
+# as-of semantics, where purchase_attribution's oracle re-states the
+# same window formulation. Together they pin the operator's tie,
+# equal-timestamp, and no-match edges from two unrelated directions.
+# =====================================================================
+
+def purchase_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id")
+    joined = asof_join(
+        purchases, views, ["user_id"], "ts", "ts",
+        right_cols=["event_id"], order_tiebreak=["event_id"],
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts")).alias("purchase_us"),
+        F.col("event_id_asof").alias("view_id"),
+        F.col("ts_asof").alias("view_us"),
+        (F.unix_micros(F.col("ts")) - F.col("ts_asof")).alias("wait_us"),
+    )
+
+
+PURCHASE_ASOF_VIEW_SQL = """
+WITH v AS (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'view'
+), vd AS (
+    SELECT user_id, ts, event_id FROM v WHERE rn = 1
+), p AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us,
+       vd.event_id AS view_id, epoch_us(vd.ts) AS view_us,
+       epoch_us(p.ts) - epoch_us(vd.ts) AS wait_us
+FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+"""
+
+
+def click_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's NEXT error
+    at-or-after it (time-to-next-error — the ops-latency twin of
+    purchase_asof_view's backward attribution). Same single-window
+    operator scanning time in reverse (operators/asof.py
+    direction='forward'); the oracle is again DuckDB's native ASOF
+    LEFT JOIN, with the inequality flipped."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id")
+    joined = asof_join(
+        clicks, errors, ["user_id"], "ts", "ts",
+        right_cols=["event_id"], order_tiebreak=["event_id"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros(F.col("ts")).alias("click_us"),
+        F.col("event_id_asof").alias("error_id"),
+        F.col("ts_asof").alias("error_us"),
+        (F.col("ts_asof") - F.unix_micros(F.col("ts"))).alias("gap_us"),
+    )
+
+
+CLICK_ASOF_NEXT_ERROR_SQL = """
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'error'
+), ed AS (
+    SELECT user_id, ts, event_id FROM e WHERE rn = 1
+), c AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+       ed.event_id AS error_id, epoch_us(ed.ts) AS error_us,
+       epoch_us(ed.ts) - epoch_us(c.ts) AS gap_us
+FROM c ASOF LEFT JOIN ed ON c.user_id = ed.user_id AND c.ts <= ed.ts
 """
 
 
@@ -2564,6 +2660,8 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "view_then_purchase": view_then_purchase,
     "order_timeout": order_timeout,
     "tx_interval_join": tx_interval_join,
+    "purchase_asof_view": purchase_asof_view,
+    "click_asof_next_error": click_asof_next_error,
     "tx_match": tx_match,
     "blacklist_warnings": blacklist_warnings,
     "blacklist_filtered": blacklist_filtered,
@@ -2736,6 +2834,8 @@ ORACLES: dict[str, str] = {
     "view_then_purchase": VIEW_THEN_PURCHASE_SQL,
     "order_timeout": ORDER_TIMEOUT_SQL,
     "tx_interval_join": TX_INTERVAL_JOIN_SQL,
+    "purchase_asof_view": PURCHASE_ASOF_VIEW_SQL,
+    "click_asof_next_error": CLICK_ASOF_NEXT_ERROR_SQL,
     "tx_match": TX_MATCH_SQL,
     "blacklist_warnings": BLACKLIST_WARNINGS_SQL,
     "blacklist_filtered": BLACKLIST_FILTERED_SQL,

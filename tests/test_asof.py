@@ -59,3 +59,51 @@ def test_same_ts_right_rows_tiebreak_max_event_id(spark):
     left = [(1, _ts(100), 10)]
     right = [(1, _ts(90), 21), (1, _ts(90), 23), (1, _ts(90), 22)]
     assert _run(spark, left, right)[(1, _ts(100))] == (90 * 1_000_000, 23)
+
+
+def _run_fwd(spark, left_rows, right_rows, tol=None):
+    left = spark.createDataFrame(left_rows, SCHEMA)
+    right = spark.createDataFrame(right_rows, SCHEMA)
+    out = asof_join(
+        left, right, ["k"], "ts", "ts",
+        right_cols=["event_id"], tolerance_seconds=tol,
+        order_tiebreak=["event_id"], direction="forward",
+    )
+    return {
+        (r["k"], r["ts"]): (r["ts_asof"], r["event_id_asof"])
+        for r in out.collect()
+    }
+
+
+def test_forward_earliest_at_or_after_with_tie(spark):
+    us = 1_000_000
+    left = [(1, _ts(100), 10), (1, _ts(200), 11), (2, _ts(50), 12)]
+    right = [
+        (1, _ts(100), 20),   # tie with left@100 -> matches ("at or after")
+        (1, _ts(150), 21),   # skipped by left@100 (100 is nearer)
+        (1, _ts(250), 22),   # earliest after 200
+        (2, _ts(40), 23),    # before left@50 -> never matches forward
+    ]
+    got = _run_fwd(spark, left, right)
+    assert got[(1, _ts(100))] == (100 * us, 20)
+    assert got[(1, _ts(200))] == (250 * us, 22)
+    assert got[(2, _ts(50))] == (None, None)
+
+
+def test_forward_tolerance_and_same_ts_tiebreak(spark):
+    us = 1_000_000
+    left = [(1, _ts(100), 10)]
+    right = [(1, _ts(170), 21), (1, _ts(170), 25), (1, _ts(170), 23)]
+    # gap 70 > tol 60 -> null; no tol -> max-tiebreak row at 170
+    assert _run_fwd(spark, left, right, tol=60)[(1, _ts(100))] == (None, None)
+    assert _run_fwd(spark, left, right)[(1, _ts(100))] == (170 * us, 25)
+    assert _run_fwd(spark, left, right, tol=70)[(1, _ts(100))] == (170 * us, 25)
+
+
+def test_direction_is_validated(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, _ts(1), 1)], SCHEMA)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, ["k"], "ts", "ts",
+                  right_cols=["event_id"], direction="sideways")
