@@ -154,6 +154,21 @@ HEADLINE = [
     # hamming join (never all-pairs)
     "image_phash_dedup",
     "image_phash_neardup",
+    # round-11b: as-of join with the engine-native DuckDB ASOF oracle
+    # (union-tag + running window, one shuffle on user_id)
+    "purchase_asof_view",
+    # forward as-of (time-to-next-error), same operator scanned in
+    # reverse, native-ASOF-oracled
+    "click_asof_next_error",
+    # corpus snapshot diff (data versioning): hash-width full-outer
+    # join, document text never shuffles
+    "snapshot_diff",
+    # C4/RefinedWeb-style per-domain cap audit: one keyed window +
+    # map-side-combinable groupBy
+    "source_frequency_cap",
+    # ANN recall@k eval harness: both legs reuse registered operators,
+    # |Q| x k join rows regardless of corpus size
+    "ann_recall_lsh",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

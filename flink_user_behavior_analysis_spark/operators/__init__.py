@@ -18,6 +18,7 @@ from .dedup import (
     with_shingles,
 )
 from .joins import interval_join, reconcile
+from .versioning import fingerprint_snapshot, snapshot_diff
 from .multimodal import decode_media, documents_as_media, frame_sample
 from .patterns import consecutive_events, followed_by, match_create_pay
 from .sessionize import sessionize
@@ -66,6 +67,8 @@ __all__ = [
     "reconcile",
     "salted_join",
     "sessionize",
+    "snapshot_diff",
+    "fingerprint_snapshot",
     "simhash_pairs",
     "simhash_signatures",
     "text_stats",

@@ -90,6 +90,38 @@ def stratified_sample_k(df: DataFrame, key_cols: Sequence[str], k: int,
     )
 
 
+def frequency_cap(df: DataFrame, key_cols: Sequence[str], cap: int,
+                  order_cols: Sequence[Column]) -> DataFrame:
+    """Per-key frequency cap, quality-ordered: at most ``cap`` rows
+    KEPT per key, preferring rows earliest in ``order_cols`` order —
+    the C4 / RefinedWeb-style domain cap (no single site may dominate
+    the corpus; when it would, keep its best documents, not a random
+    subset — that is the difference from stratified_sample_k's
+    hash-ordered variant above). Returns every input row plus
+    ``cap_rank`` (1-based within key) and ``kept`` (rank <= cap), so
+    callers can audit the dropped slice instead of silently losing it.
+
+    Callers must make ``order_cols`` total (unique tiebreak last) or
+    the keep set is nondeterministic under Spark's unstable sort.
+
+    Scale shape: ONE shuffle on the key; row_number streams per
+    partition. Hot domains are exactly the rows this operator exists
+    to bound, so the skew is structural — AQE's skew-split handles the
+    sort, and the post-filter output is <= cap rows per key either
+    way. For extreme single-domain skew, pre-truncate per input split
+    with the same window under a (split_id, key) partition first: the
+    global top-cap is a subset of any per-split top-cap union.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        *order_cols)
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("cap_rank") <= cap)
+    )
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    group_col: str = "source",
                    id_col: str = "doc_id",

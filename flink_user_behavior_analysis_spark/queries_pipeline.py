@@ -3663,6 +3663,164 @@ FROM aug
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (operators/versioning.py snapshot_diff —
+    data-versioning primitive; no reference analogue, LLM-pipeline
+    mandate): two snapshots are derived deterministically from the
+    documents table (old = doc_id % 11 != 0 verbatim; new =
+    doc_id % 13 != 0 with every 7th doc's text mutated), and the
+    operator reports added / removed / changed rows by content
+    fingerprint. Only (doc_id, md5) pairs shuffle — the diff cost is
+    key-width, not document-width, and bucketed snapshots make it
+    zero-exchange (see module docstring)."""
+    from .operators.versioning import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "text", "source")
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["text", "source"])
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+    SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, chr(0)),
+                                 coalesce(source, chr(0)))) AS fp
+    FROM documents WHERE doc_id % 11 <> 0
+), n AS (
+    SELECT doc_id,
+           md5(concat_ws(chr(31),
+               coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                             ELSE text END, chr(0)),
+               coalesce(source, chr(0)))) AS fp
+    FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       o.fp AS old_fp, n.fp AS new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp
+"""
+
+
+SOURCE_CAP = 40
+
+
+def q_source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency-cap audit (operators/sampling.py
+    frequency_cap — the C4/RefinedWeb domain cap, quality-ordered):
+    at most SOURCE_CAP docs kept per source, preferring the longest
+    (n_chars DESC, doc_id tiebreak); reports per source how much the
+    cap bit and where the quality cutoff landed. One shuffle on
+    source for the rank + a map-side-combinable groupBy — the audit
+    output is |sources| rows regardless of corpus size."""
+    from .operators.sampling import frequency_cap
+
+    docs = _docs(spark, sf_dir)
+    capped = frequency_cap(
+        docs, ["source"], SOURCE_CAP,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    )
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+        .cast("long").alias("n_dropped"),
+        F.min(F.when(F.col("kept"), F.col("n_chars")))
+        .cast("long").alias("min_kept_chars"),
+    )
+
+
+SOURCE_FREQUENCY_CAP_SQL = f"""
+WITH ranked AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rnk
+    FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN rnk <= {SOURCE_CAP} THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept,
+       SUM(CASE WHEN rnk > {SOURCE_CAP} THEN 1 ELSE 0 END)::BIGINT
+           AS n_dropped,
+       MIN(CASE WHEN rnk <= {SOURCE_CAP} THEN n_chars END)::BIGINT
+           AS min_kept_chars
+FROM ranked GROUP BY source
+"""
+
+
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation (recall@k): per query vector, how
+    many of the hyperplane-LSH top-k are in the exact brute-force
+    top-k. This is the eval harness one runs before trusting an
+    approximate index at 100 TB — recall is measured on a query
+    SAMPLE (here the registry's standard query slice), never the full
+    corpus, so the cost is |Q| x k join rows however large the corpus
+    is. Both legs reuse the registered operators
+    (operators/similarity.py brute_force_topk_arrow /
+    hyperplane_lsh_topk); the oracle recomputes BOTH legs in DuckDB
+    from scratch, so the recall numbers are pinned end to end, not
+    derived from the Spark outputs."""
+    from .operators.similarity import (brute_force_topk_arrow,
+                                       hyperplane_lsh_topk)
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    brute = brute_force_topk_arrow(queries, embs, ANN_K).select(
+        "query_id", "neighbor_id")
+    lsh = hyperplane_lsh_topk(
+        queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS
+    ).select("query_id", "neighbor_id")
+    hits = (
+        lsh.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    all_q = queries.select(F.col("vec_id").alias("query_id"))
+    return all_q.join(hits, ["query_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(ANN_K), 4)
+        .alias("recall"),
+    )
+
+
+def _ann_recall_lsh_sql() -> str:
+    lsh = _ann_lsh_sql().strip().rstrip()
+    brute = ANN_TOPK_SQL.strip()
+    # re-head the two standalone statements as CTE legs: each starts
+    # with "WITH <ctes> SELECT ..." — strip the WITH of the second and
+    # rename its CTEs would collide, so instead nest both as DuckDB
+    # subquery-with-CTE blocks (supported since 0.8)
+    return f"""
+WITH lsh AS (
+    SELECT * FROM ({lsh})
+), brute AS (
+    SELECT * FROM ({brute})
+), hits AS (
+    SELECT l.query_id, COUNT(*)::BIGINT AS n_hits
+    FROM lsh l JOIN brute b
+      ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY l.query_id
+)
+SELECT q.vec_id AS query_id,
+       COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       round(COALESCE(h.n_hits, 0) / {ANN_K}.0, 4) AS recall
+FROM embeddings q LEFT JOIN hits h ON q.vec_id = h.query_id
+WHERE q.vec_id < {ANN_QUERY_MAX_ID}
+"""
+
+
 # --------------------------------------------------------------- registry
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3741,6 +3899,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_filtered_stored": q_ann_topk_filtered_stored,
     "semdedup_drift": q_semdedup_drift,
     "pii_scrub": q_pii_scrub,
+    "snapshot_diff": q_snapshot_diff,
+    "source_frequency_cap": q_source_frequency_cap,
+    "ann_recall_lsh": q_ann_recall_lsh,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -3827,4 +3988,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "ann_topk_filtered_stored": ANN_TOPK_FILTERED_STORED_SQL,
     "semdedup_drift": _semdedup_drift_sql(),
     "pii_scrub": _pii_scrub_sql(),
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "source_frequency_cap": SOURCE_FREQUENCY_CAP_SQL,
+    "ann_recall_lsh": _ann_recall_lsh_sql(),
 }

@@ -32,6 +32,7 @@ ARROW_ALLOWED = {
     "frame_sample",          # per-media frame expansion
     "image_phash_dedup",     # aHash over PPM pixel bytes (r11)
     "image_phash_neardup",   # same hash pass feeding the banded join
+    "ann_recall_lsh",        # brute-force leg reuses ann_topk's scan
 }
 
 ARROW_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",

@@ -1,0 +1,93 @@
+"""Unit tests for the snapshot-diff operator (operators/versioning.py)
+and the frequency-cap operator (operators/sampling.py) added r11.
+
+snapshot_diff pins:
+- each status class (added / removed / changed) on a hand-built pair,
+- unchanged rows are dropped,
+- multi-column keys join null-safely,
+- content null folds like '' (concat_ws semantics, documented).
+
+frequency_cap pins:
+- at most cap rows kept per key, the BEST rows by the given order,
+- rank is total (deterministic under a unique tiebreak),
+- every input row survives with an audit flag (nothing silently lost).
+"""
+
+from flink_user_behavior_analysis_spark.operators import snapshot_diff
+from flink_user_behavior_analysis_spark.operators.sampling import (
+    frequency_cap,
+)
+
+DOC_SCHEMA = "doc_id long, text string, source string"
+
+
+def _diff(spark, old_rows, new_rows, keys=("doc_id",)):
+    old = spark.createDataFrame(old_rows, DOC_SCHEMA)
+    new = spark.createDataFrame(new_rows, DOC_SCHEMA)
+    out = snapshot_diff(old, new, list(keys), ["text", "source"])
+    return {tuple(r[k] for k in keys): r["status"] for r in out.collect()}
+
+
+def test_snapshot_diff_statuses_and_unchanged_dropped(spark):
+    old = [(1, "a", "s"), (2, "b", "s"), (3, "c", "s")]
+    new = [(2, "b", "s"), (3, "c2", "s"), (4, "d", "s")]
+    got = _diff(spark, old, new)
+    assert got == {(1,): "removed", (3,): "changed", (4,): "added"}
+
+
+def test_snapshot_diff_null_is_distinct_from_empty(spark):
+    # nulls are sentinel-encoded, so a null<->'' flip IS a change and
+    # ('a', null) does not collide with (null, 'a') positions
+    old = [(1, None, "s"), (2, "x", None)]
+    new = [(1, "", "s"), (2, None, "x")]
+    got = _diff(spark, old, new)
+    assert got == {(1,): "changed", (2,): "changed"}
+
+
+def test_snapshot_diff_fp_columns_nullness_matches_status(spark):
+    old = spark.createDataFrame([(1, "a", "s")], DOC_SCHEMA)
+    new = spark.createDataFrame([(2, "b", "s")], DOC_SCHEMA)
+    rows = {r["status"]: r
+            for r in snapshot_diff(old, new, ["doc_id"],
+                                   ["text", "source"]).collect()}
+    assert rows["removed"]["old_fp"] and rows["removed"]["new_fp"] is None
+    assert rows["added"]["new_fp"] and rows["added"]["old_fp"] is None
+
+
+def test_snapshot_diff_multi_column_key(spark):
+    old = [(1, "a", "s1"), (1, "a", "s2")]
+    new = [(1, "a2", "s1"), (1, "a", "s2")]
+    got = _diff(spark, old, new, keys=("doc_id", "source"))
+    assert got == {(1, "s1"): "changed"}
+
+
+CAP_SCHEMA = "doc_id long, source string, n_chars long"
+
+
+def test_frequency_cap_keeps_best_rows_and_audits_rest(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a", 100 + i) for i in range(5)] + [(10, "b", 7)]
+    df = spark.createDataFrame(rows, CAP_SCHEMA)
+    out = frequency_cap(df, ["source"], 3,
+                        [F.col("n_chars").desc(), F.col("doc_id").asc()])
+    got = {r["doc_id"]: (r["cap_rank"], r["kept"]) for r in out.collect()}
+    assert len(got) == 6                      # nothing dropped
+    kept_a = sorted(d for d, (_, k) in got.items() if k and d != 10)
+    assert kept_a == [2, 3, 4]                # the 3 longest in 'a'
+    assert got[10] == (1, True)               # under-cap key all kept
+    assert got[0] == (5, False) and got[1] == (4, False)
+
+
+def test_frequency_cap_deterministic_under_ties(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a", 50) for i in range(6)]   # all-tied quality
+    df = spark.createDataFrame(rows, CAP_SCHEMA)
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    first = {r["doc_id"]: r["cap_rank"]
+             for r in frequency_cap(df, ["source"], 2, order).collect()}
+    second = {r["doc_id"]: r["cap_rank"]
+              for r in frequency_cap(df.repartition(5), ["source"], 2,
+                                     order).collect()}
+    assert first == second == {i: i + 1 for i in range(6)}
