@@ -487,3 +487,120 @@ def consecutive_fail_tws(
         outputMode="append",
         timeMode="None",
     )
+
+
+def asof_stateful(
+    events: DataFrame,
+    left_value: str,
+    right_value: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of operators/asof.py (backward direction): each
+    left event is matched to the latest right event at-or-before it,
+    per key, under out-of-order arrival.
+
+    Correctness under lateness: a left row is only DECIDABLE once the
+    watermark passes its timestamp (a late right inside
+    (current_best_ts, left_ts] could still arrive), so lefts buffer
+    until wm > left_ts. Rights below the watermark are FINAL, and only
+    the latest of them can ever match a future left (any later left
+    sees it last among finalized rights) — so finalized rights
+    COLLAPSE to one (ts, id) pair per key. State is therefore bounded
+    by the in-flight watermark window plus two scalars, regardless of
+    stream length; the one best-right pair lives as long as the key
+    (production note: bound idle keys with a TTL pass if the key space
+    is unbounded).
+
+    Tie semantics match the batch operator exactly: right.ts ==
+    left.ts matches, same-ts rights resolve to max order_col.
+
+    Emits (key, left_id, left_us, right_id, right_us) with nulls for
+    never-matched lefts — left-join semantics, like the batch twin.
+    """
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("left_id", LongType()),
+        StructField("left_us", LongType()),
+        StructField("right_id", LongType()),
+        StructField("right_us", LongType()),
+    ])
+    # best: "ts:id" or ""; lefts/rights: "ts:id," buffers
+    state_schema = StructType([
+        StructField("best", StringType()),
+        StructField("lefts", StringType()),
+        StructField("rights", StringType()),
+    ])
+
+    def _unpack(packed: str) -> list[list[int]]:
+        return [[int(a), int(b)] for a, b in
+                (e.split(":") for e in packed.split(",") if e)]
+
+    def _pack(buf: list[list[int]]) -> str:
+        return ",".join(f"{t}:{i}" for t, i in buf)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        best, lefts, rights = None, [], []
+        if state.exists:
+            b_packed, l_packed, r_packed = state.get
+            b = _unpack(b_packed)
+            best = b[0] if b else None
+            lefts, rights = _unpack(l_packed), _unpack(r_packed)
+        chunks = list(pdfs)
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0] if chunks else None)
+        if pdf is not None:
+            for ts_us, oid, side in zip(
+                    pdf["__ts_us"], pdf["__ord"], pdf["__side"]):
+                (lefts if side == "l" else rights).append(
+                    [int(ts_us), int(oid)])
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # decide every left strictly below the watermark: all rights
+        # at-or-before it are final by now
+        out, live_l = [], []
+        all_rights = ([best] if best else []) + rights
+        for lt, lid in sorted(lefts):
+            if lt < wm_us:
+                cands = [r for r in all_rights if r[0] <= lt]
+                m = max(cands) if cands else None
+                out.append((key[0], lid, lt,
+                            m[1] if m else None, m[0] if m else None))
+            else:
+                live_l.append([lt, lid])
+        # collapse finalized rights into the single carried best
+        final_r = [r for r in all_rights if r[0] < wm_us]
+        if final_r:
+            best = max(final_r)
+        live_r = [r for r in rights if r[0] >= wm_us]
+        if best is None and not live_l and not live_r:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((_pack([best] if best else []),
+                          _pack(live_l), _pack(live_r)))
+        if live_l:
+            # wake when the watermark can decide the earliest left
+            state.setTimeoutTimestamp(
+                max(min(t for t, _ in live_l) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, "left_id", "left_us",
+                              "right_id", "right_us"])
+
+    prepared = events.where(
+        F.col(type_col).isin(left_value, right_value)
+    ).select(
+        F.col(key_col),
+        F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+        F.col(order_col).alias("__ord"),
+        F.when(F.col(type_col) == left_value, F.lit("l"))
+        .otherwise(F.lit("r")).alias("__side"),
+        F.col(ts_col),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )

@@ -927,3 +927,29 @@ def test_media_ahash_stream_equals_batch(spark, sf_dir):
     cols = ["media_id", "phash", "w", "h"]
     assert _rows(streamed, cols) == _rows(batch, cols)
     assert streamed.count() > 0
+
+
+def test_asof_stateful_equals_batch_for_decided_lefts(spark, sf_dir):
+    """Streaming as-of twin: a left (purchase) is decidable only once
+    the watermark passes its timestamp, so every emitted row must
+    equal the batch as-of join exactly, and only the stream's very
+    tail (lefts at-or-after the final watermark) may stay open —
+    the same bounded-replay property the other timer operators pin."""
+    from flink_user_behavior_analysis_spark.streaming import asof_stateful
+
+    ev = stream_events(spark, sf_dir, watermark="0 seconds")
+    got = run_available_now(
+        asof_stateful(ev, "purchase", "view"), "append")
+    want = Q.QUERIES["purchase_asof_view"](spark, sf_dir).select(
+        "user_id",
+        F.col("purchase_id").alias("left_id"),
+        F.col("purchase_us").alias("left_us"),
+        F.col("view_id").alias("right_id"),
+        F.col("view_us").alias("right_us"),
+    )
+    cols = ["user_id", "left_id", "left_us", "right_id", "right_us"]
+    got_rows = _rows(got, cols)
+    want_rows = _rows(want, cols)
+    assert set(got_rows) <= set(want_rows)
+    # near-total coverage: only the final-watermark tail may stay open
+    assert len(got_rows) >= 0.9 * len(want_rows) > 0
