@@ -53,8 +53,9 @@ def snapshot_diff(
     touches a tiny fraction of the corpus, so the output is small even
     when the inputs are not).
 
-    Keys must be unique within each snapshot (document primary keys);
-    duplicate keys would fan out the join and double-report. Null
+    Keys must be unique AND non-null within each snapshot (document
+    primary keys); duplicate keys would fan out the join and
+    double-report, null keys would silently drop from the join. Null
     content is sentinel-encoded (see fingerprint_snapshot), so a
     null-vs-'' flip IS reported as a change.
     """
@@ -72,8 +73,13 @@ def snapshot_diff(
     def ncol(c):
         return F.col(f"__snap_n.{c}")
 
+    # plain equality, NOT eqNullSafe: null-safe equality compiles to
+    # coalesce/isnull join keys, which the planner cannot match to a
+    # bucket layout (it disables bucketing and shuffles both sides).
+    # Snapshot keys are primary keys — non-null by contract — so
+    # plain == is both correct and zero-exchange over bucketed tables.
     cond = reduce(lambda a, b: a & b,
-                  [ocol(k).eqNullSafe(ncol(k)) for k in keys])
+                  [ocol(k) == ncol(k) for k in keys])
     joined = o.join(n, cond, "full_outer")
     status = (
         F.when(ocol(keys[0]).isNull(), F.lit("added"))
