@@ -151,7 +151,9 @@ HEADLINE = [
     "contamination_stored",
     # round-11: image perceptual-hash dedup over the real PPM codec —
     # one Arrow hash pass, then hash-space groupBy / pigeonhole-banded
-    # hamming join (never all-pairs)
+    # hamming join (never all-pairs). neardup bands the 60-bit
+    # aHash||dHash into 15-bit chunks (the 32-bit/8-bit-chunk config
+    # measured 107x at sf1 — bucket saturation; see PERF.md r11)
     "image_phash_dedup",
     "image_phash_neardup",
     # round-11b: as-of join with the engine-native DuckDB ASOF oracle

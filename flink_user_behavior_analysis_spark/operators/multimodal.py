@@ -178,12 +178,55 @@ def ahash(payload: bytes) -> tuple[int, int, int]:
     return hv, w, h
 
 
+def phash_wide(payload: bytes) -> tuple[int, int, int]:
+    """Reference WIDE perceptual hash: aHash concatenated with the
+    horizontal difference hash (dHash: bit per adjacent pixel pair,
+    1 iff the right neighbor's intensity sum is strictly greater) —
+    h*(2w-1) bits total, (ahash << h*(w-1)) | dhash, same MSB-first
+    row-major bit order in both halves. For the standard 8x4 PPM
+    images: 32 + 28 = 60 bits.
+
+    Why it exists (r11 sf1 finding): banding a 32-bit hash for
+    hamming<=3 forces 8-bit chunks, whose 256-value space saturates —
+    bucket density grows linearly with corpus size and the candidate
+    join goes quadratic (measured 107x wall for 10x images). The
+    60-bit hash bands into 15-bit chunks (32768 values), so buckets
+    stay sparse at realistic corpus sizes while the pigeonhole recall
+    guarantee is unchanged. Pure integer comparisons — the DuckDB
+    oracle reproduces every bit. Mirrored verbatim inside the
+    media_ahash closure."""
+    hv, w, h = ahash(payload)
+    # re-parse for the pixel sums (keeps ahash's contract frozen; the
+    # Arrow closure computes both hashes from one parse)
+    parts, i, tok = [], 2, b""
+    while len(parts) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c.isspace():
+            if tok:
+                parts.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+        i += 1
+    px = payload[i:i + w * h * 3]
+    s = [px[3 * j] + px[3 * j + 1] + px[3 * j + 2] for j in range(w * h)]
+    nd = h * (w - 1)
+    dv, k = 0, 0
+    for r in range(h):
+        for c in range(w - 1):
+            if s[r * w + c + 1] > s[r * w + c]:
+                dv |= 1 << (nd - 1 - k)
+            k += 1
+    return (hv << nd) | dv, w, h
+
+
 def media_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Perceptual fingerprints over real PPM payloads: one Arrow
-    mapInPandas pass computing the integer average-hash per image
-    (see ahash above). Emits (media_id, phash, w, h) — phash is a
-    w*h-bit integer, so the standard 8x4 documents_as_ppm images
-    yield 32-bit hashes that fit a LongType exactly.
+    mapInPandas pass computing BOTH the integer average-hash and the
+    wide aHash||dHash variant per image (see ahash / phash_wide
+    above). Emits (media_id, phash, phash_wide, w, h) — phash is a
+    w*h-bit integer (32 bits for the standard 8x4 documents_as_ppm
+    images), phash_wide is h*(2w-1) bits (60), both LongType-exact.
 
     Scale shape (100 TB of images): per-row, stateless, shuffle-free
     — memory bounded by the Arrow batch; the hash column is what a
@@ -221,23 +264,31 @@ def media_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             for j in range(n):
                 if s[j] * n > total:
                     hv |= 1 << (n - 1 - j)
-            return hv, w, h
+            # wide hash: aHash || horizontal dHash (see phash_wide)
+            nd = h * (w - 1)
+            dv, k = 0, 0
+            for r in range(h):
+                for c in range(w - 1):
+                    if s[r * w + c + 1] > s[r * w + c]:
+                        dv |= 1 << (nd - 1 - k)
+                    k += 1
+            return hv, (hv << nd) | dv, w, h
 
         for pdf in batches:
             out = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    hv, w, h = hsh(bytes(p))
+                    hv, wide, w, h = hsh(bytes(p))
                 except ValueError as exc:
                     raise ValueError(f"media {mid}: {exc}") from None
-                out.append((mid, hv, w, h))
+                out.append((mid, hv, wide, w, h))
             yield pd.DataFrame(out, columns=["media_id", "phash",
-                                             "w", "h"])
+                                             "phash_wide", "w", "h"])
 
     sel = media.select(F.col(id_col).alias("media_id"), "payload")
     return sel.mapInPandas(
         _hash_batches,
-        "media_id long, phash long, w long, h long")
+        "media_id long, phash long, phash_wide long, w long, h long")
 
 
 def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,

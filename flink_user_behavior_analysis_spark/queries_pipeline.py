@@ -2387,31 +2387,75 @@ FROM hsh GROUP BY phash HAVING COUNT(*) >= 2
 
 
 PHASH_MAX_HAMMING = 3
+# wide-hash banding geometry: 60 bits = 4 chunks x 15 bits, plus the
+# winnow-style bucket cap as the production guard
+_PHASH_WIDE_BITS = _PPM_NPX + _PPM_H * (_PPM_W - 1)   # 32 + 28
+_PHASH_ND = _PPM_H * (_PPM_W - 1)                      # dHash bits
+PHASH_NEARDUP_BANDS = 4
+PHASH_NEARDUP_MAX_BUCKET = 50
 
 
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image NEAR-dup pairs (r11): hamming(phash) <= 3 via pigeonhole
+    """Image NEAR-dup pairs: hamming(wide phash) <= 3 via pigeonhole
     banding (operators/multimodal.phash_neardup_pairs — the
     simhash_pairs shape on perceptual hashes: 4 equality joins on
-    8-bit chunks, exact hamming verify; never an all-pairs product).
-    The oracle is the all-pairs ground truth in DuckDB, which the
-    banded plan must reproduce exactly (pigeonhole guarantees recall
-    at d < bands). At 100 TB use the 64-bit 8x8-grid hash with 16-bit
-    chunks and the max_bucket skew cap — the 32-bit/8-bit-chunk
-    configuration here matches the 8x4 PPM images."""
+    15-bit chunks, exact hamming verify; never an all-pairs product).
+
+    r11 sf1 fix: the first registration banded the 32-bit aHash into
+    8-bit chunks, whose 256-value space saturates — bucket density
+    grows linearly with corpus size and the candidate join went
+    quadratic (measured 107x wall for 10x images). Now the hash is
+    the 60-bit aHash||dHash (operators/multimodal.phash_wide), so
+    chunks span 32768 values and buckets stay sparse, with the
+    max_bucket cap as the winnow-style production guard (at the
+    certification SF no bucket reaches it, so the oracle — which
+    applies the identical cap — still pins exact pigeonhole recall).
+    """
     from .operators.multimodal import (documents_as_ppm, media_ahash,
                                        phash_neardup_pairs)
 
     media = documents_as_ppm(_docs(spark, sf_dir))
-    return phash_neardup_pairs(media_ahash(media),
-                               max_hamming=PHASH_MAX_HAMMING)
+    hashes = media_ahash(media).select(
+        "media_id", F.col("phash_wide").alias("phash"))
+    return phash_neardup_pairs(hashes,
+                               max_hamming=PHASH_MAX_HAMMING,
+                               bits=_PHASH_WIDE_BITS,
+                               bands=PHASH_NEARDUP_BANDS,
+                               max_bucket=PHASH_NEARDUP_MAX_BUCKET)
 
 
-IMAGE_PHASH_NEARDUP_SQL = _PHASH_CTE + f"""
-SELECT a.media_id AS id_a, b.media_id AS id_b,
-       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
-FROM hsh a JOIN hsh b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+def _image_phash_neardup_sql() -> str:
+    chunk_w = _PHASH_WIDE_BITS // PHASH_NEARDUP_BANDS
+    return _PHASH_CTE + f"""
+, wide AS (
+    SELECT t.media_id,
+           h.phash * {1 << _PHASH_ND} + CAST(list_sum(
+               list_transform(range(0, {_PHASH_ND}), j ->
+                   CASE WHEN sl[(j // {_PPM_W - 1}) * {_PPM_W}
+                               + (j % {_PPM_W - 1}) + 2]
+                             > sl[(j // {_PPM_W - 1}) * {_PPM_W}
+                                 + (j % {_PPM_W - 1}) + 1]
+                        THEN (1::BIGINT << ({_PHASH_ND} - 1 - j))
+                        ELSE 0 END)) AS BIGINT) AS phash
+    FROM t JOIN hsh h ON t.media_id = h.media_id
+), chunks AS (
+    SELECT media_id, phash, c AS chunk,
+           (phash >> (c * {chunk_w})) & {(1 << chunk_w) - 1} AS chunk_val
+    FROM wide, range(0, {PHASH_NEARDUP_BANDS}) r(c)
+), kept AS (
+    SELECT chunk, chunk_val FROM chunks GROUP BY chunk, chunk_val
+    HAVING COUNT(*) <= {PHASH_NEARDUP_MAX_BUCKET}
+), kc AS (
+    SELECT chunks.* FROM chunks JOIN kept USING (chunk, chunk_val)
+), cand AS (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           a.phash AS ha, b.phash AS hb
+    FROM kc a JOIN kc b
+      ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+     AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {PHASH_MAX_HAMMING}
 """
 
 
@@ -3944,7 +3988,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_headers": MULTIMODAL_HEADERS_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "image_phash_dedup": IMAGE_PHASH_DEDUP_SQL,
-    "image_phash_neardup": IMAGE_PHASH_NEARDUP_SQL,
+    "image_phash_neardup": _image_phash_neardup_sql(),
     "media_resize": MEDIA_RESIZE_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
     "bm25_topk": _bm25_sql(),

@@ -2199,3 +2199,35 @@ def test_phash_neardup_banding_equals_brute_force(spark):
     # bucket of size <= 1 — i.e. none (every match needs 2 members)
     capped = phash_neardup_pairs(df, max_hamming=3, max_bucket=1)
     assert capped.count() == 0
+
+
+def test_phash_wide_pinned_vector_matches_arrow_pass(spark):
+    """phash_wide against a hand-computed 2x2 vector, and the Arrow
+    pass's phash_wide column against the pure-python reference (r11
+    wide-hash fix for the banding saturation found at sf1)."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        documents_as_ppm,
+        media_ahash,
+        phash_wide,
+    )
+
+    # 2x2: sums s = [30, 3, 300, 3]; ahash bits 0010 (see ahash pin);
+    # dHash (w-1)*h = 2 bits, row-major: row0 3>30? no; row1 3>300? no
+    # -> dhash 00 -> wide = 0b0010 << 2 | 0b00 = 8
+    payload = (b"P6\n2 2\n255\n"
+               + bytes([10, 10, 10, 1, 1, 1, 100, 100, 100, 1, 1, 1]))
+    assert phash_wide(payload) == (0b001000, 2, 2)
+    # ascending row flips the dHash bits: s = [3, 30, 3, 300];
+    # mean*4 = 336 -> ahash bits 0001; dhash 11 -> 0b000111 = 7
+    asc = (b"P6\n2 2\n255\n"
+           + bytes([1, 1, 1, 10, 10, 10, 1, 1, 1, 100, 100, 100]))
+    assert phash_wide(asc) == (0b000111, 2, 2)
+
+    texts = ["wide", "", "é" * 40, "x" * 63, "abcd" * 50]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    media = documents_as_ppm(docs)
+    got = {r.media_id: r.phash_wide for r in media_ahash(media).collect()}
+    want = {r.media_id: phash_wide(bytes(r.payload))[0]
+            for r in media.collect()}
+    assert got == want and len(got) == len(texts)

@@ -93,6 +93,21 @@ def main() -> None:
     add("windowed_count(item_id)", t["zipf"], t["uniform"],
         "map-side combine folds the hot key per task before the shuffle")
 
+    # r11: per-key frequency cap under the hot domain — the
+    # structural-skew case the operator exists for (a dominating
+    # source is exactly what gets capped)
+    from flink_user_behavior_analysis_spark.operators.sampling import (
+        frequency_cap,
+    )
+    t = {v: best_of(lambda v=v: frequency_cap(
+        ev[v], ["item_id"], 100,
+        [F.col("ts").desc(), F.col("event_id").asc()])
+        .where(F.col("kept")).count())
+        for v in ev}
+    add("frequency_cap(item_id)", t["zipf"], t["uniform"],
+        "row_number window on the 18%-hot key; the hot key's sort is "
+        "one task's input — AQE skew split bounds it")
+
     # M2 vs M1: global count, plain vs explicitly salted
     t_plain = best_of(lambda: windowed_global_count(
         ev["zipf"], "ts", "1 hour", "5 minutes").count())
