@@ -168,6 +168,9 @@ HEADLINE = [
     # C4/RefinedWeb-style per-domain cap audit: one keyed window +
     # map-side-combinable groupBy
     "source_frequency_cap",
+    # stored-fingerprint snapshot diff: old corpus text never reread,
+    # hash-width co-partitioned probe
+    "snapshot_diff_stored",
     # ANN recall@k eval harness: both legs reuse registered operators,
     # |Q| x k join rows regardless of corpus size
     "ann_recall_lsh",
@@ -213,6 +216,9 @@ TRAIN_INCLUSIVE = {
     # twin's first run)
     "dsir_select": ("dsir_select_stored", "dsirraw"),
     "dsir_resample": ("dsir_resample_stored", "dsirraw"),
+    # inline snapshot_diff refingerprints BOTH versions per call; the
+    # stored twin probes the previous version's fps artifact
+    "snapshot_diff": ("snapshot_diff_stored", "snapfp"),
     # inline contamination re-shingles the whole corpus per eval
     # release; the stored twin probes the gram_fp inverted index
     "contamination": ("contamination_stored", "contam"),

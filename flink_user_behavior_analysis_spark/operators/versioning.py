@@ -60,12 +60,21 @@ def snapshot_diff(
     null-vs-'' flip IS reported as a change.
     """
     keys = list(key_cols)
-    # alias-qualified references: old and new often share lineage (two
+    return _diff_fps(fingerprint_snapshot(old, keys, content_cols),
+                     fingerprint_snapshot(new, keys, content_cols),
+                     keys)
+
+
+def _diff_fps(o: DataFrame, n: DataFrame,
+              keys: Sequence[str]) -> DataFrame:
+    """The diff core over two (key..., fp) frames — shared by the
+    inline snapshot_diff and the stored-fingerprint probe."""
+    from functools import reduce
+
+    # alias-qualified references: the sides often share lineage (two
     # filters of the same table), which makes df[col] ambiguous in the
     # self-join — string-qualified names resolve per alias instead
-    o = fingerprint_snapshot(old, keys, content_cols).alias("__snap_o")
-    n = fingerprint_snapshot(new, keys, content_cols).alias("__snap_n")
-    from functools import reduce
+    o, n = o.alias("__snap_o"), n.alias("__snap_n")
 
     def ocol(c):
         return F.col(f"__snap_o.{c}")
@@ -100,3 +109,61 @@ def snapshot_diff(
             | (F.col("old_fp") != F.col("new_fp"))
         )
     )
+
+
+def snapshot_store_fps(
+    snapshot: DataFrame,
+    prefix: str,
+    key_cols: Sequence[str],
+    content_cols: Sequence[str],
+    n_buckets: int = 8,
+) -> list[str]:
+    """Materialize a corpus version's FINGERPRINT TABLE as a catalog
+    artifact: {prefix}_fps (key..., fp) bucketed on the key — the
+    versioning shape at 100 TB: the old snapshot's text is read once
+    when the version is cut, and every later diff probes hash-width
+    rows on a co-partitioned layout (zero-exchange against a
+    same-bucketed candidate side). Same crash-atomic skeleton as the
+    other *_store_* builders: manifest invalidated first, commit
+    marker written LAST, so a crash mid-build reads as not-ready and
+    the caller rebuilds instead of diffing against half a version.
+    """
+    from ..sources.readers import (invalidate_manifest, write_bucketed,
+                                   write_manifest)
+
+    spark = snapshot.sparkSession
+    keys = list(key_cols)
+    invalidate_manifest(spark, prefix)
+    write_bucketed(fingerprint_snapshot(snapshot, keys, content_cols),
+                   f"{prefix}_fps", keys[0] if len(keys) == 1 else keys,
+                   n_buckets)
+    names = [f"{prefix}_fps"]
+    write_manifest(spark, prefix, names)
+    return names
+
+
+def snapshot_diff_from_store(
+    spark,
+    prefix: str,
+    new_snapshot: DataFrame,
+    key_cols: Sequence[str],
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Diff a candidate snapshot against the STORED fingerprint table
+    of the previous version: same (key..., status, old_fp, new_fp)
+    contract as snapshot_diff, but the old side is the {prefix}_fps
+    artifact — the old corpus text is never reread, so a daily diff
+    costs one scan of the NEW snapshot plus a hash-width join however
+    large the history is. Probe == inline is the stored twin's claim:
+    diffing against the stored table must equal snapshot_diff on the
+    original frames (test-asserted)."""
+    from ..sources.readers import index_ready
+
+    if not index_ready(spark, prefix):
+        raise ValueError(
+            f"snapshot fingerprint store '{prefix}' is not ready — "
+            "build it with snapshot_store_fps first")
+    keys = list(key_cols)
+    old_fps = spark.table(f"{prefix}_fps")
+    n = fingerprint_snapshot(new_snapshot, keys, content_cols)
+    return _diff_fps(old_fps, n, keys)

@@ -3755,6 +3755,36 @@ WHERE o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp
 """
 
 
+def q_snapshot_diff_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION versioning shape: the previous corpus version's
+    fingerprints live in a STORED bucketed table
+    (operators/versioning.py:snapshot_store_fps — built once when the
+    version is cut, crash-atomic manifest) and each candidate snapshot
+    diffs against it (snapshot_diff_from_store): the old corpus text
+    is never reread, so a daily diff costs one scan of the NEW
+    snapshot plus a hash-width co-partitioned join however large the
+    history is. Same derived old/new pair and the same oracle as
+    snapshot_diff — probe == inline IS the stored twin's claim."""
+    from .operators.versioning import (snapshot_diff_from_store,
+                                       snapshot_store_fps)
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "text", "source")
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    prefix = f"snapfp_{_artifact_tag(sf_dir)}"
+    if not _index_ready(spark, prefix):
+        snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    return snapshot_diff_from_store(spark, prefix, new,
+                                    ["doc_id"], ["text", "source"])
+
+
 SOURCE_CAP = 40
 
 
@@ -3944,6 +3974,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_drift": q_semdedup_drift,
     "pii_scrub": q_pii_scrub,
     "snapshot_diff": q_snapshot_diff,
+    "snapshot_diff_stored": q_snapshot_diff_stored,
     "source_frequency_cap": q_source_frequency_cap,
     "ann_recall_lsh": q_ann_recall_lsh,
 }
@@ -4033,6 +4064,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "semdedup_drift": _semdedup_drift_sql(),
     "pii_scrub": _pii_scrub_sql(),
     "snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "snapshot_diff_stored": SNAPSHOT_DIFF_SQL,
     "source_frequency_cap": SOURCE_FREQUENCY_CAP_SQL,
     "ann_recall_lsh": _ann_recall_lsh_sql(),
 }

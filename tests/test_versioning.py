@@ -140,3 +140,52 @@ def test_snapshot_diff_over_bucketed_snapshots_is_exchange_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS t_snap_old")
         spark.sql("DROP TABLE IF EXISTS t_snap_new")
+
+
+def test_snapshot_stored_probe_equals_inline_and_gates_on_manifest(spark):
+    """Stored-fingerprint twin: diffing against the stored fps table
+    equals the inline snapshot_diff on the original frames
+    (probe == inline IS the claim), a missing/invalidated manifest
+    raises instead of diffing half a version, and a rebuild restores
+    readiness."""
+    import pytest
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        snapshot_diff_from_store,
+        snapshot_store_fps,
+    )
+    from flink_user_behavior_analysis_spark.sources.readers import (
+        invalidate_manifest,
+    )
+
+    prefix = "t_snapfp_unit"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_fps")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
+
+    old_rows = [(1, "a", "s"), (2, "b", "s"), (3, "c", "s")]
+    new_rows = [(2, "b", "s"), (3, "c2", "s"), (4, "d", "s")]
+    old = spark.createDataFrame(old_rows, DOC_SCHEMA)
+    new = spark.createDataFrame(new_rows, DOC_SCHEMA)
+
+    with pytest.raises(ValueError, match="not ready"):
+        snapshot_diff_from_store(spark, prefix, new,
+                                 ["doc_id"], ["text", "source"])
+
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    got = {tuple(r) for r in snapshot_diff_from_store(
+        spark, prefix, new, ["doc_id"], ["text", "source"]).collect()}
+    want = {tuple(r) for r in snapshot_diff(
+        old, new, ["doc_id"], ["text", "source"]).collect()}
+    assert got == want and len(got) == 3
+
+    # crash bracket: invalidation makes the probe refuse again
+    invalidate_manifest(spark, prefix)
+    with pytest.raises(ValueError, match="not ready"):
+        snapshot_diff_from_store(spark, prefix, new,
+                                 ["doc_id"], ["text", "source"])
+    # rebuild restores
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    again = {tuple(r) for r in snapshot_diff_from_store(
+        spark, prefix, new, ["doc_id"], ["text", "source"]).collect()}
+    assert again == want
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_fps")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
