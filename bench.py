@@ -174,6 +174,7 @@ HEADLINE = [
     # ANN recall@k eval harness: both legs reuse registered operators,
     # |Q| x k join rows regardless of corpus size
     "ann_recall_lsh",
+    "ann_recall_lsh_mp",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash

@@ -3869,16 +3869,43 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_recall_lsh_sql() -> str:
-    lsh = _ann_lsh_sql().strip().rstrip()
+def q_ann_recall_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe twin of ann_recall_lsh: recall@k of the Hamming-1
+    multi-probe LSH against exact brute force — the measured recall
+    LIFT multiprobe exists for (probing the d=1 neighbor buckets
+    recovers vectors that fall just across one hyperplane), paid as a
+    bands-times-wider candidate read with the same index. Run both
+    recall rows side by side to price the lift."""
+    from .operators.similarity import (brute_force_topk_arrow,
+                                       hyperplane_lsh_topk)
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    brute = brute_force_topk_arrow(queries, embs, ANN_K).select(
+        "query_id", "neighbor_id")
+    lsh = hyperplane_lsh_topk(
+        queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS,
+        probes=LSH_PLANES,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        lsh.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    all_q = queries.select(F.col("vec_id").alias("query_id"))
+    return all_q.join(hits, ["query_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(ANN_K), 4)
+        .alias("recall"),
+    )
+
+
+def _ann_recall_sql(approx_sql: str) -> str:
     brute = ANN_TOPK_SQL.strip()
-    # re-head the two standalone statements as CTE legs: each starts
-    # with "WITH <ctes> SELECT ..." — strip the WITH of the second and
-    # rename its CTEs would collide, so instead nest both as DuckDB
-    # subquery-with-CTE blocks (supported since 0.8)
     return f"""
 WITH lsh AS (
-    SELECT * FROM ({lsh})
+    SELECT * FROM ({approx_sql.strip()})
 ), brute AS (
     SELECT * FROM ({brute})
 ), hits AS (
@@ -3893,6 +3920,12 @@ SELECT q.vec_id AS query_id,
 FROM embeddings q LEFT JOIN hits h ON q.vec_id = h.query_id
 WHERE q.vec_id < {ANN_QUERY_MAX_ID}
 """
+
+
+def _ann_recall_lsh_sql() -> str:
+    # the two standalone statements nest as DuckDB subquery-with-CTE
+    # blocks (supported since 0.8) inside the shared recall builder
+    return _ann_recall_sql(_ann_lsh_sql())
 
 
 # --------------------------------------------------------------- registry
@@ -3977,6 +4010,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff_stored": q_snapshot_diff_stored,
     "source_frequency_cap": q_source_frequency_cap,
     "ann_recall_lsh": q_ann_recall_lsh,
+    "ann_recall_lsh_mp": q_ann_recall_lsh_mp,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -4067,4 +4101,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "snapshot_diff_stored": SNAPSHOT_DIFF_SQL,
     "source_frequency_cap": SOURCE_FREQUENCY_CAP_SQL,
     "ann_recall_lsh": _ann_recall_lsh_sql(),
+    "ann_recall_lsh_mp": _ann_recall_sql(_ann_lsh_mp_sql()),
 }

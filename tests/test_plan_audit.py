@@ -33,6 +33,7 @@ ARROW_ALLOWED = {
     "image_phash_dedup",     # aHash over PPM pixel bytes (r11)
     "image_phash_neardup",   # same hash pass feeding the banded join
     "ann_recall_lsh",        # brute-force leg reuses ann_topk's scan
+    "ann_recall_lsh_mp",     # same, multiprobe approximate leg
 }
 
 ARROW_NODES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
