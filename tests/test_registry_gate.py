@@ -29,7 +29,15 @@ from flink_user_behavior_analysis_spark.queries import (
 # with 106 registered queries the driver can re-certify each one at
 # best every 3rd round, so demanding "green within the last 2" would
 # manufacture failures the rotation cannot prevent.
-STALENESS_HORIZON = max(2, math.ceil(len(QUERIES) / GATE_WINDOW))
+# worst-case rotation horizon: the forced tier may pin up to
+# GATE_WINDOW//5 slots every round (the budget the forced-set test
+# enforces), so only the remaining slots rotate the non-forced
+# queries. ceil(N/W) alone under-counts once N grows past
+# (horizon)*(W - budget) + budget — the r11b registry (132) crossed
+# exactly that line.
+_FORCED_BUDGET = GATE_WINDOW // 5
+STALENESS_HORIZON = max(2, math.ceil(
+    (len(QUERIES) - _FORCED_BUDGET) / (GATE_WINDOW - _FORCED_BUDGET)))
 
 # Queries with no oracle SQL: their driver row is rows-only and can
 # never be hash-green, so the window gains nothing. Empty since r5 —
