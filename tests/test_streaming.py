@@ -953,3 +953,49 @@ def test_asof_stateful_equals_batch_for_decided_lefts(spark, sf_dir):
     assert set(got_rows) <= set(want_rows)
     # near-total coverage: only the final-watermark tail may stay open
     assert len(got_rows) >= 0.9 * len(want_rows) > 0
+
+
+def test_asof_stateful_late_right_within_delay_wins(spark, tmp_path):
+    """Cross-batch lateness: a right event that arrives one micro-batch
+    LATER but timestamps between the current best right and a pending
+    left must become the left's match — the reason lefts buffer until
+    the watermark passes them instead of matching greedily on arrival.
+    Batch 1: left@100 plus rights@50 and @105 (max ts 105 -> watermark
+    95 for the next batch, so left@100 stays pending). Batch 2: the
+    late right@98 (admissible, 98 > 95) plus a far-future row that
+    drives the final watermark past 100; the event-time timer then
+    finalizes left@100 against right@98 — not @50."""
+    from datetime import datetime, timezone
+
+    from flink_user_behavior_analysis_spark.streaming import (
+        asof_stateful,
+        run_available_now,
+    )
+
+    def _ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+            tzinfo=None)
+
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    d = str(tmp_path / "asof_late")
+    b1 = [(1, _ts(100), "purchase", 10),
+          (1, _ts(50), "view", 20),
+          (1, _ts(105), "view", 21)]
+    b2 = [(1, _ts(98), "view", 22),
+          (2, _ts(200), "view", 30)]
+    import time as _t
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+    _t.sleep(1.2)  # distinct mtimes => deterministic file order
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(d)
+
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(d)
+          .withWatermark("ts", "10 seconds"))
+    got = run_available_now(asof_stateful(ev, "purchase", "view"),
+                            "append")
+    rows = [(r.user_id, r.left_id, r.right_id, r.right_us)
+            for r in got.collect()]
+    assert rows == [(1, 10, 22, 98 * 1_000_000)]
