@@ -167,3 +167,50 @@ def snapshot_diff_from_store(
     old_fps = spark.table(f"{prefix}_fps")
     n = fingerprint_snapshot(new_snapshot, keys, content_cols)
     return _diff_fps(old_fps, n, keys)
+
+
+def snapshot_probe_from_store(
+    spark,
+    prefix: str,
+    new_rows: DataFrame,
+    key_cols: Sequence[str],
+    content_cols: Sequence[str],
+) -> DataFrame:
+    """Added/changed verdicts for a PARTIAL slice of a candidate
+    snapshot against the stored fingerprint table — the CDC-shaped
+    half of the diff: each row's verdict depends only on itself and
+    the frozen {prefix}_fps artifact, so slices compose (a streaming
+    ingest can probe micro-batches and the drained union equals the
+    one-shot diff). 'removed' is structurally absent here: absence is
+    a property of the COMPLETE candidate snapshot, so it belongs to
+    snapshot_diff_from_store, not to a per-slice probe.
+
+    Emits (key..., status in {'added','changed'}, old_fp, new_fp);
+    unchanged rows are dropped."""
+    from ..sources.readers import index_ready
+
+    if not index_ready(spark, prefix):
+        raise ValueError(
+            f"snapshot fingerprint store '{prefix}' is not ready — "
+            "build it with snapshot_store_fps first")
+    keys = list(key_cols)
+    from functools import reduce
+
+    o = spark.table(f"{prefix}_fps").alias("__snap_o")
+    n = fingerprint_snapshot(new_rows, keys, content_cols).alias("__snap_n")
+    cond = reduce(lambda a, b: a & b,
+                  [F.col(f"__snap_o.{k}") == F.col(f"__snap_n.{k}")
+                   for k in keys])
+    joined = n.join(o, cond, "left")
+    status = (F.when(F.col("__snap_o.fp").isNull(), F.lit("added"))
+              .otherwise(F.lit("changed")))
+    return (
+        joined.select(
+            *[F.col(f"__snap_n.{k}").alias(k) for k in keys],
+            status.alias("status"),
+            F.col("__snap_o.fp").alias("old_fp"),
+            F.col("__snap_n.fp").alias("new_fp"),
+        )
+        .where(F.col("old_fp").isNull()
+               | (F.col("old_fp") != F.col("new_fp")))
+    )

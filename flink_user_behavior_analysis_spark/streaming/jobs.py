@@ -565,6 +565,31 @@ def semdedup_probe_stream(spark: SparkSession, sf_dir: str,
                                      eps, vs_delta=False))
 
 
+def snapshot_diff_stream(spark: SparkSession, sf_dir: str,
+                         prefix: str, key_cols, content_cols,
+                         transform=None) -> DataFrame:
+    """Streaming CDC-shaped snapshot diff: rows of a CANDIDATE
+    snapshot replay as a stream (``transform`` derives the candidate
+    from the raw table — mutations, filters) and each micro-batch
+    probes the stored {prefix}_fps artifact
+    (operators/versioning.snapshot_probe_from_store): added/changed
+    verdicts per row, split-invariant because each verdict depends
+    only on the row and the frozen store. 'removed' is deliberately
+    NOT on the wire — absence is a property of the complete snapshot,
+    so it belongs to the batch diff (snapshot_diff_from_store) run at
+    snapshot close."""
+    from ..operators.versioning import snapshot_probe_from_store
+
+    ensure_utc(spark)
+    docs = file_replay_stream(spark, sf_dir, "documents")
+    if transform is not None:
+        docs = transform(docs)
+    return run_probe_foreach_batch(
+        docs,
+        lambda batch: snapshot_probe_from_store(
+            spark, prefix, batch, key_cols, content_cols))
+
+
 def ann_filtered_probe_stream(spark: SparkSession, sf_dir: str,
                               prefix: str, predicate, k: int,
                               nprobe: int = 8,

@@ -999,3 +999,48 @@ def test_asof_stateful_late_right_within_delay_wins(spark, tmp_path):
     rows = [(r.user_id, r.left_id, r.right_id, r.right_us)
             for r in got.collect()]
     assert rows == [(1, 10, 22, 98 * 1_000_000)]
+
+
+def test_snapshot_diff_stream_equals_batch_added_changed(spark, sf_dir):
+    """Streaming CDC diff twin: micro-batches of the candidate
+    snapshot probe the stored fps artifact; the drained union must
+    equal the batch diff's added+changed rows exactly (removed is
+    batch-only by design — absence needs the complete snapshot)."""
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        snapshot_store_fps,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        q_snapshot_diff,
+    )
+    from flink_user_behavior_analysis_spark.sources import load_table
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        snapshot_diff_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "text", "source")
+    prefix = "t_snapcdc"
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_fps")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+
+    def to_candidate(d):
+        return d.where(F.col("doc_id") % 13 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text")).alias("text"),
+            "source",
+        )
+
+    got = snapshot_diff_stream(spark, sf_dir, prefix,
+                               ["doc_id"], ["text", "source"],
+                               transform=to_candidate)
+    want = q_snapshot_diff(spark, sf_dir).where(
+        F.col("status") != "removed")
+    cols = ["doc_id", "status", "old_fp", "new_fp"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_fps")
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
