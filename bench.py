@@ -1,8 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+The LAST stdout line is ONE compact JSON summary that always fits the
+driver's ~2 KB tail-capture window (VERDICT r11 #1):
+{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+ "degraded": ..., "n_rows": ..., "queries_file": "bench_out.json"}
+The full payload (per-query walls, plan fingerprints, adjudication
+evidence) is written to bench_out.json at the repo root — it outgrew
+the tail window twice (BENCH_r06, BENCH_r11), so it is file-only now.
 """
 
 from __future__ import annotations
@@ -175,6 +180,8 @@ HEADLINE = [
     # |Q| x k join rows regardless of corpus size
     "ann_recall_lsh",
     "ann_recall_lsh_mp",
+    "ann_recall_ivfpq_stored",
+    "ann_recall_pq_stored",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -387,6 +394,35 @@ def _prev_committed_bench(
     return ({k: float(v) for k, v in queries.items()},
             {k: str(v) for k, v in fps.items()} if isinstance(fps, dict)
             else {})
+
+
+TAIL_BUDGET_BYTES = 1900  # driver tail-capture is ~2 KB (BENCH_r11)
+
+
+def _compact_summary(payload: dict) -> dict:
+    """The LAST stdout line of a bench run (VERDICT r11 #1).
+
+    The driver keeps only the final ~2 KB of stdout; the full payload
+    (106+ per-query walls + plan fingerprints) is ~9 KB and truncated
+    mid-blob in BENCH_r06 and BENCH_r11 for two different mechanical
+    reasons. This summary is self-contained, carries the headline
+    number and the health flags, points at bench_out.json for the
+    per-query map, and is guaranteed (test-asserted) to fit the tail
+    window regardless of how many queries the registry grows to."""
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "degraded": payload["degraded"],
+        "n_rows": len(payload.get("queries", {})),
+        "n_unstable": len(payload.get("unstable", {})),
+        "n_cross_round_regressions":
+            len(payload.get("cross_round_regressions", {})),
+        "queries_file": "bench_out.json",
+    }
+    assert len(json.dumps(summary)) <= TAIL_BUDGET_BYTES
+    return summary
 
 
 def main() -> None:
@@ -654,15 +690,17 @@ def main() -> None:
         "sf": sf_val,
     }
     line = json.dumps(payload)
-    print(line)
-    # durability (VERDICT r6 #5): the driver captures stdout's tail,
-    # which truncated BENCH_r06's 78-entry line mid-stream — also
-    # land the same dict in a committed file so the headline numbers
-    # are never tail-dependent
+    # durability (VERDICT r6 #5 / r11 #1): the driver captures only a
+    # ~2 KB stdout TAIL, which truncated BENCH_r06 and BENCH_r11 when
+    # the full blob (per-query walls + plan_fp map) outgrew the window.
+    # The full dict therefore lives ONLY in the committed file; stdout
+    # ends with a compact, self-contained summary line that always fits
+    # the tail window and parses on its own.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "bench_out.json")
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
+    print(json.dumps(_compact_summary(payload)))
     spark.stop()
 
 

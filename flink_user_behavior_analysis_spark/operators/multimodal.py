@@ -196,6 +196,14 @@ def phash_wide(payload: bytes) -> tuple[int, int, int]:
     oracle reproduces every bit. Mirrored verbatim inside the
     media_ahash closure."""
     hv, w, h = ahash(payload)
+    if h * (2 * w - 1) > 63:
+        # LongType ceiling (ADVICE r11): the combined aHash||dHash is
+        # h*(2w-1) bits wide and silently wraps past 63 — reject
+        # explicitly, mirroring ahash's payload validation, instead
+        # of emitting an aliased hash (e.g. 8x8 needs 120 bits)
+        raise ValueError(
+            f"phash_wide: {w}x{h} image needs {h * (2 * w - 1)} bits, "
+            f"> 63 (LongType); use <= 8x4 images or a binary hash")
     # re-parse for the pixel sums (keeps ahash's contract frozen; the
     # Arrow closure computes both hashes from one parse)
     parts, i, tok = [], 2, b""
@@ -256,6 +264,10 @@ def media_ahash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             px = p[i:i + w * h * 3]
             if len(px) != w * h * 3:
                 raise ValueError("truncated pixel data")
+            if h * (2 * w - 1) > 63:
+                # LongType ceiling (ADVICE r11) — see phash_wide
+                raise ValueError(
+                    f"{w}x{h} needs {h * (2 * w - 1)} hash bits > 63")
             n = w * h
             s = [px[3 * j] + px[3 * j + 1] + px[3 * j + 2]
                  for j in range(n)]

@@ -22,22 +22,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: field separator / null sentinel / escape char for the fingerprint
+#: encoding below. Exported so oracles and tests stay in lockstep.
+FP_SEP, FP_NUL, FP_ESC = "\x1f", "\x00", "\x1b"
+
+
+def _fp_field(c: str):
+    """Injectively encode one content column as a string field.
+
+    Escape-encode so content containing the separator, the null
+    sentinel, or the escape char itself cannot alias field boundaries
+    (ADVICE r11: without this, ('a\\x1fb', 'c') and ('a', 'b\\x1fc')
+    fingerprinted identically, so a real change could report as
+    unchanged). Standard escape argument: every literal ESC/SEP/NUL in
+    content becomes an ESC-prefixed pair, so a bare SEP is always a
+    field boundary and a bare NUL is always the null sentinel. Three
+    scan-side JVM string replaces per column — no shuffle impact."""
+    v = F.col(c).cast("string")
+    v = F.replace(v, F.lit(FP_ESC), F.lit(FP_ESC + FP_ESC))
+    v = F.replace(v, F.lit(FP_SEP), F.lit(FP_ESC + FP_SEP))
+    v = F.replace(v, F.lit(FP_NUL), F.lit(FP_ESC + FP_NUL))
+    return F.coalesce(v, F.lit(FP_NUL))
+
+
 def fingerprint_snapshot(
     df: DataFrame,
     key_cols: Sequence[str],
     content_cols: Sequence[str],
 ) -> DataFrame:
-    """(key..., fp) — md5 over the unit-separator-joined content
-    columns. Nulls are encoded as an explicit NUL sentinel (never
-    skipped — concat_ws would drop both the value AND its separator,
-    making ('a', null) collide with (null, 'a') and with 'a' alone),
-    so null, '' and absent are three distinct fingerprints and the
-    field positions are stable.
+    """(key..., fp) — md5 over the unit-separator-joined,
+    escape-encoded content columns. Nulls are encoded as an explicit
+    NUL sentinel (never skipped — concat_ws would drop both the value
+    AND its separator, making ('a', null) collide with (null, 'a') and
+    with 'a' alone), so null, '' and absent are three distinct
+    fingerprints; literal separator / sentinel / escape bytes inside
+    content are escaped (see _fp_field), so field positions are stable
+    for ALL inputs, not just control-char-free ones.
     """
-    fp = F.md5(F.concat_ws(
-        "\x1f",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-          for c in content_cols]))
+    fp = F.md5(F.concat_ws(FP_SEP,
+                           *[_fp_field(c) for c in content_cols]))
     return df.select(*key_cols, fp.alias("fp"))
 
 

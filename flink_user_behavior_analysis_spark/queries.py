@@ -2723,11 +2723,14 @@ _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 GATE_WINDOW = 50
 
-# r11: multimodal_headers widened from the PNG/JPEG % 2 split to the
-# four-format % 4 split (GIF/BMP added) — format values changed for
-# half the docs, so the driver must re-certify it this round (its
-# oracle changed in lockstep; self-run drive_subset is hash-green).
-_FORCE_WINDOW: list[str] = ["multimodal_headers"]
+# r12: empty — multimodal_headers (the r11 pin) re-certified
+# driver-green in CORRECTNESS_r11. The r12 fingerprint escape
+# encoding (operators/versioning.py, ADVICE r11) is hash-neutral on
+# the test corpora (no control bytes in documents at any sf —
+# verified via DuckDB), so snapshot_diff[_stored] need no forced
+# re-cert; the two new ann_recall_*_stored rows are never-green and
+# enter the window front through the normal rotation.
+_FORCE_WINDOW: list[str] = []
 
 
 def _repo_root() -> str:
@@ -2809,6 +2812,33 @@ def rotation_order(names) -> list[str]:
     forced = set(_FORCE_WINDOW)
     return sorted(names,
                   key=lambda n: (n not in forced, fresh.get(n, -1), n))
+
+
+def rotation_policy() -> dict[str, int]:
+    """Single source of truth for the gate-rotation constants
+    (VERDICT r11 #7 — these previously lived independently here and
+    in tests/test_registry_gate.py and could drift):
+
+    - gate_window: rows the driver certifies per round.
+    - forced_budget: max size of _FORCE_WINDOW — forced slots are
+      pinned ahead of the staleness order, so each one shrinks the
+      rotation capacity; capped at 1/5 of the window so the horizon
+      guarantee below still holds.
+    - staleness_horizon: worst-case rounds between two driver
+      re-certifications of any one query. With up to forced_budget
+      slots consumed every round, only (gate_window - forced_budget)
+      slots rotate the remaining (N - forced_budget) queries:
+      ceil((N - budget) / (W - budget)), floor 2. Plain ceil(N/W)
+      under-counts once N > horizon*(W - budget) + budget — the
+      r11b registry (132) crossed exactly that line.
+    """
+    import math
+
+    budget = GATE_WINDOW // 5
+    n = len(_ALL_QUERIES)
+    horizon = max(2, math.ceil((n - budget) / (GATE_WINDOW - budget)))
+    return {"gate_window": GATE_WINDOW, "forced_budget": budget,
+            "staleness_horizon": horizon}
 
 
 _GATE_ORDER: list[str] = rotation_order(_ALL_QUERIES)

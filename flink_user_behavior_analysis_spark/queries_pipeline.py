@@ -3732,17 +3732,26 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, ["doc_id"], ["text", "source"])
 
 
-SNAPSHOT_DIFF_SQL = """
+#: DuckDB twin of operators/versioning._fp_field — escape-encode a
+#: field before the chr(31)-join so separator/sentinel/escape bytes in
+#: content can't alias field boundaries (lockstep with the Spark side).
+_FP_FIELD_SQL = ("coalesce(replace(replace(replace({v}, chr(27), "
+                 "chr(27)||chr(27)), chr(31), chr(27)||chr(31)), "
+                 "chr(0), chr(27)||chr(0)), chr(0))")
+
+SNAPSHOT_DIFF_SQL = f"""
 WITH o AS (
-    SELECT doc_id, md5(concat_ws(chr(31), coalesce(text, chr(0)),
-                                 coalesce(source, chr(0)))) AS fp
+    SELECT doc_id, md5(concat_ws(chr(31),
+        {_FP_FIELD_SQL.format(v='text')},
+        {_FP_FIELD_SQL.format(v='source')})) AS fp
     FROM documents WHERE doc_id % 11 <> 0
 ), n AS (
     SELECT doc_id,
            md5(concat_ws(chr(31),
-               coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
-                             ELSE text END, chr(0)),
-               coalesce(source, chr(0)))) AS fp
+        {_FP_FIELD_SQL.format(
+            v="CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' "
+              "ELSE text END")},
+        {_FP_FIELD_SQL.format(v='source')})) AS fp
     FROM documents WHERE doc_id % 13 <> 0
 )
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
@@ -3833,6 +3842,29 @@ FROM ranked GROUP BY source
 """
 
 
+def _recall_frame(queries: DataFrame, approx: DataFrame,
+                  truth: DataFrame) -> DataFrame:
+    """Per-query recall@k: (query_id, n_hits, recall) — the hit-join
+    core shared by every ann_recall_* row. |approx ∩ truth| per
+    query over |Q| x k rows each side, corpus-size-independent by
+    construction; queries with zero hits still get a row (left
+    join), so n_scored == n_queries is a certifiable invariant."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(truth.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    all_q = queries.select(F.col("vec_id").alias("query_id"))
+    return all_q.join(hits, ["query_id"], "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(ANN_K), 4)
+        .alias("recall"),
+    )
+
+
 def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality evaluation (recall@k): per query vector, how
     many of the hyperplane-LSH top-k are in the exact brute-force
@@ -3850,23 +3882,10 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    brute = brute_force_topk_arrow(queries, embs, ANN_K).select(
-        "query_id", "neighbor_id")
+    brute = brute_force_topk_arrow(queries, embs, ANN_K)
     lsh = hyperplane_lsh_topk(
-        queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS
-    ).select("query_id", "neighbor_id")
-    hits = (
-        lsh.join(brute, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    all_q = queries.select(F.col("vec_id").alias("query_id"))
-    return all_q.join(hits, ["query_id"], "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(ANN_K), 4)
-        .alias("recall"),
-    )
+        queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS)
+    return _recall_frame(queries, lsh, brute)
 
 
 def q_ann_recall_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3881,24 +3900,11 @@ def q_ann_recall_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    brute = brute_force_topk_arrow(queries, embs, ANN_K).select(
-        "query_id", "neighbor_id")
+    brute = brute_force_topk_arrow(queries, embs, ANN_K)
     lsh = hyperplane_lsh_topk(
         queries, embs, ANN_K, planes=LSH_PLANES, dims=EMB_DIMS,
-        probes=LSH_PLANES,
-    ).select("query_id", "neighbor_id")
-    hits = (
-        lsh.join(brute, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    all_q = queries.select(F.col("vec_id").alias("query_id"))
-    return all_q.join(hits, ["query_id"], "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(ANN_K), 4)
-        .alias("recall"),
-    )
+        probes=LSH_PLANES)
+    return _recall_frame(queries, lsh, brute)
 
 
 def _ann_recall_sql(approx_sql: str) -> str:
@@ -3926,6 +3932,128 @@ def _ann_recall_lsh_sql() -> str:
     # the two standalone statements nest as DuckDB subquery-with-CTE
     # blocks (supported since 0.8) inside the shared recall builder
     return _ann_recall_sql(_ann_lsh_sql())
+
+
+# Distributional floors for the stored-index recall certificates
+# (VERDICT r11 #4). The per-query recall of a trained index is
+# deterministic per (corpus, hyperparams) — content-hash init,
+# fixed-point Lloyd — but not SQL-expressible, so like every
+# iterative-ANN row these certify oracle-pinnable FLAGS, here over
+# the per-query recall DISTRIBUTION (mean + a quantile), not just
+# the single micro-average the ann_topk_* certificates pin. The
+# quantile is family-specific: for the production IVFADC the
+# informative tail is the BOTTOM quartile (does quality hold for
+# nearly every query), while for the deliberately coarse flat-PQ
+# baseline (m=8, 16 codes) the bottom quartile is identically 0 and
+# the informative tail is the TOP quartile (is the index useful for
+# a meaningful share of queries at all).
+# Measured at sf0.001/0.01/0.1 (k=10, |Q|=16):
+#   ivfpq stored probe: mean 0.825/0.7375/0.75, p25 0.75/0.60/0.60,
+#                       min 0.4/0.6/0.4
+#   pq ADC:             mean 0.20/0.2375/0.1125, p75 0.25/0.40/0.20,
+#                       frac(recall>0) 0.75/0.69/0.56
+# floors sit safely below every deterministic measurement.
+IVFPQ_RECALL_DIST_Q, IVFPQ_RECALL_DIST_FLOOR = 0.25, 0.4
+PQ_RECALL_DIST_Q, PQ_RECALL_DIST_FLOOR = 0.75, 0.1
+
+
+def _recall_certificate(spark: SparkSession, queries: DataFrame,
+                        approx: DataFrame, truth: DataFrame,
+                        mean_floor: float, dist_q: float,
+                        dist_floor: float) -> DataFrame:
+    """Certificate row over the per-query recall distribution: exact
+    n_queries / k / n_scored (every query gets a recall row, hits or
+    not), mean recall >= mean_floor, the dist_q-quantile recall >=
+    dist_floor, all recalls inside [0, 1]. One |Q|-row aggregate —
+    the probe/truth legs dominate, same as _ann_certificate."""
+    row = _recall_frame(queries, approx, truth).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg("recall").alias("mean_r"),
+        F.expr(f"percentile(recall, {dist_q})").alias("q_r"),
+        F.min("recall").alias("min_r"),
+        F.max("recall").alias("max_r"),
+    ).collect()[0]
+    n_queries = queries.count()
+    return spark.createDataFrame(
+        [(int(n_queries), ANN_K, int(row["n_scored"]),
+          int(row["mean_r"] >= mean_floor),
+          int(row["q_r"] >= dist_floor),
+          int(row["min_r"] >= 0.0 and row["max_r"] <= 1.0))],
+        "n_queries BIGINT, k BIGINT, n_scored BIGINT, "
+        "mean_recall_ok BIGINT, dist_recall_ok BIGINT, "
+        "recall_in_unit BIGINT")
+
+
+ANN_RECALL_STORED_CERT_SQL = f"""
+SELECT (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_queries,
+       {ANN_K}::BIGINT AS k,
+       (SELECT COUNT(*) FROM embeddings
+        WHERE vec_id < {ANN_QUERY_MAX_ID})::BIGINT AS n_scored,
+       1::BIGINT AS mean_recall_ok, 1::BIGINT AS dist_recall_ok,
+       1::BIGINT AS recall_in_unit
+"""
+
+
+def q_ann_recall_ivfpq_stored(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Recall@k distribution of the PRODUCTION IVFADC serving path
+    (VERDICT r11 #4): the approx leg is the stored-index ADC probe
+    (route -> probed cell partitions -> residual ADC), so the recall
+    is measured exactly where compression loss occurs — PQ ADC error
+    plus IVF probe misses — not on the SQL-expressible LSH stand-in.
+    The truth leg is a live brute-force pass over the query sample
+    (the eval-harness cost: |Q| x corpus GEMM once per evaluation
+    run, never per serving query). Certificate form like every
+    iterative-ANN row; the per-query distribution itself stays
+    pytest-pinned (test_pipeline_ops)."""
+    from .operators.similarity import (brute_force_topk_arrow,
+                                       ivfpq_topk_from_index)
+
+    prefix = f"ivfpq_{_artifact_tag(sf_dir)}"
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    if not _index_ready(spark, prefix):
+        from .operators.similarity import ivfpq_store_index
+
+        ivfpq_store_index(embs, prefix, n_centroids=IVFPQ_CELLS,
+                          m=IVFPQ_M, codes=IVFPQ_CODES,
+                          coarse_iters=2, pq_iters=2,
+                          truth_queries=queries, truth_k=ANN_K)
+    approx = ivfpq_topk_from_index(spark, prefix, queries, ANN_K,
+                                   nprobe=IVFPQ_NPROBE)
+    truth = brute_force_topk_arrow(queries, embs, ANN_K)
+    return _recall_certificate(spark, queries, approx, truth,
+                               IVFPQ_RECALL_FLOOR,
+                               IVFPQ_RECALL_DIST_Q,
+                               IVFPQ_RECALL_DIST_FLOOR)
+
+
+def q_ann_recall_pq_stored(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Recall@k distribution of the stored flat-PQ ADC path — the
+    pure-compression companion to ann_recall_ivfpq_stored (no IVF
+    routing, so the gap between the two rows prices probe misses
+    separately from ADC error). Same certificate form and floors
+    rationale; the PQ floors are lower because m=8/16 codes is a
+    much coarser quantizer than the residual-coupled IVFADC."""
+    from .operators.similarity import (brute_force_topk_arrow,
+                                       pq_read_index, pq_topk)
+
+    prefix = f"pq_{_artifact_tag(sf_dir)}"
+    if not _index_ready(spark, prefix):
+        from .operators.similarity import pq_store_index
+
+        pq_store_index(_embs(spark, sf_dir), prefix,
+                       m=PQ_M, codes=PQ_CODES, iters=2)
+    model, enc = pq_read_index(spark, prefix)
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    approx = pq_topk(queries, embs, ANN_K, model=model, encoded=enc)
+    truth = brute_force_topk_arrow(queries, embs, ANN_K)
+    return _recall_certificate(spark, queries, approx, truth,
+                               PQ_RECALL_FLOOR, PQ_RECALL_DIST_Q,
+                               PQ_RECALL_DIST_FLOOR)
 
 
 # --------------------------------------------------------------- registry
@@ -4011,6 +4139,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_frequency_cap": q_source_frequency_cap,
     "ann_recall_lsh": q_ann_recall_lsh,
     "ann_recall_lsh_mp": q_ann_recall_lsh_mp,
+    "ann_recall_ivfpq_stored": q_ann_recall_ivfpq_stored,
+    "ann_recall_pq_stored": q_ann_recall_pq_stored,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -4102,4 +4232,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "source_frequency_cap": SOURCE_FREQUENCY_CAP_SQL,
     "ann_recall_lsh": _ann_recall_lsh_sql(),
     "ann_recall_lsh_mp": _ann_recall_sql(_ann_lsh_mp_sql()),
+    "ann_recall_ivfpq_stored": ANN_RECALL_STORED_CERT_SQL,
+    "ann_recall_pq_stored": ANN_RECALL_STORED_CERT_SQL,
 }

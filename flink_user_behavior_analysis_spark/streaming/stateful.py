@@ -497,6 +497,7 @@ def asof_stateful(
     ts_col: str = "ts",
     type_col: str = "event_type",
     order_col: str = "event_id",
+    idle_ttl_sec: float | None = None,
 ) -> DataFrame:
     """Streaming twin of operators/asof.py (backward direction): each
     left event is matched to the latest right event at-or-before it,
@@ -511,28 +512,53 @@ def asof_stateful(
     COLLAPSE to one (ts, id) pair per key. State is therefore bounded
     by the in-flight watermark window plus two scalars, regardless of
     stream length; the one best-right pair lives as long as the key
-    (production note: bound idle keys with a TTL pass if the key space
-    is unbounded).
+    unless `idle_ttl_sec` bounds it.
+
+    idle_ttl_sec (VERDICT r11 #5): with an unbounded key space the
+    per-key best pair would accumulate forever, so when set, a key
+    with NO in-flight rows whose last activity is more than the TTL
+    below the watermark is evicted via an event-time timer. Active
+    keys are untouched (any new event refreshes the horizon, and a
+    pending left always pre-empts the TTL timer with its own decide
+    wakeup); the accepted tradeoff is that a key RESUMING after the
+    TTL rejoins with no history — its next left matches null until a
+    fresh right arrives, exactly like a brand-new key.
 
     Tie semantics match the batch operator exactly: right.ts ==
     left.ts matches, same-ts rights resolve to max order_col.
 
     Emits (key, left_id, left_us, right_id, right_us) with nulls for
     never-matched lefts — left-join semantics, like the batch twin.
+    key_col may be any type (it passes through the state key, and the
+    output schema mirrors the input field); order_col and the us
+    columns must be integral — the state pack format is int-only
+    (ADVICE r11: validated here instead of failing opaquely in the
+    Arrow worker).
     """
+    from pyspark.sql.types import IntegralType
+
+    order_t = events.schema[order_col].dataType
+    if not isinstance(order_t, IntegralType):
+        raise ValueError(
+            f"asof_stateful: order_col {order_col!r} must be an "
+            f"integral type (state packs it as int), got {order_t}")
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        StructField(key_col, events.schema[key_col].dataType),
         StructField("left_id", LongType()),
         StructField("left_us", LongType()),
         StructField("right_id", LongType()),
         StructField("right_us", LongType()),
     ])
-    # best: "ts:id" or ""; lefts/rights: "ts:id," buffers
+    # best: "ts:id" or ""; lefts/rights: "ts:id," buffers;
+    # last_us: max event-time seen — the idle-TTL horizon anchor
     state_schema = StructType([
         StructField("best", StringType()),
         StructField("lefts", StringType()),
         StructField("rights", StringType()),
+        StructField("last_us", LongType()),
     ])
+    idle_ttl_us = (None if idle_ttl_sec is None
+                   else int(idle_ttl_sec * US))
 
     def _unpack(packed: str) -> list[list[int]]:
         return [[int(a), int(b)] for a, b in
@@ -542,20 +568,21 @@ def asof_stateful(
         return ",".join(f"{t}:{i}" for t, i in buf)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        best, lefts, rights = None, [], []
+        best, lefts, rights, last_us = None, [], [], 0
         if state.exists:
-            b_packed, l_packed, r_packed = state.get
+            b_packed, l_packed, r_packed, last_us = state.get
             b = _unpack(b_packed)
             best = b[0] if b else None
             lefts, rights = _unpack(l_packed), _unpack(r_packed)
         chunks = list(pdfs)
         pdf = (pd.concat(chunks, ignore_index=True)
                if len(chunks) > 1 else chunks[0] if chunks else None)
-        if pdf is not None:
+        if pdf is not None and len(pdf):
             for ts_us, oid, side in zip(
                     pdf["__ts_us"], pdf["__ord"], pdf["__side"]):
                 (lefts if side == "l" else rights).append(
                     [int(ts_us), int(oid)])
+            last_us = max(last_us, int(pdf["__ts_us"].max()))
         wm_us = state.getCurrentWatermarkMs() * 1000
         # decide every left strictly below the watermark: all rights
         # at-or-before it are final by now
@@ -574,17 +601,33 @@ def asof_stateful(
         if final_r:
             best = max(final_r)
         live_r = [r for r in rights if r[0] >= wm_us]
+        # idle-TTL eviction: nothing in flight and the watermark is
+        # past the key's activity horizon — drop the carried best
+        if (idle_ttl_us is not None and not live_l and not live_r
+                and wm_us >= last_us + idle_ttl_us):
+            best = None
         if best is None and not live_l and not live_r:
             if state.exists:
                 state.remove()
         else:
             state.update((_pack([best] if best else []),
-                          _pack(live_l), _pack(live_r)))
-        if live_l:
-            # wake when the watermark can decide the earliest left
-            state.setTimeoutTimestamp(
-                max(min(t for t, _ in live_l) // 1000 + 1,
-                    state.getCurrentWatermarkMs() + 1))
+                          _pack(live_l), _pack(live_r), last_us))
+            if live_l:
+                # wake when the watermark can decide the earliest
+                # left — a pending left pre-empts the TTL timer (the
+                # key is by definition not idle, and the next
+                # invocation re-arms whichever timer applies)
+                state.setTimeoutTimestamp(
+                    max(min(t for t, _ in live_l) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1))
+            elif idle_ttl_us is not None:
+                # no in-flight rows: arm the eviction timer so the
+                # key self-cleans even if no further data arrives
+                # (in-flight rights finalize into best on that same
+                # firing, then the horizon check above clears it)
+                state.setTimeoutTimestamp(
+                    max((last_us + idle_ttl_us) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1))
         if out:
             yield pd.DataFrame(
                 out, columns=[key_col, "left_id", "left_us",

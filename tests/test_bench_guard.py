@@ -155,3 +155,27 @@ def test_headline_and_train_inclusive_are_registered():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
     for inline, (stored, _pfx) in bench.TRAIN_INCLUSIVE.items():
         assert inline in bench.HEADLINE and stored in bench.HEADLINE
+
+
+def test_compact_summary_fits_tail_window():
+    """VERDICT r11 #1: the driver keeps only ~2 KB of stdout tail, so
+    the LAST printed line must be a self-contained summary that parses
+    alone. Feed the real committed payload through _compact_summary and
+    assert the line stays under the budget with the required keys."""
+    bench = _bench_module()
+    with open(os.path.join(REPO, "bench_out.json")) as fh:
+        payload = json.load(fh)
+    line = json.dumps(bench._compact_summary(payload))
+    assert len(line) <= bench.TAIL_BUDGET_BYTES
+    got = json.loads(line)
+    for key in ("metric", "value", "unit", "sf", "degraded",
+                "n_rows", "queries_file"):
+        assert key in got
+    assert got["n_rows"] == len(payload["queries"])
+    assert got["value"] == payload["value"]
+    # the budget must hold even if the registry grows 10x: the summary
+    # size is independent of the number of queries by construction
+    payload_big = dict(payload)
+    payload_big["queries"] = {f"q{i}": 1.0 for i in range(1500)}
+    assert len(json.dumps(bench._compact_summary(payload_big))) \
+        <= bench.TAIL_BUDGET_BYTES

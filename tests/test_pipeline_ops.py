@@ -2231,3 +2231,67 @@ def test_phash_wide_pinned_vector_matches_arrow_pass(spark):
     want = {r.media_id: phash_wide(bytes(r.payload))[0]
             for r in media.collect()}
     assert got == want and len(got) == len(texts)
+
+
+def test_phash_wide_rejects_hashes_wider_than_longtype(spark):
+    """ADVICE r11: h*(2w-1) > 63 bits (e.g. 8x8 -> 120) silently
+    wrapped in the LongType column — both the pure-python operator and
+    the Arrow pass must reject such payloads explicitly instead."""
+    from flink_user_behavior_analysis_spark.operators.multimodal import (
+        media_ahash,
+        phash_wide,
+    )
+
+    payload = (b"P6\n8 8\n255\n"
+               + bytes([(i * 7) % 256 for i in range(8 * 8 * 3)]))
+    with pytest.raises(ValueError, match="63"):
+        phash_wide(payload)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary")
+    with pytest.raises(Exception, match="63"):
+        media_ahash(media).collect()
+    # the standard 8x4 stays exactly at the 60-bit design point
+    ok = b"P6\n8 4\n255\n" + bytes([(i * 7) % 256 for i in range(8 * 4 * 3)])
+    wide, w, h = phash_wide(ok)
+    assert (w, h) == (8, 4) and 0 <= wide < (1 << 60)
+
+
+def test_recall_certificate_flags_derive_from_real_distribution(
+        spark, sf_dir):
+    """VERDICT r11 #4: the stored-family recall certificates must be
+    falsifiable — flags computed from the actual per-query recall
+    distribution, not constants. A perfect approx leg (truth vs
+    truth) earns every flag; an approx leg that misses everything
+    (impossible neighbor ids) fails the mean and quantile floors
+    while keeping the structural columns intact."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        ANN_K,
+        ANN_QUERY_MAX_ID,
+        _embs,
+        _recall_certificate,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    truth = brute_force_topk_arrow(queries, embs, ANN_K)
+    n_q = queries.count()
+
+    perfect = _recall_certificate(
+        spark, queries, truth, truth, 0.99, 0.25, 0.99).collect()[0]
+    assert perfect["n_queries"] == perfect["n_scored"] == n_q
+    assert perfect["k"] == ANN_K
+    assert (perfect["mean_recall_ok"], perfect["dist_recall_ok"],
+            perfect["recall_in_unit"]) == (1, 1, 1)
+
+    wrong = truth.withColumn(
+        "neighbor_id", -F.col("neighbor_id") - 1)
+    failed = _recall_certificate(
+        spark, queries, wrong, truth, 0.1, 0.75, 0.1).collect()[0]
+    assert failed["n_scored"] == n_q
+    assert (failed["mean_recall_ok"], failed["dist_recall_ok"]) == (0, 0)
+    assert failed["recall_in_unit"] == 1

@@ -22,22 +22,16 @@ from flink_user_behavior_analysis_spark.queries import (
     GATE_WINDOW,
     ORACLES,
     QUERIES,
+    rotation_policy,
 )
 
-# Every query must re-enter the 50-row driver window at least this
-# often.  ceil(n/50) is the fastest cadence the window size permits:
-# with 106 registered queries the driver can re-certify each one at
-# best every 3rd round, so demanding "green within the last 2" would
-# manufacture failures the rotation cannot prevent.
-# worst-case rotation horizon: the forced tier may pin up to
-# GATE_WINDOW//5 slots every round (the budget the forced-set test
-# enforces), so only the remaining slots rotate the non-forced
-# queries. ceil(N/W) alone under-counts once N grows past
-# (horizon)*(W - budget) + budget — the r11b registry (132) crossed
-# exactly that line.
-_FORCED_BUDGET = GATE_WINDOW // 5
-STALENESS_HORIZON = max(2, math.ceil(
-    (len(QUERIES) - _FORCED_BUDGET) / (GATE_WINDOW - _FORCED_BUDGET)))
+# Single source of truth (VERDICT r11 #7): the forced-tier budget and
+# the staleness-horizon formula live in queries.rotation_policy() —
+# see its docstring for the derivation; these tests only consume it.
+_POLICY = rotation_policy()
+_FORCED_BUDGET = _POLICY["forced_budget"]
+STALENESS_HORIZON = _POLICY["staleness_horizon"]
+assert _POLICY["gate_window"] == GATE_WINDOW
 
 # Queries with no oracle SQL: their driver row is rows-only and can
 # never be hash-green, so the window gains nothing. Empty since r5 —
@@ -296,7 +290,7 @@ def test_rotation_schedule_converges_within_horizon():
     # at the worst size the forced-set budget test below permits —
     # a simulation without the forced tier would certify a schedule
     # the rotation doesn't actually run (r8 review)
-    forced = set(names[:GATE_WINDOW // 5])
+    forced = set(names[:_FORCED_BUDGET])
 
     def order():
         return sorted(names,
@@ -323,8 +317,8 @@ def test_forced_window_stays_small():
     shrinks the staleness-rotation capacity, and a forced set near
     GATE_WINDOW would starve the tail past the horizon. Budget:
     at most 1/5 of the window."""
-    assert len(_FORCE_WINDOW) <= GATE_WINDOW // 5, (
+    assert len(_FORCE_WINDOW) <= _FORCED_BUDGET, (
         f"_FORCE_WINDOW has {len(_FORCE_WINDOW)} entries — more than "
-        f"1/5 of the {GATE_WINDOW}-row window; the staleness horizon "
+        f"the {_FORCED_BUDGET}-slot budget (1/5 of the {GATE_WINDOW}-row window); the staleness horizon "
         f"guarantee no longer holds, widen the horizon or stage the "
         f"changes across rounds")

@@ -1001,6 +1001,63 @@ def test_asof_stateful_late_right_within_delay_wins(spark, tmp_path):
     assert rows == [(1, 10, 22, 98 * 1_000_000)]
 
 
+def test_asof_stateful_idle_ttl_evicts_without_touching_active_keys(
+        spark, tmp_path):
+    """VERDICT r11 #5: idle-key TTL. Key 1 receives one right and
+    then goes silent — once the watermark passes its activity horizon
+    by the TTL, its state (the carried best) is evicted via the
+    event-time timer, so a left that RESUMES the key later matches
+    null, exactly like a brand-new key. Key 2 stays active across
+    the same window (its left arrives before the horizon) and must
+    match its right as if no TTL existed."""
+    from datetime import datetime, timezone
+
+    from flink_user_behavior_analysis_spark.streaming import (
+        asof_stateful,
+        run_available_now,
+    )
+
+    def _ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+            tzinfo=None)
+
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    d = str(tmp_path / "asof_ttl")
+    # b1: both keys get a right @50 (max ts 50 -> wm 40 for b2)
+    b1 = [(1, _ts(50), "view", 10), (2, _ts(50), "view", 20)]
+    # b2: key 2's left @60 arrives while wm=40 < its TTL horizon
+    # (50+20=70), so key 2 is active; the far-future row pushes the
+    # watermark to 490 for b3, past key 1's horizon
+    b2 = [(2, _ts(60), "purchase", 21), (3, _ts(500), "view", 30)]
+    # b3: wm=490 -> key 1's TTL timer fires (idle since 50, horizon
+    # 70): best evicted, state removed. key 2's decide timer fires
+    # too: left@60 matches right@50 (TTL never applied — active).
+    b3 = [(3, _ts(600), "view", 31)]
+    # b4: key 1 RESUMES with a left @700 (> wm 590); the trailing
+    # far-future row drives the final watermark past it
+    b4 = [(1, _ts(700), "purchase", 11), (3, _ts(2000), "view", 32)]
+    import time as _t
+
+    for batch in (b1, b2, b3, b4):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append").parquet(d)
+        _t.sleep(1.2)  # distinct mtimes => deterministic file order
+
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(d)
+          .withWatermark("ts", "10 seconds"))
+    got = run_available_now(
+        asof_stateful(ev, "purchase", "view", idle_ttl_sec=20.0),
+        "append")
+    rows = {(r.user_id, r.left_id): (r.right_id, r.right_us)
+            for r in got.collect()}
+    # active key: matched through the TTL window untouched
+    assert rows[(2, 21)] == (20, 50 * 1_000_000)
+    # resumed-after-TTL key: history evicted -> null match
+    assert rows[(1, 11)] == (None, None)
+    assert len(rows) == 2
+
+
 def test_snapshot_diff_stream_equals_batch_added_changed(spark, sf_dir):
     """Streaming CDC diff twin: micro-batches of the candidate
     snapshot probe the stored fps artifact; the drained union must

@@ -5,7 +5,9 @@ snapshot_diff pins:
 - each status class (added / removed / changed) on a hand-built pair,
 - unchanged rows are dropped,
 - multi-column keys join null-safely,
-- content null folds like '' (concat_ws semantics, documented).
+- content null is sentinel-encoded, distinct from empty string,
+- separator/sentinel/escape bytes inside content cannot alias field
+  boundaries (injective escape encoding, ADVICE r11).
 
 frequency_cap pins:
 - at most cap rows kept per key, the BEST rows by the given order,
@@ -59,6 +61,37 @@ def test_snapshot_diff_multi_column_key(spark):
     new = [(1, "a2", "s1"), (1, "a", "s2")]
     got = _diff(spark, old, new, keys=("doc_id", "source"))
     assert got == {(1, "s1"): "changed"}
+
+
+def test_snapshot_fingerprint_is_injective_under_control_bytes(spark):
+    """ADVICE r11: content containing the literal field separator
+    (\\x1f), the null sentinel (\\x00), or the escape byte (\\x1b)
+    must NOT alias distinct (field1, field2) splits to one
+    fingerprint — a real change would then report as unchanged."""
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        fingerprint_snapshot,
+    )
+
+    rows = [
+        (1, "a\x1fb", "c"),     # separator inside field 1
+        (2, "a", "b\x1fc"),     # same bytes, different split
+        (3, "\x00", "x"),       # literal NUL content ...
+        (4, None, "x"),         # ... vs actual null
+        (5, "\x1b\x1f", "x"),   # escape byte adjacent to separator
+        (6, "\x1b", "\x1fx"),   # same bytes, different split
+    ]
+    df = spark.createDataFrame(rows, DOC_SCHEMA)
+    fps = {r["doc_id"]: r["fp"]
+           for r in fingerprint_snapshot(
+               df, ["doc_id"], ["text", "source"]).collect()}
+    assert fps[1] != fps[2]
+    assert fps[3] != fps[4]
+    assert fps[5] != fps[6]
+    # and the escaped pairs really are changes through the diff
+    got = _diff(spark, [rows[0], rows[2], rows[4]],
+                [rows[1], (3, None, "x"), (5, "\x1b", "\x1fx")])
+    assert got == {(1,): "removed", (2,): "added",
+                   (3,): "changed", (5,): "changed"}
 
 
 CAP_SCHEMA = "doc_id long, source string, n_chars long"
