@@ -151,15 +151,36 @@ def snapshot_store_fps(
     marker written LAST, so a crash mid-build reads as not-ready and
     the caller rebuilds instead of diffing against half a version.
     """
+    spark = snapshot.sparkSession
+    keys = list(key_cols)
+    return snapshot_cut_version(
+        spark, prefix,
+        fingerprint_snapshot(snapshot, keys, content_cols),
+        keys, n_buckets)
+
+
+def snapshot_cut_version(
+    spark,
+    prefix: str,
+    fps: DataFrame,
+    key_cols: Sequence[str],
+    n_buckets: int = 8,
+) -> list[str]:
+    """Cut the next corpus version from ALREADY-COMPUTED (key..., fp)
+    rows — the CDC compaction path (VERDICT r11 #6), where the staged
+    per-slice fingerprints union to the complete candidate snapshot
+    and the content was already hashed on the wire, so the version cut
+    never rereads document text. Same crash-atomic bracket as every
+    *_store_* builder: manifest invalidated first, commit marker
+    written LAST — a crash mid-cut reads as not-ready and gated
+    probes refuse instead of diffing against half a version."""
     from ..sources.readers import (invalidate_manifest, write_bucketed,
                                    write_manifest)
 
-    spark = snapshot.sparkSession
     keys = list(key_cols)
     invalidate_manifest(spark, prefix)
-    write_bucketed(fingerprint_snapshot(snapshot, keys, content_cols),
-                   f"{prefix}_fps", keys[0] if len(keys) == 1 else keys,
-                   n_buckets)
+    write_bucketed(fps.select(*keys, "fp"), f"{prefix}_fps",
+                   keys[0] if len(keys) == 1 else keys, n_buckets)
     names = [f"{prefix}_fps"]
     write_manifest(spark, prefix, names)
     return names

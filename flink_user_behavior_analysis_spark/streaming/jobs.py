@@ -590,6 +590,119 @@ def snapshot_diff_stream(spark: SparkSession, sf_dir: str,
             spark, prefix, batch, key_cols, content_cols))
 
 
+def snapshot_cdc_ingest_batch(spark: SparkSession, prefix: str,
+                              staging_dir: str, batch_df: DataFrame,
+                              batch_id: str, key_cols, content_cols,
+                              verdict_sink: str | None = None) -> int:
+    """Per-micro-batch body of the CDC snapshot-ingest loop (VERDICT
+    r11 #6): probe the arriving candidate-snapshot slice against the
+    frozen {prefix}_fps artifact for added/changed verdicts
+    (operators/versioning.snapshot_probe_from_store — split-invariant
+    per row), and STAGE the slice's fingerprints so the periodic
+    compaction can see the complete candidate snapshot and close the
+    'removed' gap that a per-slice probe structurally cannot.
+
+    Exactly-once composition (the run_dsir_ingest shape): the ledger
+    check early-exits a committed re-delivery BEFORE paying the
+    probe; both writes are idempotent per-batch directory overwrites
+    (a replayed epoch rewrites the same rows — verdicts are a pure
+    function of the slice and the frozen store); the ledger commits
+    LAST. A crash anywhere replays the epoch into either a clean
+    rewrite (pre-ledger) or a no-op (post-ledger). The quarantine
+    gate refuses NEW batches while rebuild-discarded ids are pending,
+    like every stored family. Slices must partition the candidate
+    snapshot's keys (two live batches sharing a key would stage
+    conflicting fingerprints — same precondition as the contam-gram
+    appends; epoch REPLAYS are deduped by the ledger and are fine).
+
+    Returns the number of added/changed verdicts (0 for a replayed
+    epoch)."""
+    from ..operators.versioning import (fingerprint_snapshot,
+                                        snapshot_probe_from_store)
+    from ..sources.readers import (append_recorded, record_append,
+                                   require_appendable)
+
+    if append_recorded(spark, prefix, batch_id):
+        return 0
+    require_appendable(spark, prefix, batch_id,
+                       "snapshot_cdc_ingest_batch")
+    batch_df = batch_df.persist()
+    try:
+        verdicts = snapshot_probe_from_store(
+            spark, prefix, batch_df, key_cols, content_cols).persist()
+        try:
+            n = verdicts.count()
+            if verdict_sink is not None:
+                (verdicts.write.mode("overwrite")
+                 .parquet(f"{verdict_sink}/ingest_batch={batch_id}"))
+        finally:
+            verdicts.unpersist()
+        (fingerprint_snapshot(batch_df, key_cols, content_cols)
+         .write.mode("overwrite")
+         .parquet(f"{staging_dir}/ingest_batch={batch_id}"))
+        record_append(spark, prefix, batch_id)  # ledger LAST
+        return int(n)
+    finally:
+        batch_df.unpersist()
+
+
+def run_snapshot_cdc_ingest(candidate: DataFrame, prefix: str,
+                            staging_dir: str, checkpoint_dir: str,
+                            key_cols, content_cols,
+                            verdict_sink: str | None = None,
+                            job_id: str = "snapcdc") -> None:
+    """End-to-end streaming half of the CDC versioning loop (VERDICT
+    r11 #6): candidate-snapshot slices arrive as a stream; each
+    micro-batch emits added/changed verdicts against the frozen
+    previous-version fingerprints AND stages its own fingerprints,
+    under one exactly-once foreachBatch loop — the same composition
+    run_dsir_ingest uses for score+select+append. The batch half
+    (snapshot_cdc_compact) closes the loop with removals and the next
+    version cut once the snapshot is complete."""
+    spark = candidate.sparkSession
+    run_ingest_foreach_batch(
+        candidate, checkpoint_dir,
+        lambda b, bid: snapshot_cdc_ingest_batch(
+            spark, prefix, staging_dir, b, bid, key_cols, content_cols,
+            verdict_sink),
+        job_id=job_id)
+
+
+def snapshot_cdc_compact(spark: SparkSession, prefix: str,
+                         staging_dir: str, key_cols,
+                         n_buckets: int = 8) -> DataFrame:
+    """Periodic compaction closing the CDC 'removed' gap (VERDICT r11
+    #6): once the candidate snapshot's slices have all streamed, the
+    staged fingerprint union IS the complete candidate snapshot, so
+    'removed' = keys of the stored {prefix}_fps with no staged row —
+    the one verdict class absence makes invisible to per-slice
+    probes. Emits exactly the diff's removed rows (key..., status,
+    old_fp, new_fp=null), MATERIALIZED before the version cut (the
+    cut invalidates the very table they derive from), then cuts the
+    next version from the staged fingerprints (crash-atomic manifest
+    bracket, content never reread — it was hashed on the wire).
+
+    union(streamed added/changed, this) ≡ one-shot snapshot_diff of
+    the two snapshots, including removals (test-asserted). The
+    caller rotates staging_dir/checkpoint_dir per snapshot cycle,
+    like any per-version landing zone: the next cycle's slices stage
+    into a fresh directory and diff against the version cut here.
+    Cost shape at 100 TB: the removal scan joins two hash-width
+    fingerprint tables (no content), and the cut is one bucketed
+    write of rows that already exist on disk."""
+    from ..operators.versioning import _diff_fps, snapshot_cut_version
+
+    keys = list(key_cols)
+    staged = spark.read.parquet(staging_dir).select(*keys, "fp")
+    removed_df = (_diff_fps(spark.table(f"{prefix}_fps"),
+                            staged, keys)
+                  .where(F.col("status") == "removed"))
+    schema = removed_df.schema
+    removed_rows = removed_df.collect()
+    snapshot_cut_version(spark, prefix, staged, keys, n_buckets)
+    return spark.createDataFrame(removed_rows, schema)
+
+
 def ann_filtered_probe_stream(spark: SparkSession, sf_dir: str,
                               prefix: str, predicate, k: int,
                               nprobe: int = 8,

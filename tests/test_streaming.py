@@ -1101,3 +1101,75 @@ def test_snapshot_diff_stream_equals_batch_added_changed(spark, sf_dir):
     assert got.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_fps")
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
+
+
+def test_snapshot_cdc_ingest_plus_compact_equals_one_shot_diff(
+        spark, sf_dir, tmp_path):
+    """VERDICT r11 #6 end-to-end: the production CDC loop — streaming
+    slice probes (added/changed) + the periodic compaction that runs
+    the full diff for removals and cuts the next version — must
+    reproduce the one-shot snapshot diff EXACTLY, removals included,
+    under the exactly-once ledger."""
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        fingerprint_snapshot,
+        snapshot_store_fps,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        q_snapshot_diff,
+    )
+    from flink_user_behavior_analysis_spark.sources import load_table
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        run_snapshot_cdc_ingest,
+        snapshot_cdc_compact,
+        snapshot_cdc_ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "text", "source")
+    candidate = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    prefix = "t_snapcdc2"
+    for t in ("fps", "manifest", "appends"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+
+    # the candidate snapshot arrives as 3 key-disjoint slices
+    cand_dir = str(tmp_path / "cand")
+    candidate.repartition(3).write.parquet(cand_dir)
+    stream = (spark.readStream.schema(candidate.schema)
+              .option("maxFilesPerTrigger", "1").parquet(cand_dir))
+    staging = str(tmp_path / "staging")
+    sink = str(tmp_path / "verdicts")
+    run_snapshot_cdc_ingest(stream, prefix, staging,
+                            str(tmp_path / "ckpt"),
+                            ["doc_id"], ["text", "source"],
+                            verdict_sink=sink)
+
+    streamed = spark.read.parquet(sink).select(
+        "doc_id", "status", "old_fp", "new_fp")
+    removed = snapshot_cdc_compact(spark, prefix, staging, ["doc_id"])
+    want = q_snapshot_diff(spark, sf_dir)
+    cols = ["doc_id", "status", "old_fp", "new_fp"]
+    assert _rows(streamed.unionByName(removed), cols) == _rows(want, cols)
+    assert removed.count() > 0 and streamed.count() > 0
+
+    # the compaction cut the next version: the stored fps now ARE the
+    # candidate snapshot's fingerprints (content never reread)
+    assert _rows(spark.table(f"{prefix}_fps"), ["doc_id", "fp"]) == \
+        _rows(fingerprint_snapshot(candidate, ["doc_id"],
+                                   ["text", "source"]),
+              ["doc_id", "fp"])
+
+    # exactly-once: a re-delivered committed epoch is a ledger hit —
+    # no re-probe, no re-stage (0 verdicts reported)
+    assert snapshot_cdc_ingest_batch(
+        spark, prefix, staging, candidate.limit(5), "snapcdc-0",
+        ["doc_id"], ["text", "source"]) == 0
+    for t in ("fps", "manifest", "appends"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
