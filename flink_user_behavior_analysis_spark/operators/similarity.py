@@ -1901,7 +1901,10 @@ def ivfpq_append_to_index(spark, prefix: str, new_vecs: DataFrame,
       semantic_dedup's max_cell guard is the same story);
     - the build-time ``_truth`` table is NOT updated (it certifies
       the build-time corpus); recall certification after appends
-      needs a fresh truth pass.
+      needs a fresh truth pass — the recipe is a brute-force pass
+      over the merged corpus fed into the shared recall evaluation
+      (queries_pipeline._recall_frame / _recall_certificate;
+      test_recall_certificate_after_index_append pins it).
     """
     from ..sources.readers import (append_recorded, record_append,
                                    require_appendable,

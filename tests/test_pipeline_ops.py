@@ -2295,3 +2295,58 @@ def test_recall_certificate_flags_derive_from_real_distribution(
     assert failed["n_scored"] == n_q
     assert (failed["mean_recall_ok"], failed["dist_recall_ok"]) == (0, 0)
     assert failed["recall_in_unit"] == 1
+
+
+def test_recall_certificate_after_index_append(spark, sf_dir):
+    """Closes the ivfpq_append_to_index docstring caveat ('recall
+    certification after appends needs a fresh truth pass'): build on
+    a 70% corpus, append the rest with the frozen model, then run the
+    recall evaluation the production loop would — fresh brute-force
+    truth over the MERGED corpus vs the appended index's probe. The
+    appended vectors must be servable (they appear among probe
+    results) and every query earns a recall row; recall stays
+    deterministic and positive even though the appended rows carry
+    frozen-model quantization error."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        brute_force_topk_arrow,
+        ivfpq_append_to_index,
+        ivfpq_store_index,
+        ivfpq_topk_from_index,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        _embs,
+        _recall_frame,
+    )
+
+    prefix = "t_ivfpq_recall_app"
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    base = embs.where(F.abs(F.xxhash64("vec_id") % 10) >= 3)
+    extra = embs.where(F.abs(F.xxhash64("vec_id") % 10) < 3)
+    queries = embs.where(F.col("vec_id") < 8)
+    ivfpq_store_index(base, prefix, n_centroids=8, m=8, codes=16)
+    assert ivfpq_append_to_index(spark, prefix, extra) > 0
+
+    k = 5
+    approx = ivfpq_topk_from_index(spark, prefix, queries, k, nprobe=4)
+    truth = brute_force_topk_arrow(queries, embs, k)
+    rec = _recall_frame(queries, approx, truth)
+    rows = {r["query_id"]: r["recall"] for r in rec.collect()}
+    assert len(rows) == queries.count()
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    assert sum(rows.values()) > 0  # the merged index retrieves truth
+    # appended vectors are servable: at least one probe result comes
+    # from the appended slice
+    extra_ids = {r["vec_id"] for r in extra.collect()}
+    served = {r["neighbor_id"] for r in approx.collect()}
+    assert served & extra_ids
+    # deterministic: the eval re-run reads identically
+    rows2 = {r["query_id"]: r["recall"] for r in
+             _recall_frame(queries, ivfpq_topk_from_index(
+                 spark, prefix, queries, k, nprobe=4), truth).collect()}
+    assert rows2 == rows
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE {t.name}")
