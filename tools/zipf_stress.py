@@ -108,6 +108,37 @@ def main() -> None:
         "row_number window on the 18%-hot key; the hot key's sort is "
         "one task's input — AQE skew split bounds it")
 
+    # r12: as-of join — a window CARRY cannot be row-salted, so the
+    # hot key's whole history sorts in one task; the hybrid routes
+    # keys above hot_key_threshold through the segmented-scan path.
+    # The consumer hashes the match columns: a bare count() lets
+    # Catalyst PRUNE the window entirely and times an empty plan
+    # (bit us in the first r12 measurement).
+    from flink_user_behavior_analysis_spark.operators.asof import (
+        asof_join,
+    )
+
+    def asof_wall(v: str, **kw) -> float:
+        def go():
+            left = ev[v].where(F.col("behavior") == "buy")
+            right = ev[v].where(F.col("behavior") == "pv")
+            out = asof_join(left, right, ["item_id"], "ts", "ts",
+                            right_cols=["event_id"],
+                            order_tiebreak=["event_id"], **kw)
+            out.agg(F.sum(F.xxhash64("ts_asof", "event_id_asof")
+                          % F.lit(10**12))).collect()
+        return best_of(go)
+
+    t_plain = {v: asof_wall(v) for v in ev}
+    add("asof_join(item_id) plain", t_plain["zipf"], t_plain["uniform"],
+        "single window pass: the hot key's carry sorts in ONE task")
+    t_hyb = {v: asof_wall(v, slice_seconds=3607 / 64,
+                          hot_key_threshold=500_000) for v in ev}
+    add("asof_join(item_id) hybrid", t_hyb["zipf"], t_hyb["uniform"],
+        "keys >500k rows take the segmented-scan path (time-sliced "
+        "local carry + per-key prefix over slice summaries); cold "
+        "keys keep the plain window")
+
     # M2 vs M1: global count, plain vs explicitly salted
     t_plain = best_of(lambda: windowed_global_count(
         ev["zipf"], "ts", "1 hour", "5 minutes").count())
