@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_user_behavior_analysis_spark import queries as Q
@@ -366,10 +368,12 @@ def _prev_committed_bench(
     Reads the git-HEAD copy (not the working tree, which a prior
     aborted run may have overwritten); falls back to the on-disk file
     when git is unavailable. Empty dicts disable cross-round checks —
-    also returned when the committed artifact is degraded or was
+    also returned when the committed artifact is degraded, was
     captured at a DIFFERENT scale factor than ``sf`` (an sf1 scaling
     pass compared against sf0.1 walls would flag every row and burn
-    the extra-run budget on expected deltas).
+    the extra-run budget on expected deltas), or was measured under a
+    DIFFERENT consumer (count()-pruned walls vs full-column walls are
+    not the same quantity — see _consume).
     """
     import subprocess
 
@@ -399,10 +403,37 @@ def _prev_committed_bench(
         return {}, {}
     if sf is not None and prev.get("sf") != sf:
         return {}, {}
+    if prev.get("consumer") != CONSUMER_VERSION:
+        return {}, {}
     fps = prev.get("plan_fp", {})
     return ({k: float(v) for k, v in queries.items()},
             {k: str(v) for k, v in fps.items()} if isinstance(fps, dict)
             else {})
+
+
+#: Stamped into the artifact; a committed baseline from a DIFFERENT
+#: consumer is not comparable (see _consume) and is dropped by
+#: _prev_committed_bench rather than flagging every row once.
+CONSUMER_VERSION = "fullhash1"
+
+
+def _consume(df) -> int:
+    """Materialize EVERY output column, not just the row count.
+
+    Timing `df.count()` measures whatever survives column pruning:
+    a query ending in computed projections (the as-of match columns,
+    regex scrubs, header parses) gets its window/compute pruned out
+    of the counted plan entirely — the r12 as-of skew study first
+    "measured" a window-free plan this way (PERF.md r12). A single
+    xxhash64 across all columns forces each column's computation for
+    ~hash cost, and the count still comes back for the rows= audit.
+    The modulo keeps the ANSI long sum in range."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
+              % F.lit(10**12)).alias("h"),
+    ).collect()[0]
+    return int(row["n"])
 
 
 TAIL_BUDGET_BYTES = 1900  # driver tail-capture is ~2 KB (BENCH_r11)
@@ -502,7 +533,7 @@ def main() -> None:
         fn = Q.QUERIES.get(name)
         if fn is not None:
             try:
-                fn(spark, warm_dir).count()
+                _consume(fn(spark, warm_dir))
                 release_signature_cache()
             except Exception as exc:  # pragma: no cover
                 print(f"# warmup {name} failed: {exc}", file=sys.stderr)
@@ -554,7 +585,7 @@ def main() -> None:
         while True:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
-            n = df.count()
+            n = _consume(df)
             times.append(time.perf_counter() - t0)
             # fingerprint once per row, outside the timed span, from
             # the post-count df so AQE's final plan is what hashes
@@ -648,7 +679,7 @@ def main() -> None:
             if fn is None:
                 continue
             try:
-                fn(spark, warm_dir).count()
+                _consume(fn(spark, warm_dir))
                 release_signature_cache()
             except Exception as exc:  # pragma: no cover
                 print(f"# fast-hash warmup {name} failed: {exc}",
@@ -657,7 +688,7 @@ def main() -> None:
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                _consume(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
                 release_signature_cache()
@@ -697,6 +728,7 @@ def main() -> None:
                  "waited_for_idle_sec": waited},
         "degraded": degraded,
         "sf": sf_val,
+        "consumer": CONSUMER_VERSION,
     }
     line = json.dumps(payload)
     # durability (VERDICT r6 #5 / r11 #1): the driver captures only a

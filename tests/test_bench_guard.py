@@ -31,7 +31,10 @@ def test_prev_committed_bench_reads_git_head():
     head = json.loads(subprocess.run(
         ["git", "-C", REPO, "show", "HEAD:bench_out.json"],
         capture_output=True, text=True, check=True).stdout)
-    if head.get("degraded"):
+    if head.get("degraded") or             head.get("consumer") != bench.CONSUMER_VERSION:
+        # degraded or measured under a different consumer (r12:
+        # count()-pruned walls are not comparable to full-column
+        # walls) — no baseline
         assert prev == {} and fps == {}
     else:
         assert prev == {k: float(v)
@@ -49,13 +52,18 @@ def test_degraded_artifact_is_not_a_baseline(tmp_path):
     the on-disk fallback is exercised too)."""
     bench = _bench_module()
     payload = {"queries": {"q1": 1.0}, "degraded": True,
-               "plan_fp": {"q1": "abc"}}
+               "plan_fp": {"q1": "abc"},
+               "consumer": bench.CONSUMER_VERSION}
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
     assert bench._prev_committed_bench(str(tmp_path)) == ({}, {})
     payload["degraded"] = False
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
     assert bench._prev_committed_bench(str(tmp_path)) == (
         {"q1": 1.0}, {"q1": "abc"})
+    # a clean artifact from a DIFFERENT consumer is equally unusable
+    payload["consumer"] = "count-legacy"
+    (tmp_path / "bench_out.json").write_text(json.dumps(payload))
+    assert bench._prev_committed_bench(str(tmp_path)) == ({}, {})
 
 
 def test_load_guard_refuses_without_force(monkeypatch, capsys):
