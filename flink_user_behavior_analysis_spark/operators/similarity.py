@@ -2149,10 +2149,54 @@ def _semdedup_dropped_within(assigned: DataFrame, eps: float,
     )
 
 
+def _make_cell_dropped_fn(eps: float, id_col: str):
+    """Per-cell GEMM twin of _semdedup_dropped_within: sort the cell
+    by keep-priority (cent_sim ASC, id ASC), then a member is dropped
+    iff ANY earlier member's pair cosine rounds to >= eps at 4 dp —
+    computed as column-blocked numpy matmuls over the normalized cell
+    matrix instead of per-pair interpreted expression folds. The
+    blocking bounds task memory at m x B doubles however large the
+    cell; the priority mask (row index < column index in sorted
+    order) reproduces the directed join exactly. Same 4 dp np.round
+    the other GEMM kernels use (the established cross-engine cosine
+    contract). Zero-norm vectors score 0.0 against everything, like
+    the SQL path's explicit guard."""
+
+    def _cell_dropped(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"_did": []}).astype({"_did": "int64"})
+        m = len(pdf)
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values([
+            "cent_sim", id_col], kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        vmat = np.array([np.asarray(e, dtype=np.float64)
+                         for e in pdf["_v"]])
+        nrm = pdf["_n"].to_numpy(dtype=np.float64)
+        q = np.zeros_like(vmat)
+        safe = nrm > 0
+        q[safe] = vmat[safe] / nrm[safe, None]
+        dropped = np.zeros(m, dtype=bool)
+        block = 512
+        for j0 in range(1, m, block):
+            j1 = min(j0 + block, m)
+            sims = np.round(q[:j1] @ q[j0:j1].T, 4)
+            prior = (np.arange(j1)[:, None]
+                     < np.arange(j0, j1)[None, :])
+            dropped[j0:j1] = ((sims >= eps) & prior).any(axis=0)
+        return pd.DataFrame({"_did": ids[dropped].astype("int64")})
+
+    return _cell_dropped
+
+
 def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                    eps: float, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   max_cell: int | None = None) -> DataFrame:
+                   max_cell: int | None = None,
+                   pair_kernel: str = "sql") -> DataFrame:
     """SemDeDup (Abbas et al. 2023): drop near-SEMANTIC duplicates
     inside k-means clusters of the embedding space — the
     embedding-cluster dedup family the repo's exact/minhash/simhash/
@@ -2202,7 +2246,23 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                 f"(> max_cell={max_cell}); the model is stale or k "
                 f"is too small for this corpus — refit before "
                 f"running the quadratic within-cell pair join")
-    dropped = _semdedup_dropped_within(a, eps, id_col)
+    if pair_kernel == "sql":
+        dropped = _semdedup_dropped_within(a, eps, id_col)
+    elif pair_kernel == "gemm":
+        # r12: the directed pair join's cosine is a higher-order
+        # expression fold — CodegenFallback, interpreter-bound — and
+        # the join materializes every within-cell pair candidate.
+        # The GEMM kernel computes the same decisions as blocked
+        # matmuls per cell (one applyInPandas stage keyed on cell):
+        # 367 s -> 5.5 s at 20k vectors / 2.5k-dense cells, identical
+        # output (equivalence test-asserted; see PERF.md r12).
+        dropped = a.select(id_col, "cell", "cent_sim", "_v", "_n") \
+            .groupBy("cell") \
+            .applyInPandas(_make_cell_dropped_fn(eps, id_col),
+                           "_did long")
+    else:
+        raise ValueError(
+            f"unknown pair_kernel {pair_kernel!r}; 'sql' or 'gemm'")
     return (
         a.join(dropped, a[id_col] == dropped["_did"], "left")
         .select(

@@ -3355,7 +3355,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import semantic_dedup
 
     cents = _semdedup_read_centroids_or_fit(spark)
-    return semantic_dedup(_embs(spark, sf_dir), cents, SEMDEDUP_EPS)
+    # pair_kernel='gemm' (r12): the SQL pair join's per-pair cosine is
+    # an interpreter-bound expression fold and was INVISIBLE to the
+    # count()-era bench (Catalyst eliminated the whole subtree under
+    # count — the distinct join key made the left join row-preserving);
+    # the honest full-column consumer exposed 367 s at sf1. The GEMM
+    # kernel computes identical decisions (bit-equal at every SF,
+    # test-asserted) in blocked numpy matmuls per cell: 2.9 s at sf1.
+    return semantic_dedup(_embs(spark, sf_dir), cents, SEMDEDUP_EPS,
+                          pair_kernel="gemm")
 
 
 def q_dedup_semantic_stored(spark: SparkSession, sf_dir: str) -> DataFrame:

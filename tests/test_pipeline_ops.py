@@ -2350,3 +2350,51 @@ def test_recall_certificate_after_index_append(spark, sf_dir):
     for t in spark.catalog.listTables():
         if t.name.startswith(prefix):
             spark.sql(f"DROP TABLE {t.name}")
+
+
+def test_semantic_dedup_gemm_kernel_equals_sql_kernel(spark, sf_dir):
+    """r12: the per-cell GEMM pair kernel must reproduce the SQL
+    directed-join decisions BIT-EXACTLY — same keep-priority order,
+    same 4 dp rounding contract, same zero-norm guard — since the
+    registered query now serves the GEMM path against the unchanged
+    DuckDB oracle. Includes a zero-vector and an exact-duplicate
+    group, the two edge classes the kernels could diverge on."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        SEMDEDUP_EPS,
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    cents = _semdedup_read_centroids_or_fit(spark)
+    embs = _embs(spark, sf_dir)
+    # append edge rows: a zero vector and an exact duplicate of vec 0
+    dims = len(embs.select("embedding").first()[0])
+    extra = spark.createDataFrame(
+        [(900001, [0.0] * dims)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding").cast(
+        embs.schema["embedding"].dataType).alias("embedding"))
+    dup = embs.where(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900002).alias("vec_id"), "embedding")
+    vecs = embs.select("vec_id", "embedding") \
+        .unionByName(extra).unionByName(dup)
+
+    def rows(kernel):
+        return sorted(map(tuple, semantic_dedup(
+            vecs, cents, SEMDEDUP_EPS, pair_kernel=kernel).collect()))
+
+    sql_rows, gemm_rows = rows("sql"), rows("gemm")
+    assert sql_rows == gemm_rows
+    assert len(sql_rows) == vecs.count()
+    # the duplicate pair resolved: exactly one of (0, 900002) dropped
+    by_id = {r[0]: r[3] for r in gemm_rows}
+    assert {by_id[0], by_id[900002]} == {"kept", "dropped"}
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_kernel"):
+        semantic_dedup(vecs, cents, SEMDEDUP_EPS, pair_kernel="nope")

@@ -25,6 +25,7 @@ ARROW_ALLOWED = {
     "ann_topk_pq_stored",    # ADC probe over stored codes (mapInPandas)
     "pca_embed",             # Gram partials + projection (mapInPandas)
     "dedup_embedding_cosine",  # blocked GEMM (applyInPandas)
+    "dedup_semantic",        # per-cell GEMM pair kernel (r12)
     "dedup_embedding_cosine_lsh",  # per-bucket blocked GEMM (applyInPandas)
     "dedup_embedding_cosine_lsh_mt",  # same, one stage per LSH table
     "multimodal_decode",     # decode stub over binary payloads
