@@ -650,7 +650,7 @@ def run_snapshot_cdc_ingest(candidate: DataFrame, prefix: str,
                             staging_dir: str, checkpoint_dir: str,
                             key_cols, content_cols,
                             verdict_sink: str | None = None,
-                            job_id: str = "snapcdc") -> None:
+                            job_id: str | None = None) -> None:
     """End-to-end streaming half of the CDC versioning loop (VERDICT
     r11 #6): candidate-snapshot slices arrive as a stream; each
     micro-batch emits added/changed verdicts against the frozen
@@ -658,7 +658,24 @@ def run_snapshot_cdc_ingest(candidate: DataFrame, prefix: str,
     under one exactly-once foreachBatch loop — the same composition
     run_dsir_ingest uses for score+select+append. The batch half
     (snapshot_cdc_compact) closes the loop with removals and the next
-    version cut once the snapshot is complete."""
+    version cut once the snapshot is complete.
+
+    ``job_id`` defaults to a value DERIVED FROM ``staging_dir``
+    (ADVICE r12): callers rotate staging/checkpoint per snapshot
+    cycle, and each rotated checkpoint restarts epoch ids at 0 — a
+    fixed job_id would make cycle 2's batch ids collide with cycle
+    1's ledger entries, so every cycle-2 slice would be skipped as a
+    "replay" (no probe, no staging, every key spuriously 'removed' at
+    compact). The derivation is deterministic per staging_dir, so a
+    crash-restart of the SAME cycle still replays under the same ids
+    (exactly-once preserved), while rotated cycles can never collide
+    — even in the crash window between the version cut and the
+    ledger clear in snapshot_cdc_compact."""
+    if job_id is None:
+        import hashlib
+
+        job_id = "snapcdc-" + hashlib.sha1(
+            staging_dir.encode()).hexdigest()[:8]
     spark = candidate.sparkSession
     run_ingest_foreach_batch(
         candidate, checkpoint_dir,
@@ -688,19 +705,37 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
     like any per-version landing zone: the next cycle's slices stage
     into a fresh directory and diff against the version cut here.
     Cost shape at 100 TB: the removal scan joins two hash-width
-    fingerprint tables (no content), and the cut is one bucketed
-    write of rows that already exist on disk."""
+    fingerprint tables (no content), the removed set spills to a
+    parquet sidecar under the staging dir (never through driver
+    memory — a retired partition can drop billions of keys, ADVICE
+    r12), and the cut is one bucketed write of rows that already
+    exist on disk.
+
+    The cut is this family's rebuild analog, so it ends by CLEARING
+    the append ledger (ADVICE r12): the new version IS the staged
+    batches' union, so every ledgered id's data is contained in the
+    cut — the provably-lossless ``includes_appends=True`` waiver.
+    Without the clear, a next cycle whose batch ids collided would
+    be silently skipped as replays. (Belt-and-suspenders: the
+    default job_id also derives from the rotated staging_dir, so
+    ids can't collide even if a crash lands between cut and clear.)
+    """
     from ..operators.versioning import _diff_fps, snapshot_cut_version
+    from ..sources.readers import clear_append_ledger
 
     keys = list(key_cols)
     staged = spark.read.parquet(staging_dir).select(*keys, "fp")
     removed_df = (_diff_fps(spark.table(f"{prefix}_fps"),
                             staged, keys)
                   .where(F.col("status") == "removed"))
-    schema = removed_df.schema
-    removed_rows = removed_df.collect()
+    # materialize BEFORE the cut (the cut invalidates the very table
+    # the removed set derives from); "_removed" is underscore-prefixed
+    # so the staged-slice reader's directory listing never picks it up
+    removed_path = f"{staging_dir}/_removed"
+    removed_df.write.mode("overwrite").parquet(removed_path)
     snapshot_cut_version(spark, prefix, staged, keys, n_buckets)
-    return spark.createDataFrame(removed_rows, schema)
+    clear_append_ledger(spark, prefix, includes_appends=True)
+    return spark.read.parquet(removed_path)
 
 
 def ann_filtered_probe_stream(spark: SparkSession, sf_dir: str,

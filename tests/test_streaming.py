@@ -1112,6 +1112,7 @@ def test_snapshot_cdc_ingest_plus_compact_equals_one_shot_diff(
     under the exactly-once ledger."""
     from flink_user_behavior_analysis_spark.operators.versioning import (
         fingerprint_snapshot,
+        snapshot_diff,
         snapshot_store_fps,
     )
     from flink_user_behavior_analysis_spark.queries_pipeline import (
@@ -1153,6 +1154,17 @@ def test_snapshot_cdc_ingest_plus_compact_equals_one_shot_diff(
 
     streamed = spark.read.parquet(sink).select(
         "doc_id", "status", "old_fp", "new_fp")
+
+    # exactly-once WITHIN the cycle: a re-delivered committed epoch is
+    # a ledger hit — no re-probe, no re-stage (0 verdicts reported).
+    # The default job_id derives from the staging dir (ADVICE r12).
+    import hashlib
+
+    cyc1_id = "snapcdc-" + hashlib.sha1(staging.encode()).hexdigest()[:8]
+    assert snapshot_cdc_ingest_batch(
+        spark, prefix, staging, candidate.limit(5), f"{cyc1_id}-0",
+        ["doc_id"], ["text", "source"]) == 0
+
     removed = snapshot_cdc_compact(spark, prefix, staging, ["doc_id"])
     want = q_snapshot_diff(spark, sf_dir)
     cols = ["doc_id", "status", "old_fp", "new_fp"]
@@ -1160,16 +1172,47 @@ def test_snapshot_cdc_ingest_plus_compact_equals_one_shot_diff(
     assert removed.count() > 0 and streamed.count() > 0
 
     # the compaction cut the next version: the stored fps now ARE the
-    # candidate snapshot's fingerprints (content never reread)
+    # candidate snapshot's fingerprints (content never reread)...
     assert _rows(spark.table(f"{prefix}_fps"), ["doc_id", "fp"]) == \
         _rows(fingerprint_snapshot(candidate, ["doc_id"],
                                    ["text", "source"]),
               ["doc_id", "fp"])
+    # ...and the cut cleared the append ledger (ADVICE r12): the new
+    # version absorbed every staged batch, so the ids are waived —
+    # not quarantined — and the next cycle starts with a clean ledger
+    assert not spark.catalog.tableExists(f"{prefix}_appends")
+    assert not spark.catalog.tableExists(f"{prefix}_cleared")
 
-    # exactly-once: a re-delivered committed epoch is a ledger hit —
-    # no re-probe, no re-stage (0 verdicts reported)
-    assert snapshot_cdc_ingest_batch(
-        spark, prefix, staging, candidate.limit(5), "snapcdc-0",
-        ["doc_id"], ["text", "source"]) == 0
-    for t in ("fps", "manifest", "appends"):
+    # CYCLE 2 (ADVICE r12 regression): rotated staging/checkpoint
+    # restart epoch ids at 0 — run it under cycle 1's EXACT job_id so
+    # every batch id collides with cycle 1's; before the fix the stale
+    # ledger skipped every slice as a "replay" (zero verdicts, every
+    # key spuriously 'removed'). The compact's ledger clear makes the
+    # colliding ids fresh again.
+    candidate2 = candidate.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" [rev3]")))
+        .otherwise(F.col("text")).alias("text"),
+        "source",
+    )
+    cand2_dir = str(tmp_path / "cand2")
+    candidate2.repartition(3).write.parquet(cand2_dir)
+    stream2 = (spark.readStream.schema(candidate2.schema)
+               .option("maxFilesPerTrigger", "1").parquet(cand2_dir))
+    staging2 = str(tmp_path / "staging2")
+    sink2 = str(tmp_path / "verdicts2")
+    run_snapshot_cdc_ingest(stream2, prefix, staging2,
+                            str(tmp_path / "ckpt2"),
+                            ["doc_id"], ["text", "source"],
+                            verdict_sink=sink2, job_id=cyc1_id)
+    streamed2 = spark.read.parquet(sink2).select(
+        "doc_id", "status", "old_fp", "new_fp")
+    removed2 = snapshot_cdc_compact(spark, prefix, staging2, ["doc_id"])
+    want2 = snapshot_diff(candidate, candidate2, ["doc_id"],
+                          ["text", "source"])
+    assert _rows(streamed2.unionByName(removed2), cols) == \
+        _rows(want2, cols)
+    assert streamed2.count() > 0 and removed2.count() > 0
+    for t in ("fps", "manifest", "appends", "cleared"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
