@@ -165,6 +165,55 @@ def test_headline_and_train_inclusive_are_registered():
         assert inline in bench.HEADLINE and stored in bench.HEADLINE
 
 
+def test_classify_cross_round_auto_adjudicates_load():
+    """VERDICT r12 #4: a row over the cross-round ratio on an
+    UNCHANGED plan whose run window overlapped loadavg >
+    ROW_LOAD_GUARD must classify as 'load_suspect' —
+    machine-adjudicated, not a regression flag a human re-litigates
+    every round. Quiet-load over-ratio rows stay 'regression';
+    plan-fingerprint moves stay 'expected'; in-band rows stay None
+    regardless of load. The threshold must sit ABOVE the bench's own
+    quiet-run self-load envelope (measured max 8.7 over 108 rows) —
+    at the idle-start guard every row would read suspect."""
+    bench = _bench_module()
+    assert bench.ROW_LOAD_GUARD > 8.7
+    hot = bench.ROW_LOAD_GUARD + 1.5
+    f = bench._classify_cross_round
+    quiet = 8.0  # inside the bench's own self-load envelope
+    assert f(None, 9.9, 1.5, False, [hot, hot]) is None
+    assert f(1.0, 1.4, 1.5, False, [hot, hot]) is None
+    assert f(1.0, 2.0, 1.5, True, [0.1, 0.1]) == "expected"
+    assert f(1.0, 2.0, 1.5, False, [quiet, hot]) == "load_suspect"
+    assert f(1.0, 2.0, 1.5, False, [hot, quiet]) == "load_suspect"
+    assert f(1.0, 2.0, 1.5, False, [0.1, 0.2]) == "regression"
+    # bench self-load alone (under the row guard) is NOT an excuse
+    assert f(1.0, 2.0, 1.5, False, [quiet, quiet]) == "regression"
+    # plan change wins over load: the wall moved because the plan did
+    assert f(1.0, 2.0, 1.5, True, [hot, hot]) == "expected"
+    assert f(1.0, 2.0, 1.5, False, []) == "regression"
+
+
+def test_small_row_band_policy():
+    """r13: sub-second rows get the measured VM/warmth band ratio
+    (every adjudicated sub-second flag r10-r13 was the band, never a
+    plan defect); rows >= SMALL_ROW_WALL keep the tight global ratio;
+    a named override beats both. prev=None (new row) must fall back
+    to the global ratio, not crash."""
+    bench = _bench_module()
+    f = bench._cross_round_ratio
+    assert f("anything", 0.5) == bench.SMALL_ROW_RATIO
+    assert f("anything", 0.999) == bench.SMALL_ROW_RATIO
+    assert f("anything", 1.0) == bench.CROSS_ROUND_RATIO
+    assert f("anything", 4.2) == bench.CROSS_ROUND_RATIO
+    assert f("anything", None) == bench.CROSS_ROUND_RATIO
+    try:
+        bench.CROSS_ROUND_RATIO_OVERRIDE["pinned_row"] = 9.9
+        assert f("pinned_row", 0.5) == 9.9
+        assert f("pinned_row", 5.0) == 9.9
+    finally:
+        del bench.CROSS_ROUND_RATIO_OVERRIDE["pinned_row"]
+
+
 def test_compact_summary_fits_tail_window():
     """VERDICT r11 #1: the driver keeps only ~2 KB of stdout tail, so
     the LAST printed line must be a self-contained summary that parses
