@@ -150,9 +150,23 @@ def snapshot_store_fps(
     other *_store_* builders: manifest invalidated first, commit
     marker written LAST, so a crash mid-build reads as not-ready and
     the caller rebuilds instead of diffing against half a version.
-    """
+
+    Like every other *_store_* rebuild, this clears the CDC append
+    ledger under ``prefix`` (r13, closing the contract gap ADVICE
+    r12's cycle-collision finding exposed one level down): a
+    REBUILD mid-CDC-cycle invalidates the probe context every
+    already-committed slice's verdicts were emitted against, so
+    those batch ids are QUARANTINED — the orchestrator must
+    re-deliver them (re-probe + re-stage are idempotent) or waive
+    with acknowledge_cleared. The normal lifecycle never hits this:
+    cycle-start builds see no ledger, and the in-cycle version cut
+    (snapshot_cdc_compact) clears with the includes_appends waiver
+    because the cut absorbs the staged batches."""
+    from ..sources.readers import clear_append_ledger
+
     spark = snapshot.sparkSession
     keys = list(key_cols)
+    clear_append_ledger(spark, prefix)
     return snapshot_cut_version(
         spark, prefix,
         fingerprint_snapshot(snapshot, keys, content_cols),

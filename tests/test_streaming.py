@@ -1216,3 +1216,50 @@ def test_snapshot_cdc_ingest_plus_compact_equals_one_shot_diff(
     assert streamed2.count() > 0 and removed2.count() > 0
     for t in ("fps", "manifest", "appends", "cleared"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_snapshot_cdc_compact_with_zero_removals(spark, tmp_path):
+    """ADVICE r12 regression guard for the parquet-sidecar
+    materialization: a cycle whose candidate covers every stored key
+    has NO removals, and the compact must still round-trip the empty
+    removed set through the sidecar (empty parquet write + read with
+    the full schema), cut the version, and clear the ledger."""
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        fingerprint_snapshot,
+        snapshot_store_fps,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        snapshot_cdc_compact,
+        snapshot_cdc_ingest_batch,
+    )
+
+    prefix = "t_snapcdc_zero"
+    for t in ("fps", "manifest", "appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s")],
+        "doc_id long, text string, source string")
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    # candidate = old + one new row: adds, changes nothing, removes
+    # nothing
+    cand = old.unionByName(spark.createDataFrame(
+        [(3, "c", "s")], old.schema))
+    staging = str(tmp_path / "staging")
+    n = snapshot_cdc_ingest_batch(
+        spark, prefix, staging, cand, "zr-0",
+        ["doc_id"], ["text", "source"])
+    assert n == 1  # the added row
+    removed = snapshot_cdc_compact(spark, prefix, staging, ["doc_id"])
+    assert removed.count() == 0
+    assert [f.name for f in removed.schema.fields] == [
+        "doc_id", "status", "old_fp", "new_fp"]
+    # version cut + ledger cleared despite the empty removal set
+    assert {r.doc_id for r in spark.table(f"{prefix}_fps")
+            .select("doc_id").collect()} == {1, 2, 3}
+    assert not spark.catalog.tableExists(f"{prefix}_appends")
+    got = {tuple(r) for r in spark.table(f"{prefix}_fps").collect()}
+    want = {tuple(r) for r in fingerprint_snapshot(
+        cand, ["doc_id"], ["text", "source"]).collect()}
+    assert got == want
+    for t in ("fps", "manifest", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")

@@ -222,3 +222,50 @@ def test_snapshot_stored_probe_equals_inline_and_gates_on_manifest(spark):
     assert again == want
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_fps")
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_manifest")
+
+
+def test_fps_rebuild_quarantines_cdc_ledger(spark):
+    """r13 (closing the contract gap one level down from ADVICE r12's
+    cycle-collision finding): a snapshot_store_fps REBUILD under a
+    prefix with committed CDC slice ids must quarantine them — a
+    rebuild invalidates the probe context those slices' verdicts were
+    emitted against, so building past them silently would launder
+    stale verdicts. Re-delivery (same batch_id) self-heals; the
+    lifted id then commits normally."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        snapshot_store_fps,
+    )
+    from flink_user_behavior_analysis_spark.sources.readers import (
+        QuarantinedBatchesError,
+        append_recorded,
+        quarantined_batch_ids,
+        record_append,
+        require_appendable,
+    )
+
+    prefix = "t_fps_quar"
+    for t in ("fps", "manifest", "appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s")], DOC_SCHEMA)
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    # a CDC cycle commits two slice ids against this version
+    record_append(spark, prefix, "cyc-0")
+    record_append(spark, prefix, "cyc-1")
+
+    # mid-cycle rebuild: both committed ids quarantine
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    assert quarantined_batch_ids(spark, prefix) == ["cyc-0", "cyc-1"]
+    assert not append_recorded(spark, prefix, "cyc-0")
+    # NEW ids refuse while the quarantine is pending...
+    with pytest.raises(QuarantinedBatchesError):
+        require_appendable(spark, prefix, "cyc-2", "test")
+    # ...but re-delivery of a quarantined id is allowed through and
+    # self-heals: once re-committed it stops pending
+    require_appendable(spark, prefix, "cyc-0", "test")
+    record_append(spark, prefix, "cyc-0")
+    assert quarantined_batch_ids(spark, prefix) == ["cyc-1"]
+    for t in ("fps", "manifest", "appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
