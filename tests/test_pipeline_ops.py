@@ -2462,6 +2462,48 @@ def test_semdedup_probe_gemm_kernel_equals_sql_kernel(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
+def test_semdedup_probe_gemm_equals_sql_under_one_cell_model(spark):
+    """Degenerate-model probe: a 1-centroid model routes EVERY corpus
+    and batch vector into cell 0, so the whole probe is one cogroup
+    task — the stale-model worst case. The GEMM kernel must still
+    equal the SQL kernel exactly (both legs), and every batch row
+    must get a verdict."""
+    from pyspark.sql import functions as F
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+
+    import math
+
+    cents = [[1.0, 0.0]]
+    rows = [(i, [math.cos(i * 0.37), math.sin(i * 0.37)])
+            for i in range(120)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    corpus = vecs.where(F.col("vec_id") % 3 != 0)
+    batch = vecs.where(F.col("vec_id") % 3 == 0)
+    prefix = "t_semdd_onecell"
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    semdedup_store_corpus(corpus, cents, prefix)
+    assert [r.cell for r in spark.table(f"{prefix}_cells")
+            .select("cell").distinct().collect()] == [0]
+
+    def probe(kernel):
+        return sorted(map(tuple, semdedup_probe(
+            spark, prefix, batch, cents, 0.995,
+            pair_kernel=kernel).collect()))
+
+    got = probe("gemm")
+    assert got == probe("sql")
+    assert len(got) == batch.count()
+    assert {r[1] for r in got} >= {"dup_corpus"}
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
 def test_semdedup_gemm_kernels_accept_string_ids(spark):
     """ADVICE r12: the r12 within-cell kernel hardcoded ``_did long``
     and astype(int64), crashing/corrupting on the public API's

@@ -60,6 +60,21 @@ def synth(spark, mode: str):
             .select(F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")))
 
 
+def consume(df) -> int:
+    """Full-column consumer (r13): timing `.count()` lets Catalyst
+    ELIMINATE provably-unique-keyed left joins from the counted plan
+    — the probe's SQL vs-corpus leg vanished entirely under count()
+    (measured 1.3 s for a 5k x 45k one-cell pair join that reads
+    19.8 s under this consumer). Same xxhash64-of-all-columns form as
+    bench._consume."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*[F.col(c) for c in df.columns])
+              % F.lit(10**6)).alias("h"),
+    ).collect()[0]
+    return int(row["n"])
+
+
 def best_of(fn, n: int = 2) -> float:
     best = math.inf
     for _ in range(n):
@@ -110,9 +125,53 @@ def drift_demo() -> None:
     spark.stop()
 
 
+def probe_stress() -> None:
+    """Adversarial shape for the r13 probe GEMM kernel: a STALE model
+    over a drifted corpus collapses ~95% of the STORED cells into one
+    partition, and the probe batch lands ~95% in that same cell — the
+    one-cogroup-task worst case (the within-cell analog is guarded by
+    max_cell; the probe's cost is batch-slice x cell density inside
+    ONE blocked GEMM task). Measures GEMM vs SQL kernels at that
+    shape. Run: python tools/semdedup_stress.py --probe [N]"""
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+
+    spark = get_spark(app="semdedup-probe-stress")
+    prefix = "t_stress_probe"
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    allv = synth(spark, "degenerate")
+    corpus = allv.where(F.col("vec_id") % 10 != 0)
+    batch = allv.where(F.col("vec_id") % 10 == 0).persist()
+    nb = batch.count()
+    cents = kmeans_fit(synth(spark, "balanced"), K, iters=3,
+                       metric="cosine")  # stale model
+    semdedup_store_corpus(corpus, cents, prefix)
+    dense = (spark.table(f"{prefix}_cells").groupBy("cell").count()
+             .agg(F.max("count")).collect()[0][0])
+    print(f"corpus={N - nb} batch={nb} densest_cell={dense}", flush=True)
+    out = {}
+    for kernel in ("gemm", "sql"):
+        wall = best_of(lambda: consume(semdedup_probe(
+            spark, prefix, batch, cents, EPS,
+            pair_kernel=kernel)))
+        out[kernel] = round(wall, 2)
+        print(f"  {kernel}: {wall:.2f}s", flush=True)
+    print(json.dumps({"op": "semdedup_probe_stale_one_cell", "n": N,
+                      "batch": nb, "densest_cell": int(dense), **out}))
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    spark.stop()
+
+
 def main() -> None:
     if "--drift" in sys.argv:
         drift_demo()
+        return
+    if "--probe" in sys.argv:
+        probe_stress()
         return
     spark = get_spark(app="semdedup-stress")
     out = {}
@@ -131,7 +190,7 @@ def main() -> None:
                                metric="cosine")
         else:
             cents = kmeans_fit(vecs, K, iters=3, metric="cosine")
-        wall = best_of(lambda: semantic_dedup(vecs, cents, EPS).count())
+        wall = best_of(lambda: consume(semantic_dedup(vecs, cents, EPS)))
         # stats in ONE extra execution (the pair join is the cost)
         stats = (semantic_dedup(vecs, cents, EPS)
                  .groupBy("cell")
