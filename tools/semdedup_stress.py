@@ -32,6 +32,10 @@ from flink_user_behavior_analysis_spark.session import get_spark  # noqa: E402
 
 _POS = [a for a in sys.argv[1:] if not a.startswith("-")]
 N = int(_POS[0]) if _POS else 20_000
+# --kernel=sql|gemm for the inline (main) mode — gemm is the
+# registered query's kernel since r12, sql is the oracle-parity twin
+KERNEL = next((a.split("=", 1)[1] for a in sys.argv[1:]
+               if a.startswith("--kernel=")), "gemm")
 DIMS = 16
 K = 8
 EPS = 0.92
@@ -190,9 +194,10 @@ def main() -> None:
                                metric="cosine")
         else:
             cents = kmeans_fit(vecs, K, iters=3, metric="cosine")
-        wall = best_of(lambda: consume(semantic_dedup(vecs, cents, EPS)))
+        wall = best_of(lambda: consume(semantic_dedup(
+            vecs, cents, EPS, pair_kernel=KERNEL)))
         # stats in ONE extra execution (the pair join is the cost)
-        stats = (semantic_dedup(vecs, cents, EPS)
+        stats = (semantic_dedup(vecs, cents, EPS, pair_kernel=KERNEL)
                  .groupBy("cell")
                  .agg(F.count(F.lit(1)).alias("n"),
                       F.sum(F.when(F.col("status") == "dropped", 1)
@@ -213,7 +218,7 @@ def main() -> None:
           "pair join is cluster-local; one-cell collapse is the "
           "quadratic wall — raise k or fall back to the blocked-GEMM "
           "pair kernel (cosine_pairs_lsh) |")
-    print(json.dumps({"op": "dedup_semantic", "n": N, **out, "ratio": ratio}))
+    print(json.dumps({"op": "dedup_semantic", "n": N, "kernel": KERNEL, **out, "ratio": ratio}))
     spark.stop()
 
 
