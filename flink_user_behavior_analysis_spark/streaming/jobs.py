@@ -590,6 +590,23 @@ def snapshot_diff_stream(spark: SparkSession, sf_dir: str,
             spark, prefix, batch, key_cols, content_cols))
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence check via the Hadoop FileSystem API
+    (os.path would silently say False for s3://... on a cluster)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _hadoop_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (any scheme)."""
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.create(hpath, True).close()
+
+
 def snapshot_cdc_ingest_batch(spark: SparkSession, prefix: str,
                               staging_dir: str, batch_df: DataFrame,
                               batch_id: str, key_cols, content_cols,
@@ -626,6 +643,16 @@ def snapshot_cdc_ingest_batch(spark: SparkSession, prefix: str,
         return 0
     require_appendable(spark, prefix, batch_id,
                        "snapshot_cdc_ingest_batch")
+    # a compacted staging dir is a CLOSED cycle: staging more slices
+    # into it would pollute the next compact's "complete candidate
+    # snapshot" union with the previous cycle's leftovers (wrong
+    # removals) — the caller must rotate staging_dir per cycle
+    if _hadoop_path_exists(spark, f"{staging_dir}/_compacted"):
+        raise ValueError(
+            f"staging dir {staging_dir} was already compacted into a "
+            f"version cut — rotate staging_dir (and checkpoint_dir) "
+            f"per snapshot cycle; staging into a closed cycle would "
+            f"corrupt the next compaction's removal sweep")
     batch_df = batch_df.persist()
     try:
         verdicts = snapshot_probe_from_store(
@@ -719,11 +746,28 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
     be silently skipped as replays. (Belt-and-suspenders: the
     default job_id also derives from the rotated staging_dir, so
     ids can't collide even if a crash lands between cut and clear.)
-    """
+
+    The compact also drops a ``_compacted`` marker into the staging
+    dir: the cycle is closed, and any later stage or re-compact
+    against the same landing zone refuses with the rotate-per-cycle
+    remedy instead of corrupting the next removal sweep with the
+    previous cycle's leftover slices."""
     from ..operators.versioning import _diff_fps, snapshot_cut_version
     from ..sources.readers import clear_append_ledger
 
     keys = list(key_cols)
+    if _hadoop_path_exists(spark, f"{staging_dir}/_compacted"):
+        raise ValueError(
+            f"staging dir {staging_dir} was already compacted — a "
+            f"second compact of the same cycle would re-cut the "
+            f"version from a closed landing zone; rotate staging_dir "
+            f"per cycle")
+    if not _hadoop_path_exists(spark, staging_dir):
+        raise ValueError(
+            f"staging dir {staging_dir} does not exist — no slices "
+            f"have streamed this cycle (run_snapshot_cdc_ingest "
+            f"stages them); compacting an empty cycle would report "
+            f"every stored key as removed")
     staged = spark.read.parquet(staging_dir).select(*keys, "fp")
     removed_df = (_diff_fps(spark.table(f"{prefix}_fps"),
                             staged, keys)
@@ -735,6 +779,10 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
     removed_df.write.mode("overwrite").parquet(removed_path)
     snapshot_cut_version(spark, prefix, staged, keys, n_buckets)
     clear_append_ledger(spark, prefix, includes_appends=True)
+    # close the cycle: later stage/compact attempts against this
+    # landing zone refuse instead of corrupting the next removal
+    # sweep (underscore-prefixed, invisible to the staged-slice scan)
+    _hadoop_touch(spark, f"{staging_dir}/_compacted")
     return spark.read.parquet(removed_path)
 
 

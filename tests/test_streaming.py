@@ -1261,5 +1261,22 @@ def test_snapshot_cdc_compact_with_zero_removals(spark, tmp_path):
     want = {tuple(r) for r in fingerprint_snapshot(
         cand, ["doc_id"], ["text", "source"]).collect()}
     assert got == want
+
+    # the compact CLOSED the cycle (r13): staging another slice into
+    # the same landing zone, or compacting it again, must refuse —
+    # either would corrupt the next removal sweep
+    import pytest
+
+    with pytest.raises(ValueError, match="already compacted"):
+        snapshot_cdc_ingest_batch(
+            spark, prefix, staging, cand, "zr-1",
+            ["doc_id"], ["text", "source"])
+    with pytest.raises(ValueError, match="already compacted"):
+        snapshot_cdc_compact(spark, prefix, staging, ["doc_id"])
+    # compacting a cycle that never staged anything must refuse too
+    # (it would report every stored key as removed)
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_cdc_compact(spark, prefix,
+                             str(tmp_path / "nope"), ["doc_id"])
     for t in ("fps", "manifest", "cleared"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
