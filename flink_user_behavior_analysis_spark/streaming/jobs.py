@@ -607,6 +607,25 @@ def _hadoop_touch(spark: SparkSession, path: str) -> None:
     fs.create(hpath, True).close()
 
 
+def cdc_default_job_id(spark: SparkSession, staging_dir: str) -> str:
+    """Deterministic default job id for a CDC snapshot cycle, derived
+    from the staging dir's FULLY-QUALIFIED Hadoop URI (ADVICE r13):
+    hashing the raw string makes the id path-SPELLING-sensitive — a
+    crash-restart of the same cycle that spells the path differently
+    (trailing slash, relative vs absolute, scheme-qualified vs not)
+    would derive a different id, replay committed epochs under fresh
+    batch ids, and double-stage the same keys into the version cut.
+    makeQualified resolves scheme, authority, working-dir-relative
+    paths, and trailing slashes to one canonical spelling."""
+    import hashlib
+
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path(staging_dir)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    qualified = fs.makeQualified(hpath).toString()
+    return "snapcdc-" + hashlib.sha1(qualified.encode()).hexdigest()[:8]
+
+
 def snapshot_cdc_ingest_batch(spark: SparkSession, prefix: str,
                               staging_dir: str, batch_df: DataFrame,
                               batch_id: str, key_cols, content_cols,
@@ -653,6 +672,16 @@ def snapshot_cdc_ingest_batch(spark: SparkSession, prefix: str,
             f"version cut — rotate staging_dir (and checkpoint_dir) "
             f"per snapshot cycle; staging into a closed cycle would "
             f"corrupt the next compaction's removal sweep")
+    # a cycle whose compact already MATERIALIZED its removal sweep
+    # (ADVICE r13 torn-state protocol) is closed to new slices even
+    # if the compact crashed before the _compacted marker: a slice
+    # staged now would be invisible to the already-computed removed
+    # set and double-counted by the (idempotent) re-cut
+    if _hadoop_path_exists(spark, f"{staging_dir}/_cut_pending"):
+        raise ValueError(
+            f"staging dir {staging_dir} has a compaction in flight "
+            f"(_cut_pending) — re-run snapshot_cdc_compact to finish "
+            f"the cycle, then rotate staging_dir for new slices")
     batch_df = batch_df.persist()
     try:
         verdicts = snapshot_probe_from_store(
@@ -693,17 +722,17 @@ def run_snapshot_cdc_ingest(candidate: DataFrame, prefix: str,
     fixed job_id would make cycle 2's batch ids collide with cycle
     1's ledger entries, so every cycle-2 slice would be skipped as a
     "replay" (no probe, no staging, every key spuriously 'removed' at
-    compact). The derivation is deterministic per staging_dir, so a
-    crash-restart of the SAME cycle still replays under the same ids
-    (exactly-once preserved), while rotated cycles can never collide
-    — even in the crash window between the version cut and the
-    ledger clear in snapshot_cdc_compact."""
-    if job_id is None:
-        import hashlib
-
-        job_id = "snapcdc-" + hashlib.sha1(
-            staging_dir.encode()).hexdigest()[:8]
+    compact). The derivation is deterministic per staging_dir —
+    hashed over the fully-QUALIFIED URI, not the raw spelling
+    (cdc_default_job_id, ADVICE r13) — so a crash-restart of the
+    SAME cycle still replays under the same ids (exactly-once
+    preserved) even if the restart spells the path differently,
+    while rotated cycles can never collide — even in the crash
+    window between the version cut and the ledger clear in
+    snapshot_cdc_compact."""
     spark = candidate.sparkSession
+    if job_id is None:
+        job_id = cdc_default_job_id(spark, staging_dir)
     run_ingest_foreach_batch(
         candidate, checkpoint_dir,
         lambda b, bid: snapshot_cdc_ingest_batch(
@@ -751,7 +780,17 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
     dir: the cycle is closed, and any later stage or re-compact
     against the same landing zone refuses with the rotate-per-cycle
     remedy instead of corrupting the next removal sweep with the
-    previous cycle's leftover slices."""
+    previous cycle's leftover slices.
+
+    Torn-state protocol (ADVICE r13): a ``_cut_pending`` marker is
+    written AFTER the removed sidecar and BEFORE the version cut. A
+    crash inside the cut window (cut done, marker not yet) used to
+    make a re-run recompute the diff against the ALREADY-CUT fps
+    (now equal to staged → zero removals) and overwrite the correct
+    sidecar — silently losing the cycle's removals in exactly the
+    recovery path. With the marker, a re-run reuses the sidecar,
+    re-runs the idempotent cut, and finishes ledger-clear + close;
+    the ingest gate also refuses new slices once the marker exists."""
     from ..operators.versioning import _diff_fps, snapshot_cut_version
     from ..sources.readers import clear_append_ledger
 
@@ -769,14 +808,36 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
             f"stages them); compacting an empty cycle would report "
             f"every stored key as removed")
     staged = spark.read.parquet(staging_dir).select(*keys, "fp")
-    removed_df = (_diff_fps(spark.table(f"{prefix}_fps"),
-                            staged, keys)
-                  .where(F.col("status") == "removed"))
-    # materialize BEFORE the cut (the cut invalidates the very table
-    # the removed set derives from); "_removed" is underscore-prefixed
-    # so the staged-slice reader's directory listing never picks it up
     removed_path = f"{staging_dir}/_removed"
-    removed_df.write.mode("overwrite").parquet(removed_path)
+    pending_path = f"{staging_dir}/_cut_pending"
+    if _hadoop_path_exists(spark, pending_path):
+        # torn-state recovery (ADVICE r13): a prior compact already
+        # materialized the removed sidecar and entered the cut window
+        # — the stored fps may ALREADY equal the staged fingerprints,
+        # so recomputing the diff here would overwrite the correct
+        # sidecar with an empty one and silently lose the cycle's
+        # removal verdicts. Reuse the sidecar; the cut is idempotent
+        # (same staged rows, manifest bracket), so finishing it plus
+        # the ledger clear and the _compacted marker is safe whether
+        # the crash hit before or after each of them.
+        if not _hadoop_path_exists(spark, removed_path):
+            raise ValueError(
+                f"staging dir {staging_dir} has _cut_pending but no "
+                f"_removed sidecar — the torn-state protocol writes "
+                f"the sidecar first, so this landing zone was "
+                f"tampered with; refuse rather than guess removals")
+    else:
+        removed_df = (_diff_fps(spark.table(f"{prefix}_fps"),
+                                staged, keys)
+                      .where(F.col("status") == "removed"))
+        # materialize BEFORE the cut (the cut invalidates the very
+        # table the removed set derives from); "_removed" is
+        # underscore-prefixed so the staged-slice reader's directory
+        # listing never picks it up
+        removed_df.write.mode("overwrite").parquet(removed_path)
+        # the pending marker brackets the cut: its presence on
+        # re-entry means "sidecar is authoritative, fps may be cut"
+        _hadoop_touch(spark, pending_path)
     snapshot_cut_version(spark, prefix, staged, keys, n_buckets)
     clear_append_ledger(spark, prefix, includes_appends=True)
     # close the cycle: later stage/compact attempts against this

@@ -1157,10 +1157,17 @@ def test_snapshot_cdc_ingest_plus_compact_equals_one_shot_diff(
 
     # exactly-once WITHIN the cycle: a re-delivered committed epoch is
     # a ledger hit — no re-probe, no re-stage (0 verdicts reported).
-    # The default job_id derives from the staging dir (ADVICE r12).
-    import hashlib
+    # The default job_id derives from the staging dir's QUALIFIED URI
+    # (ADVICE r12/r13) — spelling the path differently (trailing
+    # slash, unqualified) must derive the SAME id, or a crash-restart
+    # would replay committed epochs under fresh batch ids
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        cdc_default_job_id,
+    )
 
-    cyc1_id = "snapcdc-" + hashlib.sha1(staging.encode()).hexdigest()[:8]
+    cyc1_id = cdc_default_job_id(spark, staging)
+    assert cdc_default_job_id(spark, staging + "/") == cyc1_id
+    assert cdc_default_job_id(spark, "file:" + staging) == cyc1_id
     assert snapshot_cdc_ingest_batch(
         spark, prefix, staging, candidate.limit(5), f"{cyc1_id}-0",
         ["doc_id"], ["text", "source"]) == 0
@@ -1279,4 +1286,82 @@ def test_snapshot_cdc_compact_with_zero_removals(spark, tmp_path):
         snapshot_cdc_compact(spark, prefix,
                              str(tmp_path / "nope"), ["doc_id"])
     for t in ("fps", "manifest", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_snapshot_cdc_compact_torn_state_recovery(spark, tmp_path):
+    """ADVICE r13 (medium): a crash AFTER snapshot_cut_version but
+    BEFORE the _compacted marker used to make the re-run recompute
+    removals against the already-cut fps table (now equal to staged →
+    zero removals) and overwrite the correct sidecar — losing the
+    cycle's removal verdicts in exactly the recovery path the marker
+    protocol exists to harden. The _cut_pending marker must make the
+    re-run reuse the sidecar, finish the idempotent cut + ledger
+    clear + close, and return the ORIGINAL removed set."""
+    import pytest
+
+    from flink_user_behavior_analysis_spark.operators.versioning import (
+        _diff_fps,
+        fingerprint_snapshot,
+        snapshot_cut_version,
+        snapshot_store_fps,
+    )
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        _hadoop_path_exists,
+        _hadoop_touch,
+        snapshot_cdc_compact,
+        snapshot_cdc_ingest_batch,
+    )
+
+    prefix = "t_snapcdc_torn"
+    for t in ("fps", "manifest", "appends", "cleared"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s"), (3, "c", "s")],
+        "doc_id long, text string, source string")
+    snapshot_store_fps(old, prefix, ["doc_id"], ["text", "source"])
+    # candidate drops doc_id=3 → exactly one removal this cycle
+    cand = old.where(F.col("doc_id") != 3)
+    staging = str(tmp_path / "staging")
+    snapshot_cdc_ingest_batch(spark, prefix, staging, cand, "tr-0",
+                              ["doc_id"], ["text", "source"])
+
+    # simulate the compact crashing INSIDE the cut window: sidecar
+    # written, _cut_pending touched, version cut — then "crash"
+    # before ledger clear and _compacted (the exact torn state)
+    staged = spark.read.parquet(staging).select("doc_id", "fp")
+    removed_df = (_diff_fps(spark.table(f"{prefix}_fps"),
+                            staged, ["doc_id"])
+                  .where(F.col("status") == "removed"))
+    removed_df.write.mode("overwrite").parquet(f"{staging}/_removed")
+    _hadoop_touch(spark, f"{staging}/_cut_pending")
+    snapshot_cut_version(spark, prefix, staged, ["doc_id"])
+    # fps now EQUALS staged: a naive recompute would find 0 removals
+
+    # the in-flight cycle is closed to new slices (staging one now
+    # would be invisible to the materialized removed set)
+    with pytest.raises(ValueError, match="_cut_pending"):
+        snapshot_cdc_ingest_batch(spark, prefix, staging, cand, "tr-1",
+                                  ["doc_id"], ["text", "source"])
+
+    # recovery re-run: must return the ORIGINAL removed set, not the
+    # empty recompute, and finish the cycle (ledger clear + close)
+    removed = snapshot_cdc_compact(spark, prefix, staging, ["doc_id"])
+    assert [(r.doc_id, r.status) for r in removed.collect()] == \
+        [(3, "removed")]
+    assert not spark.catalog.tableExists(f"{prefix}_appends")
+    assert _hadoop_path_exists(spark, f"{staging}/_compacted")
+    got = {tuple(r) for r in spark.table(f"{prefix}_fps").collect()}
+    want = {tuple(r) for r in fingerprint_snapshot(
+        cand, ["doc_id"], ["text", "source"]).collect()}
+    assert got == want
+
+    # a tampered zone (_cut_pending without the sidecar) must refuse
+    staging2 = str(tmp_path / "staging2")
+    snapshot_cdc_ingest_batch(spark, prefix, staging2, cand, "tr-2",
+                              ["doc_id"], ["text", "source"])
+    _hadoop_touch(spark, f"{staging2}/_cut_pending")
+    with pytest.raises(ValueError, match="no\\s+_removed sidecar|tampered"):
+        snapshot_cdc_compact(spark, prefix, staging2, ["doc_id"])
+    for t in ("fps", "manifest", "appends", "cleared"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
