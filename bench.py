@@ -190,6 +190,39 @@ HEADLINE = [
     "ann_recall_lsh_mp",
     "ann_recall_ivfpq_stored",
     "ann_recall_pq_stored",
+    # round-14 (VERDICT r13 #3): EVERY registered query gets a wall —
+    # 25 rows had correctness gates but no per-round timing, so a
+    # perf regression in any of them was invisible to the cross-round
+    # adjudicator. Policy (test-gated by
+    # test_headline_covers_every_registered_query): HEADLINE must
+    # equal the registry; a new queries() entry without a bench row
+    # fails the suite. Stored/serving rows are ordered after the rows
+    # that build their artifacts (shared_artifact attribution).
+    "semdedup_drift",
+    "ann_topk_filtered_stored",
+    "ann_topk_ivf_trained",
+    "sessionize_users_native",
+    "marketing_total",
+    "blacklist_filtered",
+    "login_fail_cep",
+    "login_fail_fb",
+    "tx_interval_join",
+    "view_then_purchase",
+    "language_id",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_lsh_mt",
+    "corpus_quantiles",
+    "corpus_quantiles_approx",
+    "sample_docs",
+    "stratified_sample",
+    "revenue_rollup",
+    "idle_rich_customers",
+    "small_qty_revenue",
+    "sole_late_suppliers",
+    "supplier_part_variety",
+    "multimodal_meta",
+    "media_resize",
+    "frame_sample",
 ]
 
 # Queries whose signature hashing routes through operators.dedup.sig_hash
@@ -295,11 +328,20 @@ CROSS_EXTRA_RUNS = 2
 # fingerprint (cross_round_expected_changes) regardless of ratio.
 # Rows >= 1 s keep the tight global ratio — a sustained 1.5x there
 # has always been worth a human look. CROSS_ROUND_RATIO_OVERRIDE
-# remains as the named-row escape hatch (empty since r13 — the three
-# r10-r12 pins were all sub-second rows the policy now covers).
+# remains as the named-row escape hatch for rows whose DOCUMENTED
+# quiet band straddles SMALL_ROW_WALL (ADVICE r13: contamination's
+# PERF-studied band is 0.75-1.83 s — a round that commits it just
+# above 1 s would revert to the tight ratio and the next fresh
+# session's 1.8 s floor would reopen per-round re-litigation; keying
+# the band on min(prev, now) instead is a no-op, since a flag
+# requires now > prev, making min == prev). These are band pins with
+# a cited study, not the per-flag hand pins r13 retired.
 SMALL_ROW_WALL = 1.0
 SMALL_ROW_RATIO = 2.5
-CROSS_ROUND_RATIO_OVERRIDE: dict[str, float] = {}
+CROSS_ROUND_RATIO_OVERRIDE: dict[str, float] = {
+    "contamination": SMALL_ROW_RATIO,         # PERF r10/r11 band study
+    "contamination_stored": SMALL_ROW_RATIO,  # same scan, same band
+}
 
 
 def _cross_round_ratio(name: str, prev) -> float:
@@ -342,7 +384,21 @@ WAIT_POLL_SEC = 15.0
 # reads over this is carrying the bench's own load PLUS multiple
 # cores of ambient interference — the r12 driver-run storm class
 # (props_topk 20.6/26.7 s outliers), not the quiet band.
+#
+# ADVICE r13: a static 11.0 is NOT self-calibrating — the committed
+# r13 artifact's own quiet row_load already peaked at 11.08, so a
+# quiet heavy row drifting past the constant would auto-downgrade a
+# genuine regression to load_suspect. The constant is now a FLOOR;
+# the effective per-run guard is max(floor, MARGIN x the committed
+# artifact's own quiet row_load maximum) — the baseline artifact is
+# flag-adjudicated, so its load envelope IS the machine's measured
+# quiet self-load at the current suite width, and the guard tracks
+# it as the suite grows instead of being re-litigated per round.
+# The run also samples loadavg after EVERY timed run, not just the
+# row-window endpoints, so a previous row's trailing load cannot be
+# the only evidence classifying this one.
 ROW_LOAD_GUARD = 11.0
+ROW_LOAD_GUARD_MARGIN = 1.25
 
 # Plan fingerprints (VERDICT r10 #6): the cross-round adjudicator
 # compared walls blind — every flag needed a human A/B to separate
@@ -403,9 +459,13 @@ def _plan_fingerprint(df) -> str:
 
 def _prev_committed_bench(
         here: str | None = None,
-        sf=None) -> tuple[dict[str, float], dict[str, str]]:
-    """Per-query (walls, plan fingerprints) from the last COMMITTED
-    bench_out.json.
+        sf=None) -> tuple[dict[str, float], dict[str, str], float]:
+    """Per-query (walls, plan fingerprints, quiet self-load max) from
+    the last COMMITTED bench_out.json. The third element is the
+    maximum 1-min loadavg the committed (flag-adjudicated, quiet)
+    run recorded across its row windows — the measured self-envelope
+    that calibrates this run's ROW_LOAD_GUARD (ADVICE r13); 0.0 when
+    there is no usable baseline.
 
     Reads the git-HEAD copy (not the working tree, which a prior
     aborted run may have overwritten); falls back to the on-disk file
@@ -434,23 +494,28 @@ def _prev_committed_bench(
             with open(os.path.join(here, "bench_out.json")) as fh:
                 raw = fh.read()
         except OSError:
-            return {}, {}
+            return {}, {}, 0.0
     try:
         prev = json.loads(raw)
     except (ValueError, TypeError):
-        return {}, {}
+        return {}, {}, 0.0
     queries = prev.get("queries", {})
     # a degraded artifact's walls are not a baseline worth chasing
     if prev.get("degraded"):
-        return {}, {}
+        return {}, {}, 0.0
     if sf is not None and prev.get("sf") != sf:
-        return {}, {}
+        return {}, {}, 0.0
     if prev.get("consumer") != CONSUMER_VERSION:
-        return {}, {}
+        return {}, {}, 0.0
     fps = prev.get("plan_fp", {})
+    rl = prev.get("row_load", {})
+    self_load = 0.0
+    if isinstance(rl, dict):
+        self_load = max((float(x) for v in rl.values()
+                         if isinstance(v, list) for x in v), default=0.0)
     return ({k: float(v) for k, v in queries.items()},
             {k: str(v) for k, v in fps.items()} if isinstance(fps, dict)
-            else {})
+            else {}, self_load)
 
 
 #: Stamped into the artifact; a committed baseline from a DIFFERENT
@@ -485,7 +550,8 @@ def _consume(df) -> int:
 
 def _classify_cross_round(prev, now: float, ratio: float,
                           plan_changed: bool,
-                          row_load: list[float]) -> str | None:
+                          row_load: list[float],
+                          guard: float | None = None) -> str | None:
     """Adjudicate one row's cross-round delta (VERDICT r12 #4).
 
     Returns None (in band), 'expected' (plan fingerprint moved — the
@@ -501,7 +567,9 @@ def _classify_cross_round(prev, now: float, ratio: float,
         return None
     if plan_changed:
         return "expected"
-    if row_load and max(row_load) > ROW_LOAD_GUARD:
+    if guard is None:
+        guard = ROW_LOAD_GUARD
+    if row_load and max(row_load) > guard:
         return "load_suspect"
     return "regression"
 
@@ -571,7 +639,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    prev_bench, prev_fps = _prev_committed_bench(sf=sf_val)
+    prev_bench, prev_fps, prev_self_load = _prev_committed_bench(sf=sf_val)
+    # effective per-row load guard (ADVICE r13): floor, or margin x
+    # the committed quiet run's own measured row-load envelope —
+    # tracks the suite's self-load as it grows instead of a constant
+    # racing it (the r13 artifact's quiet max was already 11.08)
+    row_guard = max(ROW_LOAD_GUARD, ROW_LOAD_GUARD_MARGIN * prev_self_load)
     spark = get_spark(app="fuba-bench")
     # Warm every plan shape on the smallest SF first: whole-stage
     # codegen + JIT compilation is per-plan-shape and one-time per JVM
@@ -661,12 +734,16 @@ def main() -> None:
         # cross-round flag can be machine-adjudicated against the
         # load that actually overlapped it instead of the whole-bench
         # endpoints + PERF prose
-        row_load_start = os.getloadavg()[0]
+        row_samples = [os.getloadavg()[0]]
         while True:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = _consume(df)
             times.append(time.perf_counter() - t0)
+            # sample loadavg after EVERY run (ADVICE r13): endpoint-
+            # only sampling let a neighbor row's trailing load be the
+            # sole evidence classifying this one
+            row_samples.append(os.getloadavg()[0])
             # fingerprint once per row, outside the timed span, from
             # the post-count df so AQE's final plan is what hashes
             if name not in plan_fps:
@@ -698,12 +775,12 @@ def main() -> None:
                 break
         per_query[name] = round(min(times), 3)
         timings[name] = [round(t, 3) for t in times]
-        row_load[name] = [round(row_load_start, 2),
-                          round(os.getloadavg()[0], 2)]
+        row_load[name] = [round(x, 2) for x in row_samples]
         if len(times) > base_runs:
             unstable[name] = timings[name]
         verdict = _classify_cross_round(prev, per_query[name], ratio,
-                                        plan_changed, row_load[name])
+                                        plan_changed, row_load[name],
+                                        guard=row_guard)
         if verdict is not None:
             row = {"prev": prev, "now": per_query[name],
                    "runs": timings[name], "load": row_load[name]}
@@ -724,7 +801,7 @@ def main() -> None:
                 load_suspect[name] = row
                 print(f"# cross-round delta {name}: {prev:.3f}s -> "
                       f"{per_query[name]:.3f}s under load "
-                      f"{row_load[name]} (> {ROW_LOAD_GUARD}), plan "
+                      f"{row_load[name]} (> {row_guard:.1f}), plan "
                       f"fingerprint unchanged — auto-adjudicated as "
                       f"load-suspect", file=sys.stderr)
             else:
@@ -822,6 +899,9 @@ def main() -> None:
         # 1-min loadavg at each row's run-window endpoints — the
         # machine-state signal the cross-round comparator reads
         "row_load": row_load,
+        # effective load_suspect threshold this run (floor vs margin x
+        # committed self-envelope) — documents the calibration used
+        "row_load_guard": round(row_guard, 2),
         # normalized executed-plan hash per row (exprIds/stage ids
         # stripped): stable across JVMs, moves with plan shape
         "plan_fp": plan_fps,

@@ -847,6 +847,81 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
     return spark.read.parquet(removed_path)
 
 
+def snapshot_cdc_reclaim(spark: SparkSession, staging_root: str,
+                         keep_last: int = 1,
+                         dry_run: bool = False) -> dict:
+    """Storage-lifecycle janitor for the CDC landing zones (VERDICT
+    r13 stretch #7): callers rotate ``staging_dir`` per snapshot
+    cycle under a common parent, and every CLOSED cycle leaves its
+    whole tree behind — staged slices, the ``_removed`` sidecar, the
+    ``_compacted`` marker. At 100 TB a daily-diff deployment retires
+    a full fingerprint snapshot per day; without reclamation the
+    landing zones grow without bound while serving nothing (the cut
+    version lives in the ``{prefix}_fps`` catalog table, and the
+    verdict sink is the caller's own artifact — neither is under the
+    staging root).
+
+    Scans the immediate children of ``staging_root`` and classifies
+    each directory:
+
+      closed    — has ``_compacted``: fully absorbed into a version
+                  cut; safe to delete. The newest ``keep_last`` (by
+                  marker modification time) are kept as the audit
+                  window for the most recent cycles' removed
+                  sidecars.
+      in_flight — has ``_cut_pending`` but not ``_compacted``: a
+                  compact crashed mid-cut; NEVER deleted (the sidecar
+                  is the only copy of the cycle's removals until the
+                  re-run finishes the protocol).
+      open      — no markers: the active cycle still staging slices;
+                  NEVER deleted.
+
+    Hadoop FileSystem API throughout (any scheme — the 100 TB
+    deployment's landing zone is object storage, not a local disk).
+    ``dry_run=True`` classifies and reports without deleting.
+    Returns {"reclaimed": [...], "kept": [...], "in_flight": [...],
+    "open": [...]} with fully-qualified child URIs, each list sorted.
+    """
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
+    sc = spark.sparkContext
+    root = sc._jvm.org.apache.hadoop.fs.Path(staging_root)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        raise ValueError(
+            f"staging root {staging_root} does not exist — nothing "
+            f"to reclaim (did the cycles rotate under a different "
+            f"parent?)")
+    closed: list[tuple[int, str]] = []  # (marker mtime, uri)
+    in_flight: list[str] = []
+    open_: list[str] = []
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        child = st.getPath()
+        uri = child.toString()
+        marker = sc._jvm.org.apache.hadoop.fs.Path(uri + "/_compacted")
+        pending = sc._jvm.org.apache.hadoop.fs.Path(
+            uri + "/_cut_pending")
+        if fs.exists(marker):
+            closed.append(
+                (int(fs.getFileStatus(marker).getModificationTime()),
+                 uri))
+        elif fs.exists(pending):
+            in_flight.append(uri)
+        else:
+            open_.append(uri)
+    closed.sort()  # oldest first; ties break on the uri
+    cut = len(closed) - keep_last
+    reclaim = [uri for _, uri in closed[:max(cut, 0)]]
+    kept = [uri for _, uri in closed[max(cut, 0):]]
+    if not dry_run:
+        for uri in reclaim:
+            fs.delete(sc._jvm.org.apache.hadoop.fs.Path(uri), True)
+    return {"reclaimed": sorted(reclaim), "kept": sorted(kept),
+            "in_flight": sorted(in_flight), "open": sorted(open_)}
+
+
 def ann_filtered_probe_stream(spark: SparkSession, sf_dir: str,
                               prefix: str, predicate, k: int,
                               nprobe: int = 8,

@@ -27,7 +27,7 @@ def test_prev_committed_bench_reads_git_head():
     aborted run may have overwritten the working copy), and every
     value must parse as a float keyed by query name."""
     bench = _bench_module()
-    prev, fps = bench._prev_committed_bench()
+    prev, fps, self_load = bench._prev_committed_bench()
     head = json.loads(subprocess.run(
         ["git", "-C", REPO, "show", "HEAD:bench_out.json"],
         capture_output=True, text=True, check=True).stdout)
@@ -35,13 +35,18 @@ def test_prev_committed_bench_reads_git_head():
         # degraded or measured under a different consumer (r12:
         # count()-pruned walls are not comparable to full-column
         # walls) — no baseline
-        assert prev == {} and fps == {}
+        assert prev == {} and fps == {} and self_load == 0.0
     else:
         assert prev == {k: float(v)
                         for k, v in head["queries"].items()}
         assert prev and all(isinstance(v, float) for v in prev.values())
         assert fps == {k: str(v)
                        for k, v in head.get("plan_fp", {}).items()}
+        # the quiet self-envelope that calibrates ROW_LOAD_GUARD
+        # (ADVICE r13) is the max over the committed row_load block
+        want_load = max((float(x) for v in head.get("row_load", {})
+                         .values() for x in v), default=0.0)
+        assert self_load == want_load
 
 
 def test_degraded_artifact_is_not_a_baseline(tmp_path):
@@ -55,15 +60,16 @@ def test_degraded_artifact_is_not_a_baseline(tmp_path):
                "plan_fp": {"q1": "abc"},
                "consumer": bench.CONSUMER_VERSION}
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
-    assert bench._prev_committed_bench(str(tmp_path)) == ({}, {})
+    assert bench._prev_committed_bench(str(tmp_path)) == ({}, {}, 0.0)
     payload["degraded"] = False
+    payload["row_load"] = {"q1": [2.0, 9.5]}
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
     assert bench._prev_committed_bench(str(tmp_path)) == (
-        {"q1": 1.0}, {"q1": "abc"})
+        {"q1": 1.0}, {"q1": "abc"}, 9.5)
     # a clean artifact from a DIFFERENT consumer is equally unusable
     payload["consumer"] = "count-legacy"
     (tmp_path / "bench_out.json").write_text(json.dumps(payload))
-    assert bench._prev_committed_bench(str(tmp_path)) == ({}, {})
+    assert bench._prev_committed_bench(str(tmp_path)) == ({}, {}, 0.0)
 
 
 def test_load_guard_refuses_without_force(monkeypatch, capsys):
@@ -236,3 +242,62 @@ def test_compact_summary_fits_tail_window():
     payload_big["queries"] = {f"q{i}": 1.0 for i in range(1500)}
     assert len(json.dumps(bench._compact_summary(payload_big))) \
         <= bench.TAIL_BUDGET_BYTES
+
+
+def test_headline_covers_every_registered_query():
+    """VERDICT r13 #3: 25 registered queries had correctness gates
+    but no per-round wall, so a perf regression there was invisible
+    to the cross-round adjudicator. Policy now: HEADLINE must cover
+    the ENTIRE registry — a new queries() entry without a bench row
+    fails here, not silently ships untimed."""
+    sys.path.insert(0, REPO)
+    from flink_user_behavior_analysis_spark.queries import QUERIES
+
+    bench = _bench_module()
+    missing = sorted(set(QUERIES) - set(bench.HEADLINE))
+    assert missing == [], f"registered but never benched: {missing}"
+
+
+def test_row_load_guard_is_self_calibrating():
+    """ADVICE r13: the committed r13 artifact's own quiet row_load
+    peaked at 11.08 — above the static 11.0 — so the constant is now
+    a floor and the effective guard scales with the committed
+    artifact's measured self-envelope. The classifier must honor a
+    passed guard over the module constant."""
+    bench = _bench_module()
+    f = bench._classify_cross_round
+    assert bench.ROW_LOAD_GUARD_MARGIN > 1.0
+    # guard floor behavior unchanged when no baseline envelope exists
+    assert max(bench.ROW_LOAD_GUARD,
+               bench.ROW_LOAD_GUARD_MARGIN * 0.0) == bench.ROW_LOAD_GUARD
+    # with the r13 envelope (11.08), a quiet row at load 11.5 is NOT
+    # excused as load_suspect under the scaled guard (13.85) — it is
+    # a genuine regression; under the old constant it was excused
+    guard = max(bench.ROW_LOAD_GUARD,
+                bench.ROW_LOAD_GUARD_MARGIN * 11.08)
+    assert f(1.0, 2.0, 1.5, False, [11.5, 11.5], guard=guard) == \
+        "regression"
+    assert f(1.0, 2.0, 1.5, False, [11.5, 11.5]) == "load_suspect"
+    # genuinely hot windows still classify as load_suspect
+    assert f(1.0, 2.0, 1.5, False, [guard + 1.0], guard=guard) == \
+        "load_suspect"
+
+
+def test_documented_band_rows_keep_band_ratio_above_the_wall():
+    """ADVICE r13: contamination's PERF-studied quiet band is
+    0.75-1.83 s — it straddles SMALL_ROW_WALL, so a round committing
+    it just above 1 s must not revert the row to the tight global
+    ratio (the next fresh session's ~1.8 s floor would re-flag it
+    every round). The documented-band override pins both rows at the
+    band ratio regardless of which side of the wall they commit."""
+    bench = _bench_module()
+    for name in ("contamination", "contamination_stored"):
+        assert bench._cross_round_ratio(name, 1.2) == \
+            bench.SMALL_ROW_RATIO
+        assert bench._cross_round_ratio(name, 0.8) == \
+            bench.SMALL_ROW_RATIO
+    # unpinned rows: the wall still splits tight vs band
+    assert bench._cross_round_ratio("pricing_summary", 1.2) == \
+        bench.CROSS_ROUND_RATIO
+    assert bench._cross_round_ratio("pricing_summary", 0.8) == \
+        bench.SMALL_ROW_RATIO

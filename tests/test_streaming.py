@@ -1365,3 +1365,74 @@ def test_snapshot_cdc_compact_torn_state_recovery(spark, tmp_path):
         snapshot_cdc_compact(spark, prefix, staging2, ["doc_id"])
     for t in ("fps", "manifest", "appends", "cleared"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
+
+
+def test_snapshot_cdc_reclaim_deletes_only_old_closed_cycles(
+        spark, tmp_path):
+    """VERDICT r13 stretch #7: closed CDC cycles accumulate staging
+    trees nothing reclaims. The janitor must delete only CLOSED
+    cycles beyond the keep_last audit window — never the open
+    (active) cycle, never an in-flight (_cut_pending) one whose
+    sidecar is the sole copy of its removals — and dry_run must
+    classify without deleting."""
+    import os
+    import time as _time
+
+    import pytest
+
+    from flink_user_behavior_analysis_spark.streaming.jobs import (
+        _hadoop_path_exists,
+        _hadoop_touch,
+        snapshot_cdc_reclaim,
+    )
+
+    root = tmp_path / "zones"
+    root.mkdir()
+
+    def mk(name, *markers):
+        d = root / name
+        d.mkdir()
+        (d / "ingest_batch=b-0").mkdir()
+        (d / "ingest_batch=b-0" / "part-0.parquet").write_bytes(b"x")
+        for m in markers:
+            _hadoop_touch(spark, f"{d}/{m}")
+            _time.sleep(0.02)  # distinct marker mtimes -> stable order
+        return str(d)
+
+    c1 = mk("cycle1", "_cut_pending", "_compacted")  # oldest closed
+    c2 = mk("cycle2", "_cut_pending", "_compacted")
+    c3 = mk("cycle3", "_cut_pending", "_compacted")  # newest closed
+    fl = mk("cycle4", "_cut_pending")                # in-flight
+    op = mk("cycle5")                                # open/active
+
+    got = snapshot_cdc_reclaim(spark, str(root), keep_last=1,
+                               dry_run=True)
+    assert [os.path.basename(u) for u in got["reclaimed"]] == \
+        ["cycle1", "cycle2"]
+    assert [os.path.basename(u) for u in got["kept"]] == ["cycle3"]
+    assert [os.path.basename(u) for u in got["in_flight"]] == ["cycle4"]
+    assert [os.path.basename(u) for u in got["open"]] == ["cycle5"]
+    # dry run deleted nothing
+    for d in (c1, c2, c3, fl, op):
+        assert _hadoop_path_exists(spark, d)
+
+    got = snapshot_cdc_reclaim(spark, str(root), keep_last=1)
+    assert [os.path.basename(u) for u in got["reclaimed"]] == \
+        ["cycle1", "cycle2"]
+    assert not _hadoop_path_exists(spark, c1)
+    assert not _hadoop_path_exists(spark, c2)
+    # the audit window, the in-flight cycle, and the active cycle
+    # all survive — including their contents
+    for d in (c3, fl, op):
+        assert _hadoop_path_exists(spark, f"{d}/ingest_batch=b-0")
+
+    # keep_last=0 reclaims every closed cycle; non-closed still safe
+    got = snapshot_cdc_reclaim(spark, str(root), keep_last=0)
+    assert [os.path.basename(u) for u in got["reclaimed"]] == ["cycle3"]
+    assert _hadoop_path_exists(spark, fl)
+    assert _hadoop_path_exists(spark, op)
+
+    with pytest.raises(ValueError, match="keep_last"):
+        snapshot_cdc_reclaim(spark, str(root), keep_last=-1)
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_cdc_reclaim(spark, str(tmp_path / "nope"))
