@@ -2398,10 +2398,14 @@ def semantic_dedup(vecs: DataFrame, centroids: list[list[float]],
     exceeds the bound — the production guard against a STALE model
     applied to a drifted corpus, where one old cell can swallow most
     of the data (tools/semdedup_stress.py measures that wall: a
-    0.95N cell blew a 12-minute budget at N=40k where the balanced
-    fit took ~1 s). The cure is a refit (k-means re-splits dense
-    regions — measured ratio <= 1 for a FRESH fit even on 95/5
-    skew), more centroids, or the blocked-GEMM pair kernel.
+    0.95N cell blew a 12-minute budget at N=40k on the SQL kernel
+    where the balanced fit took ~1 s). The cure is a refit (k-means
+    re-splits dense regions — measured ratio <= 1 for a FRESH fit
+    even on 95/5 skew) or more centroids. Since r14 the GEMM kernel
+    also task-decomposes hot cells into priority-block pairs
+    (degenerate/balanced wall ratio measured 1.23 at N=20k — see
+    _dropped_within), so the guard now protects against the
+    quadratic FLOP count itself, not a single-task serialization.
     """
     # checkpoint the assignment: it feeds up to four consumers (the
     # max_cell aggregate, both legs of the pair join, the final
