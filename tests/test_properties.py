@@ -803,3 +803,79 @@ def test_rotation_order_invariants():
     forced = set(_FORCE_WINDOW)
     keys = [(n not in forced, fresh.get(n, -1), n) for n in order]
     assert keys == sorted(keys)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=2, max_size=14),
+    cents=st.lists(
+        st.lists(st.integers(-2, 2), min_size=4, max_size=4),
+        min_size=1, max_size=2),
+    eps_pct=st.integers(min_value=-50, max_value=100),
+    grain=st.integers(min_value=2, max_value=5),
+)
+def test_semantic_dedup_gemm_blocked_matches_python_reference(
+        spark, vecs, cents, eps_pct, grain):
+    """r14 decomposition property: the block-pair GEMM kernel under a
+    RANDOM tiny grain (2-5 rows per priority block, so hypothesis
+    randomizes which drop pairs land cross-block vs diagonal) must
+    equal the same pure-Python rule as the SQL kernel — zero vectors,
+    duplicate vectors, degenerate one-centroid models included. The
+    rounding space is disagreement-free by enumeration (all 3,221
+    distinct cosines of [-3,3]^4 integer vectors round identically
+    under scale-floor HALF_UP and Decimal-repr HALF_UP), so any
+    failure here is a decomposition bug, not a rounding ulp."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from flink_user_behavior_analysis_spark.operators import similarity
+    from flink_user_behavior_analysis_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    eps = eps_pct / 100.0
+
+    def r(x, dp):
+        return float(Decimal(repr(x)).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP))
+
+    def cos(u, v, dp):
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return r(0.0 if nu == 0 or nv == 0 else
+                 sum(a * b for a, b in zip(u, v)) / (nu * nv), dp)
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows,
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents_f = [[float(x) for x in c] for c in cents]
+    old = similarity._CELL_BLOCK_ROWS
+    similarity._CELL_BLOCK_ROWS = grain
+    try:
+        got = {row.vec_id: (row.cell, row.cent_sim, row.status)
+               for row in semantic_dedup(
+                   df, cents_f, eps, pair_kernel="gemm").collect()}
+    finally:
+        similarity._CELL_BLOCK_ROWS = old
+
+    assign = {}
+    for i, v in rows:
+        best, bc = None, None
+        for ci, c in enumerate(cents_f):
+            cs = cos(v, c, 6)
+            if best is None or cs > best:
+                best, bc = cs, ci
+        assign[i] = (bc, best)
+    expected = {}
+    for i, v in rows:
+        cell, cs = assign[i]
+        dropped = any(
+            assign[j][0] == cell and (assign[j][1], j) < (cs, i)
+            and cos(v, dict(rows)[j], 4) >= eps
+            for j, _ in rows if j != i
+        )
+        expected[i] = (cell, cs, "dropped" if dropped else "kept")
+    assert got == expected
