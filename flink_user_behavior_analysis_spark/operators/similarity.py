@@ -2285,7 +2285,14 @@ def _dropped_within(assigned: DataFrame, eps: float, id_col: str,
     groups, replication factor 1). Per-cell member counts ride a
     broadcast join off the (checkpointed) assignment — no driver
     collect. The final distinct() is required because a member can
-    be dropped by earlier members in several blocks."""
+    be dropped by earlier members in several blocks.
+
+    Cost honesty: a member of an R-block cell replicates to R block
+    pairs, so a hot cell's shuffle volume is O(m*R) = O(m^2/grain)
+    rows — distributed and spill-safe (each task holds <= 2*grain
+    rows), but still quadratic in bytes like the FLOPs themselves;
+    the max_cell guard / drift-monitor refit remains the answer when
+    a cell outgrows what a quadratic rule should ever see."""
     if pair_kernel == "sql":
         return _semdedup_dropped_within(assigned, eps, id_col)
     if pair_kernel == "gemm":
