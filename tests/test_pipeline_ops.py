@@ -2504,21 +2504,29 @@ def test_semdedup_probe_gemm_equals_sql_under_one_cell_model(spark):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{t}")
 
 
-def test_semdedup_gemm_kernels_accept_string_ids(spark):
+def test_semdedup_gemm_kernels_accept_string_ids(spark, monkeypatch):
     """ADVICE r12: the r12 within-cell kernel hardcoded ``_did long``
     and astype(int64), crashing/corrupting on the public API's
     arbitrary id types. Both GEMM kernels must now derive the id
     schema from the input: string-id semantic_dedup and
     semdedup_probe must equal their SQL-kernel twins exactly
     (priority tie-break on string ids is lexicographic in BOTH
-    engines — pandas mergesort and the SQL '<')."""
+    engines — pandas mergesort and the SQL '<'). r14: grains shrunk
+    so the BLOCK-PAIR paths run on string ids too — cross-block
+    numpy object-array ids concatenate and hash-split correctly,
+    not just the diagonal single-block path the default grain takes
+    at this size."""
     from pyspark.sql import functions as F
 
+    from flink_user_behavior_analysis_spark.operators import similarity
     from flink_user_behavior_analysis_spark.operators.similarity import (
         semantic_dedup,
         semdedup_probe,
         semdedup_store_corpus,
     )
+
+    monkeypatch.setattr(similarity, "_CELL_BLOCK_ROWS", 4)
+    monkeypatch.setattr(similarity, "_CORPUS_BLOCK_ROWS", 3)
 
     cents = [[1.0, 0.0], [0.0, 1.0]]
     rows = [(f"doc-{i:03d}",
