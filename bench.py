@@ -569,7 +569,12 @@ def _classify_cross_round(prev, now: float, ratio: float,
         return "expected"
     if guard is None:
         guard = ROW_LOAD_GUARD
-    if row_load and max(row_load) > guard:
+    # the FIRST sample predates this row's runs — a hot neighbor's
+    # trailing EWMA must corroborate with at least one sample that
+    # overlaps the runs, or a genuine regression behind a hot
+    # predecessor would be silently excused (r14 review finding)
+    window = row_load[1:] if len(row_load) > 1 else row_load
+    if window and max(window) > guard:
         return "load_suspect"
     return "regression"
 

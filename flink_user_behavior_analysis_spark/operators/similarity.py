@@ -2311,6 +2311,10 @@ def _dropped_within(assigned: DataFrame, eps: float, id_col: str,
                 F.sequence(F.lit(0), F.col("_r") - 1)))
             .withColumn("_lo", F.least("_blk", "_ob"))
             .withColumn("_hi", F.greatest("_blk", "_ob"))
+            # _m/_r/_ob are routing scaffolding — dead weight on the
+            # O(m*R) replicated shuffle rows of exactly the hot-cell
+            # path this decomposition optimizes (r14 review finding)
+            .drop("_m", "_r", "_ob")
         )
         return (blocked.groupBy("cell", "_lo", "_hi")
                 .applyInPandas(_make_cell_block_dropped_fn(eps, id_col),
@@ -2622,7 +2626,10 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
         corpus_blocked = (
             corpus_cells.join(F.broadcast(pmap), "c_cell")
             .withColumn("c_blk", F.pmod(F.xxhash64(F.col("c_id")),
-                                        F.col("_p")).cast("int")))
+                                        F.col("_p")).cast("int"))
+            # c_id served only the hash; _p only the modulus — drop
+            # both before the corpus-wide shuffle (r14 review finding)
+            .drop("c_id", "_p"))
         batch_blocked = (
             b.select(id_col, "cell", "_v", "_n")
             .join(F.broadcast(pmap),

@@ -616,7 +616,16 @@ def cdc_default_job_id(spark: SparkSession, staging_dir: str) -> str:
     would derive a different id, replay committed epochs under fresh
     batch ids, and double-stage the same keys into the version cut.
     makeQualified resolves scheme, authority, working-dir-relative
-    paths, and trailing slashes to one canonical spelling."""
+    paths, and trailing slashes to one canonical spelling.
+
+    MIGRATION (r14): the derivation changed from sha1(raw string) to
+    sha1(qualified URI), so the SAME path spelling derives a
+    DIFFERENT id across the upgrade. A cycle in flight across the
+    upgrade must either finish (compact) before upgrading or pass
+    its pre-upgrade id explicitly via ``job_id=`` on restart —
+    otherwise replayed epochs would commit under fresh batch ids and
+    double-stage their keys (the exact hazard the derivation exists
+    to prevent). Fresh cycles need nothing."""
     import hashlib
 
     sc = spark.sparkContext
@@ -790,7 +799,14 @@ def snapshot_cdc_compact(spark: SparkSession, prefix: str,
     sidecar — silently losing the cycle's removals in exactly the
     recovery path. With the marker, a re-run reuses the sidecar,
     re-runs the idempotent cut, and finishes ledger-clear + close;
-    the ingest gate also refuses new slices once the marker exists."""
+    the ingest gate also refuses new slices once the marker exists.
+
+    Return-value lifetime: the returned DataFrame reads LAZILY from
+    the ``_removed`` sidecar under this staging dir — consume it (or
+    copy it out) BEFORE snapshot_cdc_reclaim deletes the cycle, or
+    the scan fails on the vanished files. The janitor's default
+    keep_last=1 keeps the newest closed cycle for exactly this
+    reason."""
     from ..operators.versioning import _diff_fps, snapshot_cut_version
     from ..sources.readers import clear_append_ledger
 
@@ -868,7 +884,11 @@ def snapshot_cdc_reclaim(spark: SparkSession, staging_root: str,
                   cut; safe to delete. The newest ``keep_last`` (by
                   marker modification time) are kept as the audit
                   window for the most recent cycles' removed
-                  sidecars.
+                  sidecars — and because snapshot_cdc_compact's
+                  return value reads lazily from its cycle's
+                  sidecar, reclaim only cycles whose removed set has
+                  been consumed (keep_last=0 invalidates the newest
+                  compact's unconsumed return).
       in_flight — has ``_cut_pending`` but not ``_compacted``: a
                   compact crashed mid-cut; NEVER deleted (the sidecar
                   is the only copy of the cycle's removals until the

@@ -190,7 +190,11 @@ def test_classify_cross_round_auto_adjudicates_load():
     assert f(1.0, 1.4, 1.5, False, [hot, hot]) is None
     assert f(1.0, 2.0, 1.5, True, [0.1, 0.1]) == "expected"
     assert f(1.0, 2.0, 1.5, False, [quiet, hot]) == "load_suspect"
-    assert f(1.0, 2.0, 1.5, False, [hot, quiet]) == "load_suspect"
+    # r14: the LEADING sample predates the row's runs (it is the
+    # neighbor's trailing load) — alone it must NOT excuse a
+    # regression; only samples overlapping the runs corroborate
+    assert f(1.0, 2.0, 1.5, False, [hot, quiet]) == "regression"
+    assert f(1.0, 2.0, 1.5, False, [hot, quiet, hot]) == "load_suspect"
     assert f(1.0, 2.0, 1.5, False, [0.1, 0.2]) == "regression"
     # bench self-load alone (under the row guard) is NOT an excuse
     assert f(1.0, 2.0, 1.5, False, [quiet, quiet]) == "regression"
