@@ -732,9 +732,11 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
     previous centroid.
 
     Scale shape (100 TB): per iteration, ONE corpus scan (mapInPandas
-    assignment against k broadcast centroids) + ONE shuffle keyed by
-    (centroid, dim) with map-side partial sums; centroids collected
-    to the driver are k rows regardless of corpus size.
+    assigns against k broadcast centroids AND pre-aggregates the
+    fixed-point update in-task, the pq_fit pattern) + ONE shuffle of
+    k*d partial rows per task — the vector column never re-crosses
+    Arrow and the shuffle is corpus-size-independent; centroids
+    collected to the driver are k rows regardless of corpus size.
     """
     import numpy as np
 
@@ -765,10 +767,11 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
     cents = np.array([np.asarray(r[0], dtype=np.float64)
                       for r in init_rows])
 
-    vec_type = vecs.schema[vec_col].dataType
     assign_schema = StructType([
         StructField("cent", IntegerType()),
-        StructField("vec", vec_type),
+        StructField("dim", IntegerType()),
+        StructField("s", LongType()),
+        StructField("n", LongType()),
     ])
 
     for _ in range(max(0, iters)):
@@ -784,9 +787,19 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
             c_mat = cents
             half_sq = 0.5 * (c_mat * c_mat).sum(axis=1)
 
-        def _assign(batches):
+        def _assign_partials(batches):
             import pandas as pd
 
+            # assignment AND the fixed-point partial update in ONE
+            # Arrow pass (the pq_fit pattern): the shuffle moves
+            # k*d partial rows per task instead of the corpus'
+            # vectors + a d-per-row explode, and the vector column
+            # never crosses Arrow a second time. Per-element HALF_UP
+            # (copysign/floor) replicates F.round exactly — n+0.5 is
+            # exactly representable at |x*1e6| <= 1e6 so the decimal
+            # and binary tie sets coincide — and int64 partial sums
+            # are associative, so centroids are bit-identical to the
+            # former posexplode+groupBy path on any partitioning.
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -796,20 +809,26 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
                 # the unit sphere); argmax returns the FIRST max ->
                 # lowest centroid index on ties
                 d = x @ c_mat.T - half_sq
-                yield pd.DataFrame({
-                    "cent": d.argmax(axis=1).astype("int32"),
-                    "vec": pdf.iloc[:, 0],
-                })
+                cent = d.argmax(axis=1)
+                fx = np.copysign(
+                    np.floor(np.abs(x) * 1_000_000 + 0.5), x
+                ).astype("int64")
+                recs = []
+                for ci in np.unique(cent):
+                    sel = fx[cent == ci]
+                    sums = sel.sum(axis=0)
+                    nn = sel.shape[0]
+                    for di in range(x.shape[1]):
+                        recs.append((int(ci), di, int(sums[di]), nn))
+                yield pd.DataFrame(
+                    recs, columns=["cent", "dim", "s", "n"])
 
-        assigned = vecs.select(F.col(vec_col)).mapInPandas(
-            _assign, assign_schema)
         per_dim = (
-            assigned.select(
-                "cent", F.posexplode("vec").alias("dim", "x"))
+            vecs.select(F.col(vec_col))
+            .mapInPandas(_assign_partials, assign_schema)
             .groupBy("cent", "dim")
-            .agg(F.sum(F.round(F.col("x").cast("double") * 1_000_000, 0)
-                       .cast("long")).alias("s"),
-                 F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"),
+                 F.sum("n").cast("long").alias("n"))
             .collect()
         )
         new = cents.copy()
