@@ -562,27 +562,37 @@ def _make_block_pair_fn(thr: float):
         xb = np.array([np.asarray(e, dtype=np.float64) for e in b["vec"]])
         xa /= np.linalg.norm(xa, axis=1, keepdims=True)
         xb /= np.linalg.norm(xb, axis=1, keepdims=True)
-        # HALF_UP at 4 dp, matching F.round/DuckDB (ADVICE r13) —
-        # np.round's half-even flips exact dyadic ties vs the SQL twin
-        cos = xa @ xb.T
-        cos = np.copysign(np.floor(np.abs(cos) * 1e4 + 0.5), cos) / 1e4
-        ia, ib = np.where(cos >= thr)
-        if bi == bj:
-            # same block on both sides: every unordered pair appears in
-            # both orientations — keep exactly the a<b one
-            keep = ids_a[ia] < ids_b[ib]
-            ia, ib = ia[keep], ib[keep]
-            lo, hi = ids_a[ia], ids_b[ib]
-        else:
-            # distinct blocks: each unordered pair appears exactly once;
-            # normalize the id order in the output
-            lo = np.minimum(ids_a[ia], ids_b[ib])
-            hi = np.maximum(ids_a[ia], ids_b[ib])
-        return pd.DataFrame({
-            "id_a": lo.astype("int64"),
-            "id_b": hi.astype("int64"),
-            "cosine": cos[ia, ib],
-        })
+        # strip the GEMM so the sim matrix (and its rounding-chain
+        # temporaries) peaks at ~4M cells regardless of block size:
+        # an UNstripped |a| x |b| float64 matrix at 7.5k-row blocks is
+        # ~450 MB x 4 temporaries x 32 concurrent tasks — measured as
+        # a 190x wall blowup at 30x sf0.1 before this bound existed
+        strip = max(1, 4_000_000 // max(1, len(ids_b)))
+        parts = []
+        for s in range(0, len(ids_a), strip):
+            # HALF_UP at 4 dp, matching F.round/DuckDB (ADVICE r13) —
+            # np.round's half-even flips exact dyadic ties vs the SQL
+            # twin
+            cos = xa[s:s + strip] @ xb.T
+            cos = np.copysign(np.floor(np.abs(cos) * 1e4 + 0.5), cos) / 1e4
+            ia, ib = np.where(cos >= thr)
+            if bi == bj:
+                # same block on both sides: every unordered pair
+                # appears in both orientations — keep exactly a<b
+                keep = ids_a[s + ia] < ids_b[ib]
+                ia, ib = ia[keep], ib[keep]
+                lo, hi = ids_a[s + ia], ids_b[ib]
+            else:
+                # distinct blocks: each unordered pair appears exactly
+                # once; normalize the id order in the output
+                lo = np.minimum(ids_a[s + ia], ids_b[ib])
+                hi = np.maximum(ids_a[s + ia], ids_b[ib])
+            parts.append(pd.DataFrame({
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                "cosine": cos[ia, ib],
+            }))
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return _block_pairs
 
