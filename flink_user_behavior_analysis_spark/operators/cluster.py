@@ -48,10 +48,18 @@ def connected_components(
     # data). Checkpointing cuts lineage to a materialized RDD so every
     # round optimizes a constant-size plan. On a cluster this is the
     # GraphFrames/GraphX pattern for the same reason.
+    # LAZY checkpoints (r14, guide §1.2): eager=True ran one job per
+    # materialization and the convergence aggregate ran ANOTHER job
+    # over the just-materialized frame — two driver round-trips per
+    # round. With eager=False the plan is already truncated to a
+    # LogicalRDD and the 1-row convergence aggregate's action is what
+    # materializes the checkpoint (an aggregate reads every
+    # partition, so the checkpoint is complete) — one job per round,
+    # same lineage-cut, bit-identical labels.
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
         .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # propagate only over nodes that touch an edge — isolated nodes are
     # fixpoints from round 0, and in a dedup graph they are the vast
@@ -59,7 +67,7 @@ def connected_components(
     labels = (
         sym.select("n").distinct()
         .select(F.col("n"), F.col("n").cast("long").alias("comp"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     converged = False
@@ -77,7 +85,7 @@ def connected_components(
                 "n",
                 F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)"))
@@ -137,12 +145,15 @@ def connected_components_star(
     id in ``edges``; isolated nodes are singleton components;
     RuntimeError (not a wrong answer) on non-convergence.
     """
+    # lazy checkpoints, same one-job-per-round rationale as
+    # connected_components: the round's checksum aggregate is the
+    # action that materializes the round's checkpoint
     ecur = (
         edges.select(F.col(src_col).cast("long").alias("a"),
                      F.col(dst_col).cast("long").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _checksum(e: DataFrame):
@@ -181,7 +192,7 @@ def connected_components_star(
                                  F.col("mn").alias("b")))
             .where(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)  # same lineage-cut rationale
+            .localCheckpoint(eager=False)  # same lineage-cut rationale
         )
         ecur = small
         cur = _checksum(ecur)

@@ -28,9 +28,85 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
+
+
+def _segment_sums(cent, fx):
+    """(uniq, sums, counts): int64 column sums of ``fx`` grouped by
+    assignment ``cent`` — one stable argsort + np.add.reduceat instead
+    of one boolean mask per distinct centroid (the r14 vectorization;
+    int64 addition is associative, so totals are bit-identical to the
+    per-mask form on any ordering)."""
+    import numpy as np
+
+    order = np.argsort(cent, kind="stable")
+    fs = fx[order]
+    cs = cent[order]
+    uniq, starts = np.unique(cs, return_index=True)
+    sums = np.add.reduceat(fs, starts, axis=0)
+    counts = np.diff(np.append(starts, cs.size))
+    return uniq, sums, counts
+
+
+def _unit_rows(x):
+    """Drop zero-norm rows and unit-normalize, replicating the JVM
+    ``where(norm_expr > 0) + transform(x / nrm)`` projection BIT FOR
+    BIT: norm_expr is a strict left fold (((0+x0^2)+x1^2)+...), so
+    the accumulator loops dims in order (vectorized across rows);
+    sqrt and the per-element division are the same IEEE-754 ops the
+    JVM evaluates. Exists because the JVM form is interpreted
+    (higher-order functions are CodegenFallback) and — worse — a
+    lambda referencing the fold re-evaluates it per ELEMENT (measured
+    0.59 s vs 0.13 s per sf0.1 pass); Catalyst's project collapsing
+    re-inlines any attempt to hoist it, so the normalization moved
+    into the Arrow kernels instead (guide §4.2)."""
+    import numpy as np
+
+    acc = np.zeros(x.shape[0])
+    for j in range(x.shape[1]):
+        xj = x[:, j]
+        acc = acc + xj * xj
+    nrm = np.sqrt(acc)
+    keep = nrm > 0
+    if not keep.all():
+        x = x[keep]
+        nrm = nrm[keep]
+    return x / nrm[:, None]
+
+
+def _batch_mat(col, dtype="float64"):
+    """(n, d) ndarray from one Arrow ``list<numeric>`` record-batch
+    column — the §4.2 zero-copy path: a list column is one contiguous
+    values buffer plus offsets, so the dense matrix is a flatten +
+    reshape instead of a per-row object conversion (measured 0.29 s
+    -> 0.7 ms at 50k x 64; every embedding kernel pays this per
+    pass). Rows must be fixed-width and non-null (the embedding
+    contract) — ragged input fails loudly in the reshape."""
+    import numpy as np
+
+    assert col.null_count == 0, "embedding column contains nulls"
+    n = len(col)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    return vals.astype(dtype, copy=False).reshape(n, -1)
+
+
+def _list_col(mat, arrow_type=None):
+    """Arrow ``list<arrow_type>`` array from a contiguous (n, d)
+    matrix — a computed offsets array over the raveled values buffer
+    (guide §4.2's re-slice trick), not a per-row list build."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                       type=pa.int32())
+    values = pa.array(mat.ravel(), type=arrow_type)
+    return pa.ListArray.from_arrays(offsets, values)
 
 
 def dot_expr(a: str, b: str) -> Column:
@@ -131,34 +207,36 @@ def brute_force_topk_arrow(queries: DataFrame, corpus: DataFrame, k: int,
 
     def _scan(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         qm = q_mat
         qids = np.asarray(q_ids, dtype="int64")
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            ids = batch.column(0).to_numpy().astype("int64")
+            x = _batch_mat(batch.column(1))
             # sort by id so the stable argsort below breaks exact-cosine
             # ties by neighbor_id asc — the same total order the final
             # rank (and the SQL oracle) uses
-            pdf = pdf.sort_values(pdf.columns[0])
-            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
-            x = np.array([np.asarray(e, dtype=np.float64) for e in pdf.iloc[:, 1]])
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            x = x[order]
             x /= np.linalg.norm(x, axis=1, keepdims=True)
             cos = qm @ x.T                      # (nq, batch)
             self_mask = qids[:, None] == ids[None, :]
             cos_m = np.where(self_mask, -np.inf, cos)
             take = min(k_, cos_m.shape[1])
             idx = np.argsort(-cos_m, axis=1, kind="stable")[:, :take]
-            rows = {
-                "query_id": np.repeat(qids, take),
-                "neighbor_id": ids[idx.ravel()],
-                "_cos": np.take_along_axis(cos_m, idx, axis=1).ravel(),
-            }
-            out = pd.DataFrame(rows)
-            yield out[out["_cos"] != -np.inf]
+            c = np.take_along_axis(cos_m, idx, axis=1).ravel()
+            keep = c != -np.inf
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(qids, take)[keep], type=pa.int64()),
+                 pa.array(ids[idx.ravel()][keep], type=pa.int64()),
+                 pa.array(c[keep], type=pa.float64())],
+                ["query_id", "neighbor_id", "_cos"])
 
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _scan, out_schema
     )
     from pyspark.sql import Window
@@ -383,24 +461,27 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             StructField("cent_id", id_type),
         ])
 
-        def _scan(batches):
-            import pandas as pd
+        from pyspark.sql.pandas.types import to_arrow_type
 
-            for pdf in batches:
-                if pdf.empty:
+        cent_arrow_type = to_arrow_type(id_type)
+
+        def _scan(batches):
+            import pyarrow as pa
+
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                x = np.array([np.asarray(e, dtype=np.float64)
-                              for e in pdf.iloc[:, 1]])
+                x = _batch_mat(batch.column(1))
                 norms = np.linalg.norm(x, axis=1)
                 best = np.argmax((x / norms[:, None]) @ c_mat.T, axis=1)
-                yield pd.DataFrame({
-                    f"{prefix}_id": pdf.iloc[:, 0],
-                    f"{prefix}_vec": pdf.iloc[:, 1],
-                    f"{prefix}_norm": norms,
-                    "cent_id": c_ids[best],
-                })
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1),
+                     pa.array(norms, type=pa.float64()),
+                     pa.array(c_ids[best]).cast(cent_arrow_type)],
+                    [f"{prefix}_id", f"{prefix}_vec",
+                     f"{prefix}_norm", "cent_id"])
 
-        return side.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        return side.select(F.col(id_col), F.col(vec_col)).mapInArrow(
             _scan, out_schema
         )
 
@@ -750,11 +831,17 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
     """
     import numpy as np
 
-    from .dedup import md5_long
-
     if metric not in ("cosine", "euclid"):
         raise ValueError(f"unknown metric {metric!r}; "
                          "use 'cosine' or 'euclid'")
+    # r14 (§4.2): the JVM normalization projection is interpreted and
+    # re-evaluates the norm fold per element (see _unit_rows) — ~0.5 s
+    # per sf0.1 pass. The INIT pass keeps it (its md5 content-hash
+    # keys are built JVM-side over the normalized values); the
+    # per-iteration scans feed the RAW column and normalize inside
+    # the Arrow kernel via _unit_rows, which replicates the JVM
+    # projection bit-for-bit — centroids are unchanged.
+    raw_scan = vecs.select(F.col(vec_col))
     if metric == "cosine":
         nrm = norm_expr(vec_col)
         vecs = vecs.where(nrm > 0).select(
@@ -762,13 +849,55 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
                 F.col(vec_col), lambda x: x.cast("double") / nrm
             ).alias(vec_col))
 
+    # r14 (§4.2): the content-hash init used to build its keys with an
+    # interpreted per-element transform over the (equally interpreted)
+    # normalized frame — ~0.8 s per fit at sf0.1. The SAME selection
+    # now runs inside an Arrow kernel: normalize via _unit_rows
+    # (bit-identical), fixed-point the coordinates with the identical
+    # HALF_UP rule the update step uses (replicates
+    # F.round(x*1e6, 0).cast long — same tie-set argument as there),
+    # md5 the identical ","-joined key string, and emit only each
+    # batch's k smallest (_h, _key) candidates — a superset of the
+    # global top-k, which the tiny JVM TakeOrdered then finishes with
+    # the same (_h, _key) binary string order (pure-ASCII keys, so
+    # Python's sort and UTF8String.compare agree).
+    init_schema = StructType([
+        StructField("_h", LongType()),
+        StructField("_key", StringType()),
+        StructField("v", ArrayType(DoubleType())),
+    ])
+
+    def _init_cands(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            x = _batch_mat(batch.column(0))
+            if metric == "cosine":
+                x = _unit_rows(x)
+                if x.shape[0] == 0:
+                    continue
+            fx = np.copysign(
+                np.floor(np.abs(x) * 1_000_000 + 0.5), x).astype("int64")
+            cands = []
+            for i in range(fx.shape[0]):
+                key = ",".join(str(v) for v in fx[i])
+                cands.append(
+                    (int(hashlib.md5(key.encode()).hexdigest()[:15], 16),
+                     key, i))
+            cands.sort(key=lambda t: (t[0], t[1]))
+            cands = cands[:k]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([t[0] for t in cands], type=pa.int64()),
+                 pa.array([t[1] for t in cands], type=pa.string()),
+                 _list_col(x[[t[2] for t in cands]], pa.float64())],
+                ["_h", "_key", "v"])
+
     init_rows = (
-        vecs.select(F.col(vec_col).alias("v"))
-        .withColumn("_key", F.concat_ws(",", F.transform(
-            F.col("v"),
-            lambda x: F.round(x.cast("double") * 1_000_000, 0)
-            .cast("long").cast("string"))))
-        .withColumn("_h", md5_long(F.col("_key")))
+        raw_scan.mapInArrow(_init_cands, init_schema)
         .orderBy("_h", "_key")
         .limit(k)
         .select("v")
@@ -798,7 +927,7 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
             half_sq = 0.5 * (c_mat * c_mat).sum(axis=1)
 
         def _assign_partials(batches):
-            import pandas as pd
+            import pyarrow as pa
 
             # assignment AND the fixed-point partial update in ONE
             # Arrow pass (the pq_fit pattern): the shuffle moves
@@ -810,11 +939,14 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
             # and binary tie sets coincide — and int64 partial sums
             # are associative, so centroids are bit-identical to the
             # former posexplode+groupBy path on any partitioning.
-            for pdf in batches:
-                if pdf.empty:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                x = np.array([np.asarray(e, dtype=np.float64)
-                              for e in pdf.iloc[:, 0]])
+                x = _batch_mat(batch.column(0))
+                if metric == "cosine":
+                    x = _unit_rows(x)
+                    if x.shape[0] == 0:
+                        continue
                 # (squared-euclidean via the dot trick, or plain dot on
                 # the unit sphere); argmax returns the FIRST max ->
                 # lowest centroid index on ties
@@ -823,34 +955,33 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int = 5,
                 fx = np.copysign(
                     np.floor(np.abs(x) * 1_000_000 + 0.5), x
                 ).astype("int64")
-                recs = []
-                for ci in np.unique(cent):
-                    sel = fx[cent == ci]
-                    sums = sel.sum(axis=0)
-                    nn = sel.shape[0]
-                    for di in range(x.shape[1]):
-                        recs.append((int(ci), di, int(sums[di]), nn))
-                yield pd.DataFrame(
-                    recs, columns=["cent", "dim", "s", "n"])
+                dim_n = x.shape[1]
+                uniq, sums, nn = _segment_sums(cent, fx)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.repeat(uniq, dim_n).astype("int32")),
+                     pa.array(np.tile(np.arange(dim_n, dtype="int32"),
+                                      uniq.size)),
+                     pa.array(sums.ravel(), type=pa.int64()),
+                     pa.array(np.repeat(nn, dim_n).astype("int64"))],
+                    ["cent", "dim", "s", "n"])
 
+        # toArrow (not collect): the k*d partial rows land as columnar
+        # buffers and the update is one vectorized scatter — same
+        # divisions in the same order as the former per-row loop
         per_dim = (
-            vecs.select(F.col(vec_col))
-            .mapInPandas(_assign_partials, assign_schema)
+            raw_scan
+            .mapInArrow(_assign_partials, assign_schema)
             .groupBy("cent", "dim")
             .agg(F.sum("s").alias("s"),
                  F.sum("n").cast("long").alias("n"))
-            .collect()
+            .toArrow()
         )
         new = cents.copy()
-        counts = {}
-        sums = {}
-        for r in per_dim:
-            sums[(r.cent, r.dim)] = r.s
-            counts[r.cent] = r.n
-        for c in counts:
-            dimvals = [sums[(c, d)] / 1_000_000.0 / counts[c]
-                       for d in range(cents.shape[1])]
-            new[c] = np.array(dimvals)
+        c_a = per_dim["cent"].to_numpy()
+        d_a = per_dim["dim"].to_numpy()
+        s_a = per_dim["s"].to_numpy()
+        n_a = per_dim["n"].to_numpy()
+        new[c_a, d_a] = s_a / 1_000_000.0 / n_a
         cents = new
     return sorted(
         (([float(x) for x in row]) for row in cents),
@@ -911,23 +1042,22 @@ def ivf_topk_trained(queries: DataFrame, corpus: DataFrame, k: int,
         ])
 
         def _scan(batches):
-            import pandas as pd
+            import pyarrow as pa
 
-            for pdf in batches:
-                if pdf.empty:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                x = np.array([np.asarray(e, dtype=np.float64)
-                              for e in pdf.iloc[:, 1]])
+                x = _batch_mat(batch.column(1))
                 norms = np.linalg.norm(x, axis=1)
                 best = np.argmax((x / norms[:, None]) @ c_mat.T, axis=1)
-                yield pd.DataFrame({
-                    f"{prefix}_id": pdf.iloc[:, 0],
-                    f"{prefix}_vec": pdf.iloc[:, 1],
-                    f"{prefix}_norm": norms,
-                    "cent_id": best.astype("int64"),
-                })
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(0), batch.column(1),
+                     pa.array(norms, type=pa.float64()),
+                     pa.array(best.astype("int64"), type=pa.int64())],
+                    [f"{prefix}_id", f"{prefix}_vec",
+                     f"{prefix}_norm", "cent_id"])
 
-        return side.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        return side.select(F.col(id_col), F.col(vec_col)).mapInArrow(
             _scan, out_schema)
 
     def nearest(side: DataFrame, prefix: str, topn: int) -> DataFrame:
@@ -1016,25 +1146,32 @@ def pca_fit(vecs: DataFrame, n_components: int = 8,
     mu_local = mu.copy()
 
     def _partial_gram(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         acc = np.zeros((d, d), dtype="int64")
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            x = np.array([np.asarray(e, dtype=np.float64)
-                          for e in pdf.iloc[:, 0]])
+            x = _batch_mat(batch.column(0))
             xc = x - mu_local
             # per-row fixed-point outer products, summed as exact ints
-            for row in xc:
-                acc += np.rint(np.outer(row, row) * 1e8).astype("int64")
+            # — vectorized in row strips (the r14 §4.2 pass): rint per
+            # ROW then int64 sum is associative, so strip order and
+            # size cannot change the total; 512 x d x d float64
+            # temporaries bound the strip at ~16 MB for d=64
+            for s0 in range(0, xc.shape[0], 512):
+                blk = xc[s0:s0 + 512]
+                acc += np.rint(blk[:, :, None] * blk[:, None, :] * 1e8
+                               ).astype("int64").sum(axis=0)
         ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
-        yield pd.DataFrame({"i": ii.ravel().astype("int32"),
-                            "j": jj.ravel().astype("int32"),
-                            "s": acc.ravel()})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ii.ravel().astype("int32")),
+             pa.array(jj.ravel().astype("int32")),
+             pa.array(acc.ravel(), type=pa.int64())],
+            ["i", "j", "s"])
 
     gram_rows = (
-        vecs.select(F.col(vec_col)).mapInPandas(_partial_gram, out_schema)
+        vecs.select(F.col(vec_col)).mapInArrow(_partial_gram, out_schema)
         .groupBy("i", "j").agg(F.sum("s").alias("s"))
         .collect()
     )
@@ -1073,18 +1210,18 @@ def pca_transform(vecs: DataFrame, model: dict,
     ])
 
     def _proj(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            x = np.array([np.asarray(e, dtype=np.float64)
-                          for e in pdf.iloc[:, 1]])
+            x = _batch_mat(batch.column(1))
             p = np.round((x - mu) @ w.T, 6)
-            yield pd.DataFrame({id_col: pdf.iloc[:, 0],
-                                "pca": list(p)})
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), _list_col(p, pa.float64())],
+                [id_col, "pca"])
 
-    return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _proj, out_schema)
 
 
@@ -1092,7 +1229,7 @@ def pca_transform(vecs: DataFrame, model: dict,
 
 def pq_fit(vecs: DataFrame, m: int = 8, codes: int = 16,
            iters: int = 3, vec_col: str = "embedding",
-           normalize: bool = True) -> dict:
+           normalize: bool = True, dim: int | None = None) -> dict:
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): the vector space is
     split into ``m`` contiguous subspaces and each subspace gets its
@@ -1125,45 +1262,81 @@ def pq_fit(vecs: DataFrame, m: int = 8, codes: int = 16,
     """
     import numpy as np
 
-    from .dedup import md5_long
-
-    d = vecs.select(F.size(vec_col)).first()[0]
+    # ``dim`` lets a caller that already knows the width (ivfpq_fit:
+    # the residual frame is centroid-wide by construction) skip the
+    # one-row probe job
+    d = int(dim) if dim is not None else vecs.select(F.size(vec_col)).first()[0]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
-    if normalize:
-        nrm = norm_expr(vec_col)
-        unit = vecs.where(nrm > 0).select(
-            F.transform(F.col(vec_col),
-                        lambda x: x.cast("double") / nrm).alias(vec_col))
-    else:
-        unit = vecs.select(
-            F.transform(F.col(vec_col),
-                        lambda x: x.cast("double")).alias(vec_col))
+    # r14 (§4.2): every pass — init included — reads the RAW column;
+    # normalization (when asked) happens inside the Arrow kernels via
+    # _unit_rows, bit-identical to the former interpreted JVM
+    # where(norm>0)+transform(x/nrm) projection
+    raw_scan = vecs.select(F.col(vec_col))
 
-    # all m subspace inits in ONE corpus scan: explode each vector
-    # into its m sub-vectors and take the content-hash top-`codes` per
-    # subspace with a rank window — Spark executes the rank<=codes
-    # filter as WindowGroupLimit (per-partition partial top-N before
-    # the final per-subspace sort), so this stays scan-bound instead
-    # of m separate orderBy+limit jobs
+    # all m subspace inits in ONE corpus scan — r14 (§4.2): the former
+    # JVM form exploded every vector into m sub-vector rows and built
+    # the content-hash keys with an interpreted per-element transform
+    # (m x corpus rows through the md5/window machinery, ~1.2 s at
+    # sf0.1 for the ivfpq config). The identical selection now runs
+    # inside an Arrow kernel: slice the (n, d) matrix per subspace,
+    # fixed-point with the same HALF_UP rule, md5 the same
+    # ","-joined key, keep each batch's `codes` smallest (_h, _key)
+    # per subspace — a superset of the global per-subspace top-codes,
+    # finished by the same rank window over the tiny candidate set
+    # (pure-ASCII keys: Python sort == UTF8String.compare).
     from pyspark.sql import Window
 
-    sub_structs = F.array(*[
-        F.struct(F.lit(j).alias("sub"),
-                 F.slice(F.col(vec_col), j * sub + 1, sub).alias("v"))
-        for j in range(m)
+    init_schema = StructType([
+        StructField("_sub", IntegerType()),
+        StructField("_h", LongType()),
+        StructField("_key", StringType()),
+        StructField("v", ArrayType(DoubleType())),
     ])
-    exploded = unit.select(F.explode(sub_structs).alias("e")).select(
-        F.col("e.sub").alias("_sub"), F.col("e.v").alias("v"))
-    keyed = exploded.withColumn("_key", F.concat_ws(",", F.transform(
-        F.col("v"),
-        lambda x: F.round(x.cast("double") * 1_000_000, 0)
-        .cast("long").cast("string")))
-    ).withColumn("_h", md5_long(F.col("_key")))
+
+    def _init_cands(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            x = _batch_mat(batch.column(0))
+            if normalize:
+                x = _unit_rows(x)
+                if x.shape[0] == 0:
+                    continue
+            subs_a, hs_a, keys_a, rows_a = [], [], [], []
+            for j in range(m):
+                xj = x[:, j * sub:(j + 1) * sub]
+                fx = np.copysign(
+                    np.floor(np.abs(xj) * 1_000_000 + 0.5), xj
+                ).astype("int64")
+                cands = []
+                for i in range(fx.shape[0]):
+                    key = ",".join(str(v) for v in fx[i])
+                    cands.append(
+                        (int(hashlib.md5(key.encode())
+                             .hexdigest()[:15], 16), key, i))
+                cands.sort(key=lambda t: (t[0], t[1]))
+                cands = cands[:codes]
+                subs_a.append(np.full(len(cands), j, dtype="int32"))
+                hs_a.append(np.array([t[0] for t in cands], dtype="int64"))
+                keys_a.extend(t[1] for t in cands)
+                rows_a.append(xj[[t[2] for t in cands]])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(subs_a)),
+                 pa.array(np.concatenate(hs_a), type=pa.int64()),
+                 pa.array(keys_a, type=pa.string()),
+                 _list_col(np.concatenate(rows_a), pa.float64())],
+                ["_sub", "_h", "_key", "v"])
+
     rnk_w = Window.partitionBy("_sub").orderBy("_h", "_key")
     init_rows = (
-        keyed.withColumn("_r", F.row_number().over(rnk_w))
+        raw_scan.mapInArrow(_init_cands, init_schema)
+        .withColumn("_r", F.row_number().over(rnk_w))
         .where(F.col("_r") <= codes)
         .select("_sub", "_r", "v")
         .collect()
@@ -1187,46 +1360,59 @@ def pq_fit(vecs: DataFrame, m: int = 8, codes: int = 16,
         bks = [b.copy() for b in books]
 
         def _assign_partials(batches):
-            import pandas as pd
+            import pyarrow as pa
 
             # per-partition pre-aggregation: emit (sub, cent, dim)
             # fixed-point partial sums instead of per-row rows, so the
             # shuffle moves m*codes*sub rows per task, not the corpus
-            for pdf in batches:
-                if pdf.empty:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
-                x = np.array([np.asarray(e, dtype=np.float64)
-                              for e in pdf.iloc[:, 0]])
-                recs = []
+                x = _batch_mat(batch.column(0))
+                if normalize:
+                    x = _unit_rows(x)
+                    if x.shape[0] == 0:
+                        continue
+                subs, cents, dims, ss, ns = [], [], [], [], []
                 for jj in range(m):
                     xj = x[:, jj * sub:(jj + 1) * sub]
                     c = bks[jj]
                     d2 = xj @ c.T - 0.5 * (c * c).sum(axis=1)
                     cent = d2.argmax(axis=1)
                     fx = np.round(xj * 1_000_000).astype("int64")
-                    for ci in np.unique(cent):
-                        sel = fx[cent == ci]
-                        sums = sel.sum(axis=0)
-                        for di in range(sub):
-                            recs.append((jj, int(ci), di,
-                                         int(sums[di]), sel.shape[0]))
-                yield pd.DataFrame(
-                    recs, columns=["sub", "cent", "dim", "s", "n"])
+                    uniq, sums, nn = _segment_sums(cent, fx)
+                    subs.append(np.full(uniq.size * sub, jj, dtype="int32"))
+                    cents.append(np.repeat(uniq, sub).astype("int32"))
+                    dims.append(np.tile(np.arange(sub, dtype="int32"),
+                                        uniq.size))
+                    ss.append(sums.ravel())
+                    ns.append(np.repeat(nn, sub).astype("int64"))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(subs)),
+                     pa.array(np.concatenate(cents)),
+                     pa.array(np.concatenate(dims)),
+                     pa.array(np.concatenate(ss), type=pa.int64()),
+                     pa.array(np.concatenate(ns))],
+                    ["sub", "cent", "dim", "s", "n"])
 
+        # toArrow + vectorized scatter, as in kmeans_fit
         per_dim = (
-            unit.mapInPandas(_assign_partials, assign_schema)
+            raw_scan.mapInArrow(_assign_partials, assign_schema)
             .groupBy("sub", "cent", "dim")
             .agg(F.sum("s").alias("s"),
                  F.sum("n").cast("long").alias("n"))
-            .collect()
+            .toArrow()
         )
-        counts: dict = {}
-        for r in per_dim:
-            counts[(r.sub, r.cent)] = r.n
+        j_a = per_dim["sub"].to_numpy()
+        c_a = per_dim["cent"].to_numpy()
+        d_a = per_dim["dim"].to_numpy()
+        s_a = per_dim["s"].to_numpy()
+        n_a = per_dim["n"].to_numpy()
         new = [b.copy() for b in books]
-        for r in per_dim:
-            new[r.sub][r.cent, r.dim] = (
-                r.s / 1_000_000.0 / counts[(r.sub, r.cent)])
+        for jj in range(m):
+            msk = j_a == jj
+            new[jj][c_a[msk], d_a[msk]] = (
+                s_a[msk] / 1_000_000.0 / n_a[msk])
         books = new
     return {
         "m": m, "sub": sub,
@@ -1252,14 +1438,13 @@ def pq_encode(vecs: DataFrame, model: dict, id_col: str = "vec_id",
     ])
 
     def _enc(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
-            x = np.array([np.asarray(e, dtype=np.float64)
-                          for e in pdf.iloc[:, 1]])
+            ids = batch.column(0).to_numpy().astype("int64")
+            x = _batch_mat(batch.column(1))
             if normalize:
                 nrm = np.linalg.norm(x, axis=1, keepdims=True)
                 nrm[nrm == 0] = 1.0
@@ -1270,9 +1455,11 @@ def pq_encode(vecs: DataFrame, model: dict, id_col: str = "vec_id",
                 c = books[j]
                 d2 = xj @ c.T - 0.5 * (c * c).sum(axis=1)
                 cs[:, j] = d2.argmax(axis=1)
-            yield pd.DataFrame({id_col: ids, "codes": list(cs)})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), _list_col(cs, pa.int32())],
+                [id_col, "codes"])
 
-    return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _enc, out_schema)
 
 
@@ -1343,15 +1530,17 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
     ])
 
     def _scan(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            pdf = pdf.sort_values(pdf.columns[0])
-            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
-            cs = np.array([np.asarray(c, dtype="int64")
-                           for c in pdf["codes"]])
+            ids = batch.column(0).to_numpy().astype("int64")
+            codes_idx = batch.schema.get_field_index("codes")
+            cs = _batch_mat(batch.column(codes_idx), dtype="int64")
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            cs = cs[order]
             # ADC: d2[q, v] = sum_j tables[q, j, cs[v, j]]
             d2 = np.zeros((q_ids.size, ids.size))
             for j in range(m):
@@ -1359,14 +1548,15 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int,
             d2 = np.where(q_ids[:, None] == ids[None, :], np.inf, d2)
             take = min(k_, d2.shape[1])
             idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
-            out = pd.DataFrame({
-                "query_id": np.repeat(q_ids, take),
-                "neighbor_id": ids[idx.ravel()],
-                "_d2": np.take_along_axis(d2, idx, axis=1).ravel(),
-            })
-            yield out[out["_d2"] != np.inf]
+            dd = np.take_along_axis(d2, idx, axis=1).ravel()
+            keep = dd != np.inf
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(q_ids, take)[keep], type=pa.int64()),
+                 pa.array(ids[idx.ravel()][keep], type=pa.int64()),
+                 pa.array(dd[keep], type=pa.float64())],
+                ["query_id", "neighbor_id", "_d2"])
 
-    scored = enc.mapInPandas(_scan, out_schema)
+    scored = enc.mapInArrow(_scan, out_schema)
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d2").asc(), F.col("neighbor_id").asc())
@@ -1415,9 +1605,13 @@ def ivfpq_fit(corpus: DataFrame, n_centroids: int = 32, m: int = 8,
     c_norms[c_norms == 0] = 1.0
     c_unit = cents / c_norms
     resid = _residual_frame(corpus, c_unit, id_col, vec_col)
-    resid = resid.localCheckpoint(eager=True)
+    # lazy: pq_fit's init job is the action that materializes the
+    # routed-residual checkpoint (one driver round-trip saved; the
+    # lineage cut — the reason this checkpoint exists — is identical)
+    resid = resid.localCheckpoint(eager=False)
     model = pq_fit(resid, m=m, codes=codes, iters=pq_iters,
-                   vec_col="resid", normalize=False)
+                   vec_col="resid", normalize=False,
+                   dim=int(c_unit.shape[1]))
     model["centroids"] = [[float(x) for x in row] for row in c_unit]
     return model
 
@@ -1436,24 +1630,25 @@ def _residual_frame(corpus: DataFrame, c_unit, id_col: str,
     ])
 
     def _route(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
-            x = np.array([np.asarray(e, dtype=np.float64)
-                          for e in pdf.iloc[:, 1]])
+            ids = batch.column(0).to_numpy().astype("int64")
+            x = _batch_mat(batch.column(1))
             nrm = np.linalg.norm(x, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
             x = x / nrm
             cell = (x @ c_unit.T).argmax(axis=1)
             r = x - c_unit[cell]
-            yield pd.DataFrame({id_col: ids,
-                                "cell": cell.astype("int32"),
-                                "resid": list(r)})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(cell.astype("int32")),
+                 _list_col(r, pa.float64())],
+                [id_col, "cell", "resid"])
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _route, out_schema)
 
 
@@ -1477,14 +1672,13 @@ def ivfpq_encode(corpus: DataFrame, model: dict,
     ])
 
     def _route_encode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
-            x = np.array([np.asarray(e, dtype=np.float64)
-                          for e in pdf.iloc[:, 1]])
+            ids = batch.column(0).to_numpy().astype("int64")
+            x = _batch_mat(batch.column(1))
             nrm = np.linalg.norm(x, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
             x = x / nrm
@@ -1496,11 +1690,13 @@ def ivfpq_encode(corpus: DataFrame, model: dict,
                 b = books[j]
                 cs[:, j] = (rj @ b.T - 0.5 * (b * b).sum(axis=1)
                             ).argmax(axis=1)
-            yield pd.DataFrame({id_col: ids,
-                                "cell": cell.astype("int32"),
-                                "codes": list(cs)})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(cell.astype("int32")),
+                 _list_col(cs, pa.int32())],
+                [id_col, "cell", "codes"])
 
-    return corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    return corpus.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         _route_encode, out_schema)
 
 
@@ -1615,17 +1811,21 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
     ])
 
     def _scan(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            pdf = pdf.sort_values(pdf.columns[0])
-            ids = pdf.iloc[:, 0].to_numpy().astype("int64")
-            cell = pdf["cell"].to_numpy().astype("int64")
-            cs = np.array([np.asarray(c, dtype="int64")
-                           for c in pdf["codes"]])
-            frames = []
+            ids = batch.column(0).to_numpy().astype("int64")
+            cell = batch.column(
+                batch.schema.get_field_index("cell")
+            ).to_numpy().astype("int64")
+            cs = _batch_mat(
+                batch.column(batch.schema.get_field_index("codes")),
+                dtype="int64")
+            order = np.argsort(ids, kind="stable")
+            ids, cell, cs = ids[order], cell[order], cs[order]
+            qcols, ncols, dcols = [], [], []
             for c in np.unique(cell):
                 tab = cell_tables.get(int(c))
                 if tab is None:
@@ -1641,16 +1841,19 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame | None, k: int,
                               np.inf, d2)
                 take = min(k_, d2.shape[1])
                 idx = np.argsort(d2, axis=1, kind="stable")[:, :take]
-                out = pd.DataFrame({
-                    "query_id": np.repeat(q_ids[qs], take),
-                    "neighbor_id": sel_ids[idx.ravel()],
-                    "_d2": np.take_along_axis(d2, idx, axis=1).ravel(),
-                })
-                frames.append(out[out["_d2"] != np.inf])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+                dd = np.take_along_axis(d2, idx, axis=1).ravel()
+                keep = dd != np.inf
+                qcols.append(np.repeat(q_ids[qs], take)[keep])
+                ncols.append(sel_ids[idx.ravel()][keep])
+                dcols.append(dd[keep])
+            if qcols:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(qcols), type=pa.int64()),
+                     pa.array(np.concatenate(ncols), type=pa.int64()),
+                     pa.array(np.concatenate(dcols), type=pa.float64())],
+                    ["query_id", "neighbor_id", "_d2"])
 
-    scored = enc.mapInPandas(_scan, out_schema)
+    scored = enc.mapInArrow(_scan, out_schema)
     from pyspark.sql import Window
     w = Window.partitionBy("query_id").orderBy(
         F.col("_d2").asc(), F.col("neighbor_id").asc())
