@@ -206,12 +206,30 @@ def duplicated_spans(docs: DataFrame, span_tokens: int = 16,
     """
     k = int(span_tokens)
     sized = _sized_tokens(docs, id_col, text_col)
-    spans = _span_instances(sized, k, id_col)
-    occ = spans.groupBy("fp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occ"))
-    dup = spans.join(occ.where(F.col("n_occ") >= int(min_occurrences)),
-                     "fp").select(F.col(id_col), "pos")
+    dup = _dup_span_instances(_span_instances(sized, k, id_col),
+                              int(min_occurrences), id_col)
     return _span_coverage(sized, dup, k, id_col)
+
+
+def _dup_span_instances(spans: DataFrame, min_occurrences: int,
+                        id_col: str) -> DataFrame:
+    """(id, pos) of span instances whose fingerprint occurs >=
+    ``min_occurrences`` times corpus-wide.
+
+    r14 (§2.4): was groupBy(fp).count + join(spans, fp) — the span
+    subtree executed TWICE (once per consumer) and paid two fp
+    exchanges. A count window over fp computes the same occurrence
+    count in ONE pass over ONE shuffle of the span table, with no
+    join — identical (id, pos) output by definition of the group
+    count."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        spans.withColumn("n_occ", F.count(F.lit(1)).over(w))
+        .where(F.col("n_occ") >= min_occurrences)
+        .select(F.col(id_col), "pos")
+    )
 
 
 def _sized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -223,19 +241,65 @@ def _sized_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _span_instances(sized: DataFrame, k: int, id_col: str) -> DataFrame:
     """(id, pos, fp) for every stride-1 k-token span of docs with
-    >= k tokens (1-based positions)."""
-    span_fps = F.expr(
-        f"transform(sequence(1, size(tokens) - {k} + 1), "
-        f"i -> md5(concat_ws(' ', slice(tokens, i, {k}))))"
-    )
-    # posexplode_outer, not posexplode: inner explode makes Catalyst
-    # push a size>0 filter below the exchange that re-evaluates the
-    # whole transform() twice per row (see with_tokens docstring)
+    >= k tokens (1-based positions).
+
+    r14 (guide §4.2): the former JVM form evaluated
+    ``transform(sequence(...), i -> md5(concat_ws(' ', slice(...))))``
+    — an interpreted (CodegenFallback) lambda allocating a k-token
+    array and rebuilding the span string per span. The fingerprints
+    now come from an Arrow kernel that rejoins the (single-space)
+    token stream once per doc, byte-slices each span out of it via
+    precomputed token offsets, and md5s the slice — the identical
+    bytes, so the identical hex fingerprints (normalized text is pure
+    ASCII by construction: [a-z0-9 ]). The n_tokens >= k filter stays
+    a JVM scan predicate, and the doc-keyed repartition upstream
+    (with_tokens) spreads the kernel work exactly as before."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    id_type = sized.schema[id_col].dataType
+    id_arrow = to_arrow_type(id_type)
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("pos", LongType()),
+        StructField("fp", StringType()),
+    ])
+
+    def _spans(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_pos, out_fp = [], [], []
+            md5 = hashlib.md5
+            for rid, s in zip(ids, texts):
+                b = s.encode()
+                # token byte offsets over the single-space-joined
+                # stream (ASCII: char offsets == byte offsets)
+                starts = [0]
+                for t in s.split(" "):
+                    starts.append(starts[-1] + len(t) + 1)
+                n = len(starts) - 1
+                for i in range(n - k + 1):
+                    out_ids.append(rid)
+                    out_pos.append(i + 1)
+                    out_fp.append(
+                        md5(b[starts[i]:starts[i + k] - 1]).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_arrow),
+                 pa.array(out_pos, type=pa.int64()),
+                 pa.array(out_fp, type=pa.string())],
+                [id_col, "pos", "fp"])
+
     return sized.where(F.col("n_tokens") >= k).select(
-        F.col(id_col),
-        F.posexplode_outer(span_fps).alias("pos0", "fp"),
-    ).select(F.col(id_col), (F.col("pos0") + 1).cast("long").alias("pos"),
-             "fp")
+        F.col(id_col), F.concat_ws(" ", F.col("tokens")).alias("_nt")
+    ).mapInArrow(_spans, out_schema)
 
 
 def _span_coverage(sized: DataFrame, dup: DataFrame, k: int,
@@ -355,11 +419,8 @@ def remove_duplicated_spans(docs: DataFrame, span_tokens: int = 16,
 
     k = int(span_tokens)
     sized = _sized_tokens(docs, id_col, text_col)
-    spans = _span_instances(sized, k, id_col)
-    occ = spans.groupBy("fp").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occ"))
-    dup = spans.join(occ.where(F.col("n_occ") >= int(min_occurrences)),
-                     "fp").select(F.col(id_col), "pos")
+    dup = _dup_span_instances(_span_instances(sized, k, id_col),
+                              int(min_occurrences), id_col)
     w = Window.partitionBy(id_col).orderBy("pos")
     # disjoint interval decomposition (the _span_coverage trick): each
     # duplicated span contributes [pos, pos + c) with c truncated at
@@ -382,9 +443,13 @@ def remove_duplicated_spans(docs: DataFrame, span_tokens: int = 16,
     agg = (
         kept.groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_tokens_clean"),
-             F.concat_ws(" ", F.transform(
-                 F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                 lambda s: s["tok"])).alias("clean_text"))
+             # .getField, not transform(s -> s["tok"]): the field
+             # extraction over array<struct> is a codegen'd
+             # GetArrayStructFields, while the lambda form is an
+             # interpreted higher-order function (r14, §4.2 class)
+             F.concat_ws(" ", F.array_sort(
+                 F.collect_list(F.struct("tpos", "tok"))
+             ).getField("tok")).alias("clean_text"))
     )
     return (
         sized.drop("tokens")
