@@ -923,9 +923,10 @@ def lm_score_smoothed(model: dict[str, DataFrame], docs: DataFrame,
     )
 
 
-def dsir_weights(corpus: DataFrame, target: DataFrame,
+def dsir_weights(corpus: DataFrame, target: DataFrame | None,
                  id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
+                 text_col: str = "text",
+                 target_cond: Column | None = None) -> DataFrame:
     """DSIR importance weights [Xie et al. 2023, arXiv:2302.03169 —
     Data Selection for Language Models via Importance Resampling]:
     rank raw-corpus documents by how target-like they are,
@@ -948,8 +949,80 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     lm_score_smoothed twice measured ~2x this plan: three
     tokenizations, two aggregates, one extra join). No pairwise
     anything, no Python. Returns (id, n_bigrams, logw) — resample or
-    top-k on logw downstream (queries_pipeline: dsir_select)."""
+    top-k on logw downstream (queries_pipeline: dsir_select).
+
+    r14 (§2.3/§2.4): when the target is a PREDICATE over the corpus
+    (``target_cond`` — the only shape the registered queries use),
+    both LMs now come from ONE tokenization and ONE aggregation pass:
+    the bigram/unigram frames carry a target flag and count
+    (count(*), count-if(target)) per key, so the raw and target
+    counts share their shuffle and the scoring joins collapse from
+    four key-joins + two scalar crossjoins to two + one. A count over
+    a filtered subset == a conditional count over the whole corpus,
+    so every cb/cw/v the smoothed scorer sees — and therefore every
+    rounded logw — is bit-identical to the two-model form (the same
+    DuckDB oracle certifies it). Passing ``target`` as a separate
+    frame keeps the original two-model path."""
     from .dedup import _tracked_persist
+
+    def _logp(cb: str, cw: str, v: str):
+        return F.log(
+            (F.coalesce(F.col(cb), F.lit(0)).cast("double") + 1.0)
+            / (F.coalesce(F.col(cw), F.lit(0)).cast("double")
+               + F.col(v).cast("double")))
+
+    if target_cond is not None:
+        toks = corpus.select(
+            F.col(id_col),
+            F.split(normalized_text(text_col), " ").alias("_t"),
+            target_cond.alias("_tgt"),
+        )
+        bi = toks.select(
+            F.col(id_col), F.col("_tgt"),
+            F.explode(F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1), "
+                "slice(_t, 2, size(_t) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))")).alias("bg"),
+        ).select(F.col(id_col), F.col("_tgt"),
+                 F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        bi = _tracked_persist(bi)  # feeds both counts AND the scoring scan
+        tgt_hit = F.when(F.col("_tgt"), F.lit(1))
+        uni_rt = (
+            toks.select(F.explode("_t").alias("w"), "_tgt")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("cw_r"),
+                 F.count(tgt_hit).cast("long").alias("cw_t_nz"))
+        )
+        big_rt = bi.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("cb_r"),
+            F.count(tgt_hit).cast("long").alias("cb_t_nz"))
+        # the two-model form LEFT-joins the target counts, so an
+        # absent key contributes NULL (-> coalesce 0); a fused
+        # count-if yields 0 directly — same value through coalesce
+        vv = uni_rt.agg(
+            F.count(F.lit(1)).cast("long").alias("v_r"),
+            F.count(F.when(F.col("cw_t_nz") > 0, F.lit(1)))
+            .cast("long").alias("v_t"))
+        scored = (
+            bi.join(big_rt, ["w1", "w2"], "left")
+            .join(uni_rt.withColumnRenamed("w", "w1"), ["w1"], "left")
+            .crossJoin(F.broadcast(vv))
+            .select(
+                F.col(id_col),
+                F.round(_logp("cb_t_nz", "cw_t_nz", "v_t") * 1_000_000, 0)
+                .cast("long").alias("_ft"),
+                F.round(_logp("cb_r", "cw_r", "v_r") * 1_000_000, 0)
+                .cast("long").alias("_fr"),
+            )
+        )
+        return scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.round(F.sum("_ft").cast("double") / 1_000_000.0
+                        / F.count(F.lit(1)), 4)
+                - F.round(F.sum("_fr").cast("double") / 1_000_000.0
+                          / F.count(F.lit(1)), 4), 4).alias("logw"),
+        )
 
     toks = corpus.select(
         F.col(id_col),
@@ -975,12 +1048,6 @@ def dsir_weights(corpus: DataFrame, target: DataFrame,
     uni_t = mt["uni"].select(F.col("w").alias("w1"),
                              F.col("cw").alias("cw_t"))
     v_t = mt["vocab"].select(F.col("v").alias("v_t"))
-
-    def _logp(cb: str, cw: str, v: str):
-        return F.log(
-            (F.coalesce(F.col(cb), F.lit(0)).cast("double") + 1.0)
-            / (F.coalesce(F.col(cw), F.lit(0)).cast("double")
-               + F.col(v).cast("double")))
 
     scored = (
         bi.join(big_t, ["w1", "w2"], "left")
