@@ -150,15 +150,20 @@ def chunk_containment(docs: DataFrame, chunk_tokens: int = 32,
     groupBy, so a chunk shared by 10^6 docs costs one counter, not
     10^12 pairs.
     """
+    from pyspark.sql import Window
+
     fp = (
         chunk_documents(docs, chunk_tokens, id_col, text_col)
         .select(F.col(id_col), F.md5("chunk_text").alias("fp"))
         .distinct()
     )
-    nd = fp.groupBy("fp").agg(
-        F.count(F.lit(1)).cast("long").alias("_nd"))
+    # r14 (§2.4, the _dup_span_instances shape): was groupBy(fp).count
+    # + join(fp, fp) — the chunk-fingerprint subtree executed twice
+    # (once per consumer) with two fp exchanges; a count window over
+    # fp yields the same per-fingerprint doc count in ONE pass over
+    # ONE fp shuffle, no join.
     return (
-        fp.join(nd, "fp")
+        fp.withColumn("_nd", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_chunks"),
@@ -373,6 +378,13 @@ def duplicated_spans_incremental(corpus: DataFrame, delta: DataFrame,
         )
     sized_d = _sized_tokens(delta, id_col, text_col)
     spans_d = _span_instances(sized_d, k, id_col)
+    # NOTE (r14): the _dup_span_instances count-window rewrite was
+    # A/B-tested here and REVERTED (+10% at sf0.1): unlike the
+    # whole-corpus form, this path must still join corpus_occ on fp,
+    # and the window form pushes every span INSTANCE through that
+    # join where the groupBy form probes one row per distinct delta
+    # fp — the smaller probe beats saving the (now Arrow-cheap)
+    # second span-kernel pass.
     delta_occ = spans_d.groupBy("fp").agg(
         F.count(F.lit(1)).cast("long").alias("n_delta"))
     totals = (

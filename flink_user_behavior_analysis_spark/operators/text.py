@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import md5_long, normalized_text, shingle_array
+from .dedup import normalized_text
 
 # BPE-ish word/number/symbol tokenizer (shared with the DuckDB oracle)
 TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -359,25 +359,71 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     fp_md5: md5 of the normalized text (exact-dup key).
     fp_min{i}: i-th independent min shingle hash (rolling-hash-style
     winnowing fingerprint; equal fp_min columns => likely near-dup).
-    """
-    base = docs.select(
-        F.col(id_col),
-        F.md5(normalized_text(text_col)).alias("fp_md5"),
-        F.split(normalized_text(text_col), " ").alias("_tok"),
-    ).select(
-        F.col(id_col), "fp_md5", shingle_array("_tok", n).alias("_sh")
-    )
-    def _hasher(i: int):
-        # single-arg lambda on purpose: F.transform feeds the element
-        # INDEX to a second lambda parameter, which would clobber i
-        prefix = F.lit(str(i))
-        return lambda s: md5_long(F.concat_ws("|", prefix, s))
 
-    mins = [
-        F.array_min(F.transform(F.col("_sh"), _hasher(i))).alias(f"fp_min{i}")
-        for i in range(minhash_k)
-    ]
-    return base.select(F.col(id_col), "fp_md5", *mins)
+    r14 (guide §4.2): the former JVM form built the shingle array with
+    an interpreted transform and hashed it through minhash_k more
+    interpreted per-element transforms (md5 + conv + substring per
+    shingle per hash, all CodegenFallback). The projection is
+    md5-BOUND, so it moved into an Arrow kernel: shingles are byte
+    slices of the normalized text (the _span_instances offsets trick —
+    normalized text is the single-space-joined token stream, pure
+    ASCII), each hashed with C hashlib; int(hexdigest[:15], 16)
+    replicates md5_long exactly and min() over all instances equals
+    array_min over the distinct set. Measured 1.58 -> 0.6 s at sf0.1,
+    output bit-identical (exceptAll 0/0 both ways; same DuckDB
+    oracle). Contrast with_shingles, which KEEPS the JVM form: there
+    the output is the array<string> itself and the same-window A/B
+    read 1.0-1.4 s JVM vs 2.4-2.7 s Arrow — list<string> emission
+    costs more than the interpreted build.
+    """
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    id_type = docs.schema[id_col].dataType
+    id_arrow = to_arrow_type(id_type)
+    k = int(minhash_k)
+    nn = int(n)
+    out_schema = StructType(
+        [StructField(id_col, id_type), StructField("fp_md5", StringType())]
+        + [StructField(f"fp_min{i}", LongType()) for i in range(k)])
+
+    def _fp(batches):
+        import pyarrow as pa
+        from hashlib import md5
+
+        prefixes = [(str(i) + "|").encode() for i in range(k)]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            fpmd = []
+            mins: list[list[int]] = [[] for _ in range(k)]
+            for s in texts:
+                b = s.encode()
+                fpmd.append(md5(b).hexdigest())
+                toks = s.split(" ")
+                if len(toks) < nn:
+                    sh = [b]
+                else:
+                    starts = [0]
+                    for t in toks:
+                        starts.append(starts[-1] + len(t) + 1)
+                    sh = [b[starts[i]:starts[i + nn] - 1]
+                          for i in range(len(toks) - nn + 1)]
+                for i, p in enumerate(prefixes):
+                    mins[i].append(min(
+                        int(md5(p + g).hexdigest()[:15], 16) for g in sh))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).cast(id_arrow), pa.array(fpmd)]
+                + [pa.array(m, type=pa.int64()) for m in mins],
+                [id_col, "fp_md5"] + [f"fp_min{i}" for i in range(k)])
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), normalized_text(text_col).alias("_nt"))
+        .mapInArrow(_fp, out_schema)
+    )
 
 
 def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 5,
@@ -433,15 +479,27 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id",
     # path tf/df are parquet artifacts and this tradeoff disappears
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    # dl/df/consts all DERIVE from tf (r14): a doc's length is the sum
+    # of its term frequencies and avgdl is sum(dl)/count(dl); long
+    # sums of integral counts are exact, so dl/df/avgdl are
+    # bit-identical to the former direct toks aggregations. Measured
+    # wall-NEUTRAL at sf0.1 (2.98 vs 3.01 same-window min-of-3 —
+    # exchange reuse does NOT fire on the duplicated tf subtrees:
+    # runtime filters differentiate them), kept because it matches
+    # bm25_append_to_index, which already derives dl from tf and
+    # asserts append ≡ rebuild bit-equality, and in the stored path
+    # tf is the one artifact the rest derive from. Persisting tf was
+    # RE-A/B'd with all four consumers on it and still loses (bm25
+    # 3.01 -> 3.09 s, hybrid 3.30 -> 3.79 s at sf0.1): materialization
+    # + lost pipelining beat the saved recomputes.
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     dfreq = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     consts = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     ).crossJoin(
-        toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_d"))
-        .agg(F.sum("_d").cast("double").alias("_tot"),
-             F.count(F.lit(1)).cast("double").alias("_nd"))
+        dl.agg(F.sum("dl").cast("double").alias("_tot"),
+               F.count(F.lit(1)).cast("double").alias("_nd"))
         .select((F.col("_tot") / F.col("_nd")).alias("avgdl"))
     )
     return {"tf": tf, "dl": dl, "df": dfreq, "consts": consts}
@@ -1254,7 +1312,16 @@ def winnow_overlap_pairs(docs: DataFrame, k: int = 4, w: int = 5,
     bucket-keyed on the uniform 60-bit fp with one (id_a, id_b)
     count aggregation. No all-pairs join anywhere.
     """
-    fps = (
+    from .dedup import _tracked_persist
+
+    # persist: the (id, fp) frame feeds the bucket-size aggregation
+    # AND both sides of the pair self-join — unpersisted, the
+    # broadcast joins leave no common exchange to reuse and the
+    # window-heavy winnowing subtree runs FOUR times (plan-audited:
+    # 4 scans / 12 Window nodes -> 1 scan; the same discipline as
+    # minhash_lsh_pairs' signature frame). At 100 TB the selected
+    # fingerprints are the stored artifact this persist stands in for.
+    fps = _tracked_persist(
         winnow_fingerprints(docs, k, w, id_col, text_col)
         .select(F.col(id_col), "fp")
         .distinct()

@@ -2626,13 +2626,25 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Input lists go RRF_DEPTH deep (standard practice: fuse deeper
     than you emit, so both signals actually intersect), fused top-5
     out."""
-    from .operators.text import bm25_topk, overlap_topk, rrf_fuse
+    from .operators.text import (
+        bm25_index,
+        bm25_topk_from_index,
+        overlap_topk_from_postings,
+        rrf_fuse,
+    )
 
     docs = _docs(spark, sf_dir)
     qdf = spark.createDataFrame(BM25_QUERIES,
                                 "query_id long, query_text string")
-    bm = bm25_topk(docs, qdf, k=RRF_DEPTH)
-    ov = overlap_topk(docs, qdf, k=RRF_DEPTH)
+    # r14 (§2.4): both legs probe ONE inline-built index — the overlap
+    # leg reads tf as its posting list exactly as the stored twin does
+    # (probe ≡ rebuild is that twin's test-asserted claim, and this
+    # row keeps the same oracle), so the corpus tokenizes once and the
+    # two legs share the (id, token) exchange instead of each building
+    # its own tokenization.
+    idx = bm25_index(docs)
+    bm = bm25_topk_from_index(idx, qdf, k=RRF_DEPTH)
+    ov = overlap_topk_from_postings(idx["tf"], qdf, k=RRF_DEPTH)
     return rrf_fuse([bm, ov], k_rrf=RRF_K, topk=RRF_TOPK)
 
 
