@@ -56,9 +56,21 @@ def connected_components(
     # materializes the checkpoint (an aggregate reads every
     # partition, so the checkpoint is complete) — one job per round,
     # same lineage-cut, bit-identical labels.
+    # pre-partition the symmetric edge list by the round-join key "m"
+    # BEFORE the checkpoint (r14, guide §2.4): localCheckpoint
+    # preserves outputPartitioning in the LogicalRDD, so every round's
+    # sym⋈labels join sees the edge side already hash-distributed on
+    # "m" and exchanges only the (much smaller, shrinking) label frame.
+    # Without this, each round re-shuffles the full edge list — the
+    # BIG side at 100 TB — once per round. At local/bench scale the
+    # label side broadcasts and the join never needed sym moved, so
+    # this costs one edge-sized exchange at materialization and is
+    # wall-neutral locally; at cluster scale it converts O(rounds)
+    # edge shuffles into one.
     sym = (
         edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
         .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
+        .repartition("m")
         .localCheckpoint(eager=False)
     )
     # propagate only over nodes that touch an edge — isolated nodes are
@@ -234,19 +246,21 @@ def dedup_clusters(
     Both produce identical (id, component) labelings, so the output —
     and the DuckDB oracle — is algorithm-independent.
     """
+    from pyspark.sql import Window
+
     cc = cc_fn or connected_components
     comp = cc(docs.select(id_col), pairs, id_col=id_col)
-    sizes = comp.groupBy("component").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col(id_col),
-            F.col("component").alias("cluster_id"),
-            F.col("cluster_size"),
-            (F.col(id_col) == F.col("component")).alias("is_keeper"),
-        )
+    # cluster size as ONE count window over component (r14, guide
+    # §2.4): the groupBy+join form read comp twice and paid two
+    # component exchanges; the window computes the same count in one
+    # pass over one shuffle — same rewrite as duplicated_spans /
+    # chunk_containment, same output bit for bit
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col(id_col),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("component")).alias("is_keeper"),
     )
 
 

@@ -238,11 +238,23 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters with quality-argmax keeper selection
     (operators/cluster.py:keeper_by_quality over text_stats scores)."""
     from .operators.cluster import keeper_by_quality
+    from .operators.dedup import _tracked_persist
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(docs, JACCARD_T, k=MINHASH_K, bands=LSH_BANDS)
-    quality = text_stats(docs).select("doc_id", "quality_score")
-    return keeper_by_quality(docs, pairs, quality)
+    # overlap (r14, guide §2.6): the quality scan is independent of
+    # pair generation and of the components fixpoint that
+    # keeper_by_quality drives — materialize it on a driver thread so
+    # its tokenization pass back-fills executors while the fixpoint's
+    # per-round driver round-trips leave them idle. Same frames, only
+    # earlier; the tracked persist is released with the signature
+    # caches after the query materializes.
+    quality = _tracked_persist(
+        text_stats(docs).select("doc_id", "quality_score"))
+    q_fut = _start_action(quality)
+    out = keeper_by_quality(docs, pairs, quality)
+    q_fut.result()  # rethrows if the overlapped quality scan failed
+    return out
 
 
 def _keeper_quality_sql() -> str:
@@ -2034,6 +2046,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import quality_score_col
 
     d1 = train.where(quality_score_col("text") >= CURATION_QMIN)
+    # overlap (r14, guide §2.6): the contamination gram table depends
+    # only on the EVAL split, not on d1/d2/d3 — materialize it on a
+    # driver thread while the exact-dedup checkpoint, the LSH pair
+    # generation and the components fixpoint run, instead of paying
+    # its shingle pass serially inside d4's checkpoint. Persisted so
+    # the broadcast build below reads the cached rows; released by
+    # the session-level release_signature_cache like every other
+    # tracked frame. Same frames computed, only earlier.
+    from .operators.dedup import _tracked_persist
+
+    ev_grams = _tracked_persist(
+        with_shingles(eval_docs, n=CONTAM_N)
+        .select(F.explode_outer("shingles").alias("gram"))
+        .where(F.col("gram").isNotNull()).distinct()
+    )
+    ev_fut = _start_action(ev_grams)
     keep_exact = (
         d1.select("doc_id", F.md5(normalized_text("text")).alias("_fp"))
         .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
@@ -2051,11 +2079,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(d2.select("doc_id"), pairs, id_col="doc_id")
     keepers = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
     d3 = d2.join(keepers, "doc_id").localCheckpoint(eager=True)
-    ev_grams = (
-        with_shingles(eval_docs, n=CONTAM_N)
-        .select(F.explode_outer("shingles").alias("gram"))
-        .where(F.col("gram").isNotNull()).distinct()
-    )
+    ev_fut.result()  # rethrows if the overlapped gram build failed
     tr_grams = with_shingles(d3, n=CONTAM_N).select(
         "doc_id", F.explode_outer("shingles").alias("gram")
     ).where(F.col("gram").isNotNull())
