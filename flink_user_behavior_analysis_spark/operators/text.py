@@ -1224,73 +1224,88 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
     pos = 0-based k-gram position -- join on fp to find local
     overlaps.
 
-    Implementation is FULL-CODEGEN row expressions: tokens posexplode
-    to rows, k-grams assemble from lead() columns, and the
-    per-window-argmin selection collapses to a LOCAL rule via run
-    lengths -- position j is the rightmost argmin of some length-w
-    window iff its run of >=h_j predecessors (L) and run of >h_j
-    successors (R) admit a valid window start:
+    Implementation (r14, guide §4.2): the computation is md5-BOUND
+    and strictly per-document, so it runs as ONE mapInArrow kernel
+    over (id, normalized_text) -- each k-gram is a byte slice of the
+    single-space-joined token stream (normalized text is pure ASCII
+    by construction: [a-z0-9 ], so char offsets == byte offsets),
+    hashed with C hashlib; ``int(hexdigest[:15], 16)`` replicates
+    md5_long exactly; and the per-window rightmost-argmin selection
+    is a vectorized numpy sliding-window pass over the int64 hash
+    sequence (integer compares -- engine-portable by definition).
+    History of forms, all hash-equal against the same direct-
+    semantics DuckDB oracle: direct array expressions ~12 s at sf0.1
+    (transform()/filter() are CodegenFallback); the r10 run-length
+    lag/lead reformulation ~1.5 s (full codegen, but posexplode blew
+    the doc rows into ~100x token rows through a doc-keyed window
+    exchange plus 2(w-1) lag/lead columns); this kernel ~0.5 s.
 
-        max(0, j - L, j - w + 1) <= min(j + R - least(w, n) + 1,
-                                        greatest(n - w, 0), j)
-
-    L and R unroll into w-1 lag/lead conjunctions -- scalar booleans,
-    no higher-order functions. (A direct array-expression form of the
-    same operator measured ~12 s at sf0.1: transform()/filter() are
-    CodegenFallback and evaluate interpreted. This form: ~1.5 s.)
-    The DuckDB oracle keeps the direct per-window list-comprehension
-    semantics, so the hash match independently certifies the
-    run-length reformulation.
-
-    Scale: ONE shuffle (lead/lag windows partitioned by doc -- the
-    sessionize shape); everything else is a scan projection. Fp keys
-    are uniform 60-bit hashes for the downstream overlap join.
+    Scale: ONE cheap shuffle of the compact (id, text) rows (the
+    same load-bearing repartition as with_tokens -- small corpora
+    arrive as one parquet split and would serialize the hashing),
+    then a single scan-shaped kernel pass; the exploded token rows
+    never exist Spark-side. Fp keys are uniform 60-bit hashes for
+    the downstream overlap join.
     """
-    from pyspark.sql import Window
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    from .dedup import md5_long
+    id_type = docs.schema[id_col].dataType
+    id_arrow = to_arrow_type(id_type)
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("pos", LongType()),
+        StructField("fp", LongType()),
+    ])
+    k_, w_ = int(k), int(w)
 
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(normalized_text(text_col), " "))
-        .alias("p", "tok"),
-    )
-    wd = Window.partitionBy(id_col).orderBy("p")
-    gram = F.concat_ws(
-        " ", F.col("tok"),
-        *[F.lead("tok", i).over(wd) for i in range(1, k)])
-    last = F.lead("tok", k - 1).over(wd)
-    hashed = (
-        toks.select(F.col(id_col), F.col("p"),
-                    gram.alias("_g"), last.alias("_last"))
-        .where(F.col("_last").isNotNull())
-        .select(F.col(id_col), F.col("p"), md5_long(F.col("_g")).alias("fp"))
-    )
-    # run lengths against w-1 neighbors each way (ties: >= before,
-    # strictly > after => rightmost argmin), then the window-existence
-    # inequality; lag/lead windows reuse the same (doc, p) sort
-    n_ = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    lags = [F.lag("fp", i).over(wd) for i in range(1, w)]
-    leads = [F.lead("fp", i).over(wd) for i in range(1, w)]
-    run_l = F.lit(0)
-    cond = F.lit(True)
-    for lg in lags:
-        cond = cond & lg.isNotNull() & (lg >= F.col("fp"))
-        run_l = run_l + F.when(cond, 1).otherwise(0)
-    run_r = F.lit(0)
-    cond = F.lit(True)
-    for ld in leads:
-        cond = cond & ld.isNotNull() & (ld > F.col("fp"))
-        run_r = run_r + F.when(cond, 1).otherwise(0)
-    j = F.col("p")
-    lo = F.greatest(F.lit(0), j - F.col("_l"), j - F.lit(w - 1))
-    hi = F.least(j + F.col("_r") - F.least(F.lit(w), F.col("_n")) + 1,
-                 F.greatest(F.col("_n") - w, F.lit(0)), j)
+    def _winnow(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_pos, out_fp = [], [], []
+            for rid, s in zip(ids, texts):
+                b = s.encode()
+                # token byte offsets over the normalized stream
+                starts = [0]
+                for t in s.split(" "):
+                    starts.append(starts[-1] + len(t) + 1)
+                n_g = len(starts) - k_  # == n_tokens - k + 1
+                if n_g < 1:
+                    continue
+                fps = np.empty(n_g, dtype=np.int64)
+                for i in range(n_g):
+                    fps[i] = int(
+                        md5(b[starts[i]:starts[i + k_] - 1])
+                        .hexdigest()[:15], 16)
+                ww = w_ if w_ < n_g else n_g
+                win = np.lib.stride_tricks.sliding_window_view(fps, ww)
+                # rightmost argmin per window: argmin over the
+                # reversed window gives the offset from the right
+                m = (ww - 1) - np.argmin(win[:, ::-1], axis=1)
+                sel = np.unique(m + np.arange(win.shape[0]))
+                out_ids.extend([rid] * len(sel))
+                out_pos.extend(sel.tolist())
+                out_fp.extend(fps[sel].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_arrow),
+                 pa.array(out_pos, type=pa.int64()),
+                 pa.array(out_fp, type=pa.int64())],
+                [id_col, "pos", "fp"])
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        hashed.select(F.col(id_col), "p", "fp",
-                      n_.alias("_n"), run_l.alias("_l"), run_r.alias("_r"))
-        .where(lo <= hi)
-        .select(F.col(id_col), F.col("p").cast("long").alias("pos"), "fp")
+        docs.select(F.col(id_col), normalized_text(text_col).alias("_nt"))
+        .repartition(n_parts, id_col)
+        .mapInArrow(_winnow, out_schema)
     )
 
 
