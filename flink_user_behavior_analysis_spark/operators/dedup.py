@@ -388,28 +388,101 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
     bit j = 1 iff sum over words w of cnt(w) * (bit_j(h(w)) ? +1 : -1)
     is positive. The sum is linear in occurrences, so it needs no
-    per-(doc, word) count stage: explode token instances, hash each,
-    and run ONE groupBy(id) with 60 codegen'd conditional +/-1 sums —
-    one shuffle total (partial aggregation compresses map-side).
+    per-(doc, word) count stage.
+
+    md5 path (r14, guide §4.2): the signature is md5-bound and
+    strictly per-document, so it runs as ONE mapInArrow kernel — each
+    doc's distinct words are hashed once with C hashlib
+    (int(hexdigest[:15], 16) == md5_long exactly), the 60 bit sums
+    are one (words x 60) numpy reduction weighted by occurrence
+    counts (pure integer arithmetic, bit-identical to the 60
+    conditional JVM sums by linearity), and the exploded token rows
+    never exist Spark-side. The previous form exploded every token
+    instance and ran 60 codegen'd conditional sums through a
+    groupBy(id) — the r13 fast-hash A/B measured that row
+    bit-extraction-bound, which is exactly the part numpy vectorizes.
+    The fast-hash path (xxhash64 — JVM-only primitive) keeps the
+    explode + groupBy expression form.
     """
-    words = with_tokens(docs, id_col, text_col).select(
-        F.col(id_col), F.explode_outer("tokens").alias("word")
+    if use_fast_hash():
+        words = with_tokens(docs, id_col, text_col).select(
+            F.col(id_col), F.explode_outer("tokens").alias("word")
+        )
+        inst = words.withColumn("h", sig_hash(F.col("word")))
+        bit_sums = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+        sums = inst.groupBy(id_col).agg(*bit_sums)
+        sim = None
+        for j in range(SIMHASH_BITS):
+            term = F.when(F.col(f"s{j}") > 0,
+                          F.lit(1).cast("long") * (1 << j)).otherwise(0)
+            sim = term if sim is None else sim + term
+        return sums.select(F.col(id_col), sim.alias("simhash"))
+
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = docs.schema[id_col].dataType
+    id_arrow = to_arrow_type(id_type)
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("simhash", LongType()),
+    ])
+    n_bits = SIMHASH_BITS
+
+    def _simhash(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        shifts = np.arange(n_bits, dtype=np.int64)
+        weights = np.int64(1) << shifts
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_ids, out_sim = [], []
+            for rid, s in zip(ids, texts):
+                if s is None:
+                    # explode_outer emits one NULL word; its NULL hash
+                    # fails every bit test -> -1 per bit -> all bits 0
+                    out_ids.append(rid)
+                    out_sim.append(0)
+                    continue
+                toks = s.split(" ")
+                n = len(toks)
+                cnt: dict = {}
+                for t in toks:
+                    cnt[t] = cnt.get(t, 0) + 1
+                h = np.fromiter(
+                    (int(md5(wd.encode()).hexdigest()[:15], 16)
+                     for wd in cnt),
+                    dtype=np.int64, count=len(cnt))
+                c = np.fromiter(cnt.values(), dtype=np.int64,
+                                count=len(cnt))
+                bits = (h[:, None] >> shifts) & 1
+                sj = 2 * (c @ bits) - n
+                out_ids.append(rid)
+                out_sim.append(int(weights[sj > 0].sum()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=id_arrow),
+                 pa.array(out_sim, type=pa.int64())],
+                [id_col, "simhash"])
+
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col), normalized_text(text_col).alias("_nt"))
+        .repartition(n_parts, id_col)
+        .mapInArrow(_simhash, out_schema)
     )
-    inst = words.withColumn("h", sig_hash(F.col("word")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = inst.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0,
-                      F.lit(1).cast("long") * (1 << j)).otherwise(0)
-        sim = term if sim is None else sim + term
-    return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
