@@ -399,6 +399,13 @@ def doc_fingerprints(docs: DataFrame, id_col: str = "doc_id",
             fpmd = []
             mins: list[list[int]] = [[] for _ in range(k)]
             for s in texts:
+                if s is None:
+                    # NULL text: md5(NULL)/min-hash(NULL) are NULL in
+                    # the JVM form this kernel replaced
+                    fpmd.append(None)
+                    for m in mins:
+                        m.append(None)
+                    continue
                 b = s.encode()
                 fpmd.append(md5(b).hexdigest())
                 toks = s.split(" ")
@@ -1273,11 +1280,22 @@ def winnow_fingerprints(docs: DataFrame, k: int = 4, w: int = 5,
             texts = batch.column(1).to_pylist()
             out_ids, out_pos, out_fp = [], [], []
             for rid, s in zip(ids, texts):
+                if s is None:
+                    # NULL text: normalized_text(NULL) is NULL and the
+                    # replaced posexplode form dropped such docs
+                    continue
                 b = s.encode()
-                # token byte offsets over the normalized stream
+                # token byte offsets over the normalized stream; when
+                # the ASCII invariant of normalized_text ever breaks
+                # (len(b) != len(s)), fall back to encoded-token widths
+                # so the byte slices stay aligned
                 starts = [0]
-                for t in s.split(" "):
-                    starts.append(starts[-1] + len(t) + 1)
+                if len(b) == len(s):
+                    for t in s.split(" "):
+                        starts.append(starts[-1] + len(t) + 1)
+                else:  # pragma: no cover - normalized_text is ASCII
+                    for t in s.split(" "):
+                        starts.append(starts[-1] + len(t.encode()) + 1)
                 n_g = len(starts) - k_  # == n_tokens - k + 1
                 if n_g < 1:
                     continue

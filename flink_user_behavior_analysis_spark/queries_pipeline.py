@@ -252,8 +252,12 @@ def q_dedup_keeper_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = _tracked_persist(
         text_stats(docs).select("doc_id", "quality_score"))
     q_fut = _start_action(quality)
-    out = keeper_by_quality(docs, pairs, quality)
-    q_fut.result()  # rethrows if the overlapped quality scan failed
+    try:
+        out = keeper_by_quality(docs, pairs, quality)
+    finally:
+        # always await the overlapped job (rethrows its failure): a
+        # main-path exception must not leak a still-running action
+        q_fut.result()
     return out
 
 
@@ -743,6 +747,16 @@ def _start_action(df: DataFrame):
     fut = pool.submit(df.count)
     pool.shutdown(wait=False)
     return fut
+
+
+def _fail_action(fut) -> None:
+    """Await an overlapped action after a main-path failure, swallowing
+    its own error so the primary exception propagates unmasked (and no
+    background job is left running)."""
+    try:
+        fut.result()
+    except Exception:
+        pass
 
 
 def q_bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2062,24 +2076,31 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("gram").isNotNull()).distinct()
     )
     ev_fut = _start_action(ev_grams)
-    keep_exact = (
-        d1.select("doc_id", F.md5(normalized_text("text")).alias("_fp"))
-        .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    # EAGER checkpoints, deliberately (r14, guide §1.2): the lazy
-    # variant (materialize inside the next consumer's first job) was
-    # A/B-tested and measured ~0.7 s SLOWER here (9.59 vs 8.90
-    # min-of-3 same-session) — each stage materializing with full
-    # 32-way parallelism beats folding it into the next consumer's
-    # job, whose first action is narrower. connected_components'
-    # per-round checkpoints are the opposite case (see cluster.py).
-    d2 = d1.join(keep_exact, "doc_id").localCheckpoint(eager=True)
-    pairs = minhash_lsh_pairs(d2, JACCARD_T, k=MINHASH_K, bands=LSH_BANDS)
-    comp = connected_components(d2.select("doc_id"), pairs, id_col="doc_id")
-    keepers = comp.where(F.col("doc_id") == F.col("component")).select("doc_id")
-    d3 = d2.join(keepers, "doc_id").localCheckpoint(eager=True)
-    ev_fut.result()  # rethrows if the overlapped gram build failed
+    try:
+        keep_exact = (
+            d1.select("doc_id", F.md5(normalized_text("text")).alias("_fp"))
+            .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        # EAGER checkpoints, deliberately (r14, guide §1.2): the lazy
+        # variant (materialize inside the next consumer's first job)
+        # was A/B-tested and measured ~0.7 s SLOWER here (9.59 vs 8.90
+        # min-of-3 same-session) — each stage materializing with full
+        # 32-way parallelism beats folding it into the next consumer's
+        # job, whose first action is narrower. connected_components'
+        # per-round checkpoints are the opposite case (see cluster.py).
+        d2 = d1.join(keep_exact, "doc_id").localCheckpoint(eager=True)
+        pairs = minhash_lsh_pairs(d2, JACCARD_T, k=MINHASH_K,
+                                  bands=LSH_BANDS)
+        comp = connected_components(d2.select("doc_id"), pairs,
+                                    id_col="doc_id")
+        keepers = comp.where(
+            F.col("doc_id") == F.col("component")).select("doc_id")
+        d3 = d2.join(keepers, "doc_id").localCheckpoint(eager=True)
+    finally:
+        # always await the overlapped gram build (rethrows its
+        # failure) so a d2/d3/pairs exception can't leak a running job
+        ev_fut.result()
     tr_grams = with_shingles(d3, n=CONTAM_N).select(
         "doc_id", F.explode_outer("shingles").alias("gram")
     ).where(F.col("gram").isNotNull())
@@ -3086,9 +3107,13 @@ def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver sections would otherwise leave the executors idle
     truth = _tracked_persist(brute_force_topk_arrow(queries, embs, ANN_K))
     fut = _start_action(truth)
-    trained = ivf_topk_trained(queries, embs, ANN_K,
-                               n_centroids=IVF_K, nprobe=IVF_NPROBE,
-                               train_iters=2)
+    try:
+        trained = ivf_topk_trained(queries, embs, ANN_K,
+                                   n_centroids=IVF_K, nprobe=IVF_NPROBE,
+                                   train_iters=2)
+    except BaseException:
+        _fail_action(fut)
+        raise
     return _ann_certificate(spark, queries, trained, truth,
                             IVF_TRAINED_RECALL_FLOOR, truth_fut=fut)
 
@@ -3129,9 +3154,13 @@ def _ann_certificate(spark: SparkSession, queries: DataFrame,
     from .operators.dedup import _tracked_persist
 
     approx = _tracked_persist(approx)
-    approx.count()
-    if truth_fut is not None:
-        truth_fut.result()
+    try:
+        approx.count()
+    finally:
+        # await the overlapped truth scan even when the approx
+        # materialization fails — no leaked background job
+        if truth_fut is not None:
+            truth_fut.result()
     nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
     nt = truth.agg(F.count(F.lit(1)).alias("_nt"))
     nh = (
@@ -3184,8 +3213,12 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap (guide §2.6): truth is independent of the PQ fit
     truth = _tracked_persist(brute_force_topk_arrow(queries, embs, ANN_K))
     fut = _start_action(truth)
-    approx = pq_topk(queries, embs, ANN_K, m=PQ_M, codes=PQ_CODES,
-                     train_iters=2)
+    try:
+        approx = pq_topk(queries, embs, ANN_K, m=PQ_M, codes=PQ_CODES,
+                         train_iters=2)
+    except BaseException:
+        _fail_action(fut)
+        raise
     return _ann_certificate(spark, queries, approx, truth,
                             PQ_RECALL_FLOOR, truth_fut=fut)
 
@@ -3225,9 +3258,13 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap (guide §2.6): truth is independent of both IVFADC fits
     truth = _tracked_persist(brute_force_topk_arrow(queries, embs, ANN_K))
     fut = _start_action(truth)
-    approx = ivfpq_topk(queries, embs, ANN_K,
-                        n_centroids=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
-                        m=IVFPQ_M, codes=IVFPQ_CODES)
+    try:
+        approx = ivfpq_topk(queries, embs, ANN_K,
+                            n_centroids=IVFPQ_CELLS, nprobe=IVFPQ_NPROBE,
+                            m=IVFPQ_M, codes=IVFPQ_CODES)
+    except BaseException:
+        _fail_action(fut)
+        raise
     return _ann_certificate(spark, queries, approx, truth,
                             IVFPQ_RECALL_FLOOR, truth_fut=fut)
 
@@ -4082,24 +4119,30 @@ def _recall_certificate(spark: SparkSession, queries: DataFrame,
     """Certificate row over the per-query recall distribution: exact
     n_queries / k / n_scored (every query gets a recall row, hits or
     not), mean recall >= mean_floor, the dist_q-quantile recall >=
-    dist_floor, all recalls inside [0, 1]. One |Q|-row aggregate —
-    the probe/truth legs dominate, same as _ann_certificate."""
-    row = _recall_frame(queries, approx, truth).agg(
-        F.count(F.lit(1)).alias("n_scored"),
-        F.avg("recall").alias("mean_r"),
-        F.expr(f"percentile(recall, {dist_q})").alias("q_r"),
-        F.min("recall").alias("min_r"),
-        F.max("recall").alias("max_r"),
-    ).collect()[0]
-    n_queries = queries.count()
-    return spark.createDataFrame(
-        [(int(n_queries), ANN_K, int(row["n_scored"]),
-          int(row["mean_r"] >= mean_floor),
-          int(row["q_r"] >= dist_floor),
-          int(row["min_r"] >= 0.0 and row["max_r"] <= 1.0))],
-        "n_queries BIGINT, k BIGINT, n_scored BIGINT, "
-        "mean_recall_ok BIGINT, dist_recall_ok BIGINT, "
-        "recall_in_unit BIGINT")
+    dist_floor, all recalls inside [0, 1].
+
+    r15 shape (guide §1.2 — the _ann_certificate fold): this used to
+    be a collect() aggregate, then a SEPARATE queries.count(), then
+    createDataFrame — two sequential driver round-trips plus a
+    driver-precomputed result row. The two 1-row aggregate subtrees
+    are now cross-joined into ONE lazy plan; the floor compares are
+    the same IEEE double compares, evaluated in the JVM instead of
+    Python on the identical aggregate values — bit-identical
+    output. No subtree is read twice, so nothing needs persisting."""
+    agg = _recall_frame(queries, approx, truth).agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        (F.avg("recall") >= F.lit(float(mean_floor)))
+        .cast("long").alias("mean_recall_ok"),
+        (F.expr(f"percentile(recall, {dist_q})")
+         >= F.lit(float(dist_floor))).cast("long").alias("dist_recall_ok"),
+        ((F.min("recall") >= F.lit(0.0)) & (F.max("recall") <= F.lit(1.0)))
+        .cast("long").alias("recall_in_unit"),
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return nq.crossJoin(agg).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.lit(ANN_K).cast("long").alias("k"),
+        "n_scored", "mean_recall_ok", "dist_recall_ok", "recall_in_unit")
 
 
 ANN_RECALL_STORED_CERT_SQL = f"""
