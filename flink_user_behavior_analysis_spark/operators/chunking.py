@@ -376,8 +376,17 @@ def duplicated_spans_incremental(corpus: DataFrame, delta: DataFrame,
             .groupBy("fp")
             .agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
         )
+    from .dedup import _tracked_persist
+
     sized_d = _sized_tokens(delta, id_col, text_col)
-    spans_d = _span_instances(sized_d, k, id_col)
+    # persist the delta span instances (r15, guide §5 — the r14
+    # "kernel runs 3x" residual): spans_d feeds BOTH the delta fp
+    # counts and the dup probe join, so unpersisted the delta span
+    # kernel (repartition + Arrow pass) executes twice per batch.
+    # Batch-sized rows — the flat-wall property is unchanged.
+    # A/B same-session min-of-4 at sf0.1: 2.25 -> 1.93 s (and
+    # 2.70 -> 2.54 s in a second window); both runs persist-positive.
+    spans_d = _tracked_persist(_span_instances(sized_d, k, id_col))
     # NOTE (r14): the _dup_span_instances count-window rewrite was
     # A/B-tested here and REVERTED (+10% at sf0.1): unlike the
     # whole-corpus form, this path must still join corpus_occ on fp,

@@ -84,19 +84,21 @@ def connected_components(
     prev_sum = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
     converged = False
     for _ in range(max_iter):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("n").alias("m"), "comp"), "m"
-            )
-            .groupBy("n")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
+        # one join + one groupBy-min per round (r15, guide §2.4): the
+        # former two-join form (neighbor-min groupBy, then a LEFT join
+        # back onto labels for least(own, nbr)) paid an extra
+        # labels-side exchange/broadcast-join every round. Unioning
+        # the node's OWN label into the neighbor-label stream makes
+        # the single min aggregate compute least(own, nbr-min)
+        # directly — identical labels by definition of min, one fewer
+        # join per round (A/B same-window min-of-3 at sf0.1:
+        # 1.41 -> 1.15 s for the dedup_clusters fixpoint).
         labels = (
-            labels.join(nbr_min, "n", "left")
-            .select(
-                "n",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
+            sym.join(labels.select(F.col("n").alias("m"), "comp"), "m")
+            .select("n", "comp")
+            .unionByName(labels)
+            .groupBy("n")
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(

@@ -324,6 +324,17 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
     — the standard recall-for-boundedness trade, same semantics as
     the minhash LSH cap. None (default) = exact pigeonhole recall."""
     assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    from .dedup import _tracked_persist
+
+    # persist the (id, hash) proxy (r15, guide §2.4/§5 — the
+    # winnow_overlap discipline): downstream the chunk frame feeds
+    # the bucket-count aggregate AND both sides of the self-join, so
+    # an unpersisted input re-runs the upstream hash computation
+    # (for image corpora: the whole decode+hash MapInPandas pass) up
+    # to 4x — plan-audited 4 scans -> 1. Rows are id + one 64-bit
+    # hash: the lightweight proxy a 100 TB image corpus would store.
+    hashes = _tracked_persist(hashes.select(F.col(id_col),
+                                            F.col(hash_col)))
     chunk_w = bits // bands
     chunk_vals = F.array(*[
         F.shiftright(F.col(hash_col), ci * chunk_w)

@@ -2296,16 +2296,15 @@ def semdedup_assign(vecs: DataFrame, centroids: list[list[float]],
     """Assign every vector to its argmax-cosine centroid — the
     cluster step of SemDeDup (Abbas et al. 2023, arXiv:2303.09540).
 
-    Entirely JVM-side, zero shuffle, ONE scan: the k centroids are
-    embedded as LITERAL arrays (k is small — a handful of hundred
-    doubles in codegen), each cosine is a zip_with+aggregate fold in
-    DOUBLE rounded to 1e-6, and the argmax is
-    array_position(cs_array, array_max(cs_array)) — first match, so
-    ties break to the lowest cell index. Assignment is therefore a
-    pure projection: no broadcast join, no per-id window, nothing
-    for AQE to coalesce. An oracle recomputing the assignment from
-    the same stored centroid table (DuckDB list_dot_product, same
-    rounding, row_number tie rule) reproduces it bit-for-bit.
+    ONE scan, no join, no window: the k centroids ride into the
+    Arrow kernel as task-local constants (r15 — see
+    _semdedup_assigned; formerly k interpreted zip_with+aggregate
+    folds per row), each cosine is a left-fold-ordered DOUBLE dot
+    rounded HALF_UP to 1e-6, and the argmax takes the FIRST max, so
+    ties break to the lowest cell index. An oracle recomputing the
+    assignment from the same stored centroid table (DuckDB
+    list_dot_product, same rounding, row_number tie rule)
+    reproduces it bit-for-bit.
 
     Returns (id, cell, cent_sim) with cent_sim rounded to 6 dp.
     """
@@ -2313,11 +2312,12 @@ def semdedup_assign(vecs: DataFrame, centroids: list[list[float]],
         F.col(id_col), F.col("cell"), F.col("cent_sim"))
 
 
-def _semdedup_assigned(vecs: DataFrame, centroids: list[list[float]],
-                       id_col: str, vec_col: str) -> DataFrame:
-    """(id, cell, cent_sim, _v, _n) — the assignment projection with
-    the cast vector and norm kept, so semantic_dedup's branches all
-    derive from ONE frame instead of re-joining embeddings."""
+def _semdedup_assigned_sql(vecs: DataFrame, centroids: list[list[float]],
+                           id_col: str, vec_col: str) -> DataFrame:
+    """The JVM expression form of the assignment projection — kept as
+    the equivalence REFERENCE for the Arrow kernel below (pytest
+    asserts bit-equality; the kernel replicates this form's exact
+    left-fold summation order, see _semdedup_assigned)."""
     import math
 
     v = vecs.select(
@@ -2346,6 +2346,140 @@ def _semdedup_assigned(vecs: DataFrame, centroids: list[list[float]],
         F.array_max(arr).alias("cent_sim"),
         F.col("_v"), F.col("_n"),
     )
+
+
+def _semdedup_assigned(vecs: DataFrame, centroids: list[list[float]],
+                       id_col: str, vec_col: str) -> DataFrame:
+    """(id, cell, cent_sim, _v, _n) — the assignment projection with
+    the cast vector and norm kept, so semantic_dedup's branches all
+    derive from ONE frame instead of re-joining embeddings.
+
+    r15 (guide §4.2): the former JVM form evaluated k zip_with +
+    aggregate folds per row — interpreted (CodegenFallback) higher-
+    order expressions, measured as the DOMINANT cost of every
+    semdedup path at sf0.1 (assignment checkpoint 2.0-3.6 s of a
+    3.2-4.9 s inline wall). This kernel computes the identical values
+    in numpy with BIT-EXACT arithmetic: dots and squared norms
+    accumulate COLUMN-BY-COLUMN (``acc += V[:, j] * c[j]``), which
+    reproduces the JVM left fold's exact sequence of IEEE adds
+    (((0+p0)+p1)+...) — vectorized across rows, ordered across dims —
+    so no reassociation can flip a 6-dp rounding. Rounding is the
+    repo's HALF_UP scale-floor form (see _np_round_half_up4);
+    np.argmax takes the FIRST max, matching
+    array_position(arr, array_max(arr)). Equivalence vs the retained
+    JVM reference (_semdedup_assigned_sql) is pytest-asserted,
+    including the zero-norm and NULL-vector branches.
+
+    Batch (non-streaming) inputs are pre-partitioned by id — small
+    corpora arrive as one parquet split and would serialize the
+    kernel; streaming inputs keep their micro-batch partitioning."""
+    import math
+
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    id_type = vecs.schema[id_col].dataType
+    id_arrow = to_arrow_type(id_type)
+    cents = [[float(x) for x in c] for c in centroids]
+    cns = [math.sqrt(sum(x * x for x in c)) for c in cents]
+    out_schema = StructType([
+        StructField(id_col, id_type),
+        StructField("cell", IntegerType()),
+        StructField("cent_sim", DoubleType()),
+        StructField("_v", ArrayType(DoubleType())),
+        StructField("_n", DoubleType()),
+    ])
+
+    def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cmat = [np.asarray(c, dtype=np.float64) for c in cents]
+        k = len(cmat)
+        list_f64 = pa.list_(pa.float64())
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0)
+            vcol = batch.column(1).cast(list_f64)
+            n = len(vcol)
+            offs = vcol.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if vcol.null_count or len(set(widths.tolist())) > 1:
+                # ragged / NULL vectors: defer to the JVM-shaped
+                # per-row path via pylists (never taken on the
+                # uniform-dim corpora; correctness fallback only)
+                rows = vcol.to_pylist()
+                cells, sims_o, norms = [], [], []
+                for r in rows:
+                    if r is None:
+                        cells.append(None)
+                        sims_o.append(None)
+                        norms.append(None)
+                        continue
+                    acc = 0.0
+                    for x in r:
+                        acc += x * x
+                    nr = math.sqrt(acc)
+                    cs = []
+                    for ci in range(k):
+                        if cns[ci] == 0:
+                            cs.append(0.0)
+                            continue
+                        d = 0.0
+                        for xj, cj in zip(r, cmat[ci]):
+                            d += xj * cj
+                        s = 0.0 if nr == 0 else d / (nr * cns[ci])
+                        cs.append(math.copysign(
+                            math.floor(abs(s) * 1e6 + 0.5), s) / 1e6)
+                    mx = max(cs)
+                    cells.append(cs.index(mx))
+                    sims_o.append(mx)
+                    norms.append(nr)
+                yield pa.RecordBatch.from_arrays(
+                    [ids.cast(id_arrow),
+                     pa.array(cells, type=pa.int32()),
+                     pa.array(sims_o, type=pa.float64()),
+                     vcol, pa.array(norms, type=pa.float64())],
+                    [id_col, "cell", "cent_sim", "_v", "_n"])
+                continue
+            d = int(widths[0]) if n else 0
+            V = vcol.flatten().to_numpy(zero_copy_only=False) \
+                .reshape(n, d)
+            # squared norm, column-by-column: the JVM fold's add order
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                acc += V[:, j] * V[:, j]
+            nrm = np.sqrt(acc)
+            zero = nrm == 0
+            sims = np.empty((n, k), dtype=np.float64)
+            for ci in range(k):
+                if cns[ci] == 0:
+                    sims[:, ci] = 0.0
+                    continue
+                c = cmat[ci]
+                accd = np.zeros(n, dtype=np.float64)
+                for j in range(d):
+                    accd += V[:, j] * c[j]
+                s = accd / (nrm * cns[ci])
+                s[zero] = 0.0
+                sims[:, ci] = np.copysign(
+                    np.floor(np.abs(s) * 1e6 + 0.5), s) / 1e6
+            cell = np.argmax(sims, axis=1)
+            cent = sims[np.arange(n), cell]
+            yield pa.RecordBatch.from_arrays(
+                [ids.cast(id_arrow),
+                 pa.array(cell.astype(np.int32)),
+                 pa.array(cent),
+                 vcol, pa.array(nrm)],
+                [id_col, "cell", "cent_sim", "_v", "_n"])
+
+    src = vecs.select(F.col(id_col), F.col(vec_col))
+    if not vecs.isStreaming:
+        n_parts = vecs.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n_parts, F.col(id_col))
+    return src.mapInArrow(_assign, out_schema)
 
 
 def _semdedup_dropped_within(assigned: DataFrame, eps: float,
@@ -2587,14 +2721,21 @@ def _make_probe_matches_fn(eps: float, id_col: str):
         bmat = np.array([np.asarray(e, dtype=np.float64)
                          for e in left["_v"]])
         bn = left["_n"].to_numpy(dtype=np.float64)
-        cn = right["c_n"].to_numpy(dtype=np.float64)
         counts = np.zeros(len(left), dtype=np.int64)
         block = 4096
         for j0 in range(0, len(right), block):
             j1 = min(j0 + block, len(right))
             cmat = np.array([np.asarray(e, dtype=np.float64)
                              for e in right["c_v"].iloc[j0:j1]])
-            denom = np.outer(bn, cn[j0:j1])
+            # corpus norms in-kernel (r15, §4.2): replaces the
+            # interpreted norm_expr fold on the probed corpus scan;
+            # column-by-column accumulation reproduces that fold's
+            # exact IEEE add order, so the 4-dp sims cannot move
+            acc = np.zeros(len(cmat), dtype=np.float64)
+            for j in range(cmat.shape[1]):
+                acc += cmat[:, j] * cmat[:, j]
+            cn = np.sqrt(acc)
+            denom = np.outer(bn, cn)
             denom[denom == 0] = np.inf
             sims = (bmat @ cmat.T) / denom
             sims = np.copysign(
@@ -2829,14 +2970,18 @@ def semdedup_probe(spark, prefix: str, batch: DataFrame,
     # subquery
     probe_cells = [int(r.cell)
                    for r in b.select("cell").distinct().collect()]
+    csel = [F.col("cell").alias("c_cell"),
+            F.col(id_col).alias("c_id"),
+            F.col("embedding").alias("c_v")]
+    if pair_kernel != "gemm":
+        # the GEMM kernel derives corpus norms in-kernel (bit-equal
+        # column-ordered fold); only the SQL leg still needs the
+        # interpreted norm column
+        csel.append(norm_expr("embedding").alias("c_n"))
     corpus_cells = spark.table(f"{prefix}_cells") \
         .where(F.col("cell").isin(probe_cells)
                if probe_cells else F.lit(False)) \
-        .select(
-            F.col("cell").alias("c_cell"),
-            F.col(id_col).alias("c_id"),
-            F.col("embedding").alias("c_v"),
-            norm_expr("embedding").alias("c_n"))
+        .select(*csel)
     if pair_kernel == "gemm":
         did_dt = b.schema[id_col].dataType.simpleString()
         # task decomposition (VERDICT r13 #1): hash-split each probed

@@ -957,14 +957,27 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # r15 (guide §2.3 — aggregate before you multiply): rollup's
+    # Expand used to TRIPLE every joined lineitem row before the
+    # partial aggregate (3 grouping sets x fact rows). Aggregating to
+    # the (region, nation) grain first collapses the fact table to
+    # <= |region| x |nation| rows, and the rollup then expands only
+    # that tiny frame. Exact: the cent sums are int64 and associative,
+    # n_items = sum of partial counts; grouping() flags and coalesce
+    # are computed by the same rollup operator as before, so the
+    # output is bit-identical (oracle re-verified).
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.sum(rev_cents).alias("_rev_cents"),
+        F.count(F.lit(1)).alias("_n_items"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
+        base.rollup("r_name", "n_name")
         .agg(
             # grouping() is only legal inside the rollup aggregate
             F.grouping("r_name").cast("long").alias("g_region"),
             F.grouping("n_name").cast("long").alias("g_nation"),
-            (F.sum(rev_cents).cast("double") / 100).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("_rev_cents").cast("double") / 100).alias("revenue"),
+            F.sum("_n_items").alias("n_items"),
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
