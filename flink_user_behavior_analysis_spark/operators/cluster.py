@@ -67,9 +67,19 @@ def connected_components(
     # this costs one edge-sized exchange at materialization and is
     # wall-neutral locally; at cluster scale it converts O(rounds)
     # edge shuffles into one.
+    # symmetrize via ONE explode, not a 2-branch union (r15, §2.4):
+    # the union form evaluated the whole EDGE subtree twice in the
+    # materialization job — for LSH pairs that is the bucket self-join
+    # + Jaccard verify running once per branch (A/B same-window
+    # min-of-3 at sf0.1, full dedup_clusters shape: 2.11 -> 1.84 s /
+    # 2.67 -> 1.73 s across two interleavings). Same rows, same
+    # downstream partitioning.
     sym = (
-        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
-        .union(edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("m")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src_col).alias("n"), F.col(dst_col).alias("m")),
+            F.struct(F.col(dst_col).alias("n"), F.col(src_col).alias("m")),
+        )).alias("e"))
+        .select("e.n", "e.m")
         .repartition("m")
         .localCheckpoint(eager=False)
     )
@@ -179,11 +189,22 @@ def connected_components_star(
 
     prev = None
     converged = False
+    # symmetrize/emit via ONE explode each, never a 2-branch union
+    # (r15, §2.4 — the connected_components sym fix): a union's two
+    # branches each re-evaluate their input subtree, and here `large`
+    # and `linked` are UNcheckpointed join outputs, so the union form
+    # ran the large-star join and the small-star link join twice per
+    # round. The explode emits both directed rows in one pass over
+    # the same subtree — identical row multiset.
+    def _sym2(e: DataFrame) -> DataFrame:
+        return e.select(F.explode(F.array(
+            F.struct(F.col("a").alias("n"), F.col("b").alias("m")),
+            F.struct(F.col("b").alias("n"), F.col("a").alias("m")),
+        )).alias("e")).select("e.n", "e.m")
+
     for _ in range(max_iter):
-        sym = ecur.union(ecur.select(F.col("b").alias("a"),
-                                     F.col("a").alias("b")))
         # large-star: center n, neighbors m
-        g = sym.select(F.col("a").alias("n"), F.col("b").alias("m"))
+        g = _sym2(ecur)
         mins = g.groupBy("n").agg(F.min("m").alias("mn"))
         large = (
             g.join(mins, "n")
@@ -194,16 +215,15 @@ def connected_components_star(
             .distinct()
         )
         # small-star over the large-star output
-        sym2 = large.union(large.select(F.col("b").alias("a"),
-                                        F.col("a").alias("b")))
-        g2 = sym2.select(F.col("a").alias("n"), F.col("b").alias("m"))
-        sm = g2.where(F.col("m") < F.col("n"))
+        sm = _sym2(large).where(F.col("m") < F.col("n"))
         mins2 = sm.groupBy("n").agg(F.min("m").alias("mn"))
         linked = sm.join(mins2, "n")
         small = (
-            linked.select(F.col("m").alias("a"), F.col("mn").alias("b"))
-            .union(linked.select(F.col("n").alias("a"),
-                                 F.col("mn").alias("b")))
+            linked.select(F.explode(F.array(
+                F.struct(F.col("m").alias("a"), F.col("mn").alias("b")),
+                F.struct(F.col("n").alias("a"), F.col("mn").alias("b")),
+            )).alias("e"))
+            .select("e.a", "e.b")
             .where(F.col("a") != F.col("b"))
             .distinct()
             .localCheckpoint(eager=False)  # same lineage-cut rationale

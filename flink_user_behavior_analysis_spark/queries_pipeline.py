@@ -2077,11 +2077,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev_fut = _start_action(ev_grams)
     try:
-        keep_exact = (
-            d1.select("doc_id", F.md5(normalized_text("text")).alias("_fp"))
-            .groupBy("_fp").agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
+        # exact dedup as ONE min-window pass (r15, §2.4): the old
+        # groupBy(_fp).min + join-back form evaluated the d1 subtree —
+        # regex-heavy quality filter + normalize + md5 — TWICE inside
+        # the d2 checkpoint job (once per join side). min(doc_id) over
+        # a fingerprint window keeps exactly the same rows (the min-id
+        # doc per fp; doc_id is unique) off a single evaluation.
+        # A/B same-window min-of-4: 1.79 -> 1.19 s / 1.80 -> 0.98 s.
+        # Fp keys are md5 — the skew study (§4 / tests/
+        # test_skew_window_choice.py) covers the hot-key exposure.
+        from pyspark.sql import Window
+
+        w_fp = Window.partitionBy("_fp")
         # EAGER checkpoints, deliberately (r14, guide §1.2): the lazy
         # variant (materialize inside the next consumer's first job)
         # was A/B-tested and measured ~0.7 s SLOWER here (9.59 vs 8.90
@@ -2089,7 +2096,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 32-way parallelism beats folding it into the next consumer's
         # job, whose first action is narrower. connected_components'
         # per-round checkpoints are the opposite case (see cluster.py).
-        d2 = d1.join(keep_exact, "doc_id").localCheckpoint(eager=True)
+        d2 = (
+            d1.withColumn("_fp", F.md5(normalized_text("text")))
+            .withColumn("_min", F.min("doc_id").over(w_fp))
+            .where(F.col("_min") == F.col("doc_id"))
+            .drop("_fp", "_min")
+            .localCheckpoint(eager=True)
+        )
         pairs = minhash_lsh_pairs(d2, JACCARD_T, k=MINHASH_K,
                                   bands=LSH_BANDS)
         comp = connected_components(d2.select("doc_id"), pairs,
